@@ -1,0 +1,130 @@
+"""Training utilities (reference ``mop/training/utils.py``), JAX-native.
+
+cosine_lr / set_seed / count_params plus checkpointing (orbax), AverageMeter,
+EarlyStopping, and EMA — the semantic payload the reference stores.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+import random
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cosine_lr(base_lr: float, warmup_steps: int, total_steps: int):
+    """Warmup (linear from 0) + cosine decay schedule, matching reference
+    ``training/utils.py:15-32`` semantics. Returns step -> lr."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * step / jnp.maximum(1.0, warmup_steps)
+        progress = (step - warmup_steps) / jnp.maximum(1.0, total_steps - warmup_steps)
+        progress = jnp.clip(progress, 0.0, 1.0)
+        cos = 0.5 * base_lr * (1.0 + jnp.cos(jnp.pi * progress))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
+def set_seed(seed: int) -> jax.Array:
+    """Seed python/numpy and return a JAX PRNG key (the JAX determinism story:
+    functional PRNG instead of cudnn.deterministic, reference :35-51)."""
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def count_params(params) -> int:
+    """Count trainable parameters in a pytree (reference :54-64)."""
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def print_model_info(name: str, params) -> None:
+    n = count_params(params)
+    print(f"{name}: {n:,} trainable params ({n / 1e6:.2f}M)")
+
+
+def format_time(seconds: float) -> str:
+    m, s = divmod(int(seconds), 60)
+    h, m = divmod(m, 60)
+    if h:
+        return f"{h}h {m}m {s}s"
+    if m:
+        return f"{m}m {s}s"
+    return f"{s}s"
+
+
+def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0, loss: float = 0.0):
+    """Persist {epoch, params, opt_state, loss} (reference :121-147 payload)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "epoch": epoch,
+        "params": jax.device_get(params),
+        "opt_state": jax.device_get(opt_state) if opt_state is not None else None,
+        "loss": float(loss),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+class AverageMeter:
+    """Running average tracker (reference :178-200)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(1, self.count)
+
+
+class EarlyStopping:
+    """Patience-based early stopping with best-weights restore (reference :203-249)."""
+
+    def __init__(self, patience: int = 10, min_delta: float = 0.0, restore_best: bool = True):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.restore_best = restore_best
+        self.best: Optional[float] = None
+        self.best_params = None
+        self.counter = 0
+        self.should_stop = False
+
+    def step(self, metric: float, params) -> bool:
+        if self.best is None or metric > self.best + self.min_delta:
+            self.best = metric
+            self.counter = 0
+            if self.restore_best:
+                self.best_params = jax.device_get(params)
+        else:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.should_stop = True
+        return self.should_stop
+
+
+def ema_update(ema_params, params, decay: float):
+    """Shadow-parameter EMA step (reference ``imagenet_ab_param_budgets.py:616-635``)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params
+    )

@@ -1,0 +1,14 @@
+"""Test configuration: force CPU backend with 8 virtual devices so multi-chip
+sharding (mesh/pjit) is exercised without TPU hardware.
+
+Must run before jax initializes its backends, hence env vars at import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
