@@ -27,8 +27,45 @@ from .components import (
     ViTEncoder,
     ViTEncoderMoE,
 )
+from .gpt_comparison import (
+    ComparisonConfig,
+    GPTComparisonFramework,
+    create_comparison_framework,
+)
+from .gpt_mop import (
+    GPT_MoP,
+    FuseExcInh1D,
+    Kernels1D,
+    MoPBlock,
+    ViewsLinear1D,
+    create_gpt_baseline,
+    create_gpt_mop,
+    create_gpt_quartet,
+)
+from .quartet_attn_patch import (
+    CausalSelfAttention,
+    TinyTransformerLM,
+    TransformerConfig,
+)
 from .vit_baseline import ViT_Baseline
 from .vit_mop import ViT_MoP
+from .whisper_comparison import (
+    WhisperComparisonConfig,
+    WhisperComparisonFramework,
+    create_whisper_comparison_framework,
+)
+from .whisper_mop import (
+    DecoderBlock,
+    EncoderBlock,
+    FuseExcInh2D,
+    Kernels2D,
+    MoP2D,
+    ViewsConv2D,
+    WhisperConfig,
+    WhisperMoP,
+    create_whisper_baseline,
+    create_whisper_mop,
+)
 from .vit_variants import (
     DualPathMSA,
     ViTCrossView,
@@ -45,6 +82,36 @@ __all__ = [
     "ViTMultiHop",
     "ViTGated",
     "DualPathMSA",
+    # GPT family
+    "GPT_MoP",
+    "create_gpt_mop",
+    "create_gpt_baseline",
+    "create_gpt_quartet",
+    "TransformerConfig",
+    "TinyTransformerLM",
+    "CausalSelfAttention",
+    "ViewsLinear1D",
+    "Kernels1D",
+    "FuseExcInh1D",
+    "MoPBlock",
+    # Whisper family
+    "WhisperMoP",
+    "create_whisper_mop",
+    "create_whisper_baseline",
+    "WhisperConfig",
+    "ViewsConv2D",
+    "Kernels2D",
+    "FuseExcInh2D",
+    "MoP2D",
+    "EncoderBlock",
+    "DecoderBlock",
+    # Comparison frameworks
+    "GPTComparisonFramework",
+    "ComparisonConfig",
+    "create_comparison_framework",
+    "WhisperComparisonFramework",
+    "WhisperComparisonConfig",
+    "create_whisper_comparison_framework",
     # Core MoP components
     "ViewsLinear",
     "Kernels3",
