@@ -1,0 +1,152 @@
+"""Benchmark: CIFAR-100 images/sec/chip on ViT-MoP @ the 5M-param config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+- Ours: full sharded training step (on-device augment + bf16 fwd/bwd + AdamW)
+  on all available devices; value is per-chip throughput.
+- Baseline: the PyTorch reference model (same config/batch) stepped with
+  torch AdamW on this host (its only runnable backend here), measured once and
+  cached in bench_baseline.json. BASELINE.json's target is >=5x this.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+
+DIM, DEPTH, HEADS, NVIEWS, NKERNELS = 224, 6, 4, 5, 3  # abcd_5m.log B config
+NCLASSES = 100
+PER_CHIP_BATCH = 256
+WARMUP_STEPS = 10
+TIMED_STEPS = 100
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_ours() -> tuple[float, int]:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from mop_tpu.models import ViT_MoP
+    from mop_tpu.ops.preprocess import CIFAR100_MEAN, CIFAR100_STD
+    from mop_tpu.parallel import (
+        make_classifier_train_step,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+
+    n_chips = len(jax.devices())
+    batch = PER_CHIP_BATCH * n_chips
+    mesh = make_mesh()
+    model = ViT_MoP(
+        dim=DIM, depth=DEPTH, heads=HEADS, n_classes=NCLASSES,
+        n_views=NVIEWS, n_kernels=NKERNELS,
+    )
+    rng = jax.random.PRNGKey(0)
+    x_u8 = np.random.RandomState(0).randint(0, 256, (batch, 3, 32, 32), dtype=np.uint8)
+    y = np.random.RandomState(1).randint(0, NCLASSES, (batch,)).astype(np.int32)
+
+    params = model.init(
+        {"params": rng, "dropout": rng}, jnp.zeros((batch, 3, 32, 32)), train=True
+    )
+    tx = optax.adamw(3e-3, weight_decay=0.05)
+    opt_state = tx.init(params)
+
+    with mesh:
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        xb, yb = shard_batch((x_u8, y), mesh)
+        step = make_classifier_train_step(
+            model, tx, mesh, CIFAR100_MEAN, CIFAR100_STD, augment=True,
+        )
+        for i in range(WARMUP_STEPS):
+            params, opt_state, m = step(params, opt_state, xb, yb, jax.random.fold_in(rng, i))
+        # NOTE: on the axon-tunneled backend block_until_ready does not
+        # synchronize; a host transfer (float()) is the reliable barrier.
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(TIMED_STEPS):
+            params, opt_state, m = step(
+                params, opt_state, xb, yb, jax.random.fold_in(rng, 100 + i)
+            )
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * TIMED_STEPS / dt
+    log(f"ours: {TIMED_STEPS} steps of batch {batch} on {n_chips} chip(s) in {dt:.2f}s "
+        f"-> {imgs_per_sec:.1f} img/s total, {imgs_per_sec / n_chips:.1f} img/s/chip, "
+        f"loss {float(m['loss']):.3f}")
+    return imgs_per_sec / n_chips, n_chips
+
+
+def measure_torch_baseline() -> float:
+    """PyTorch reference ViT-MoP train-step throughput on this host (cached)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["images_per_sec"]
+    try:
+        import torch
+
+        sys.path.insert(0, "/root/reference")
+        from mop.models import ViT_MoP as TorchViTMoP  # reference model, run as-is
+
+        torch.manual_seed(0)
+        model = TorchViTMoP(
+            dim=DIM, depth=DEPTH, heads=HEADS, n_classes=NCLASSES,
+            n_views=NVIEWS, n_kernels=NKERNELS,
+        )
+        opt = torch.optim.AdamW(model.parameters(), lr=3e-3, weight_decay=0.05)
+        crit = torch.nn.CrossEntropyLoss()
+        batch = 64  # small batch keeps the CPU measurement tractable
+        x = torch.randn(batch, 3, 32, 32)
+        y = torch.randint(0, NCLASSES, (batch,))
+        model.train()
+        for _ in range(2):  # warmup
+            opt.zero_grad(set_to_none=True)
+            loss = crit(model(x), y)
+            loss.backward()
+            opt.step()
+        n_steps = 6
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            opt.zero_grad(set_to_none=True)
+            loss = crit(model(x), y)
+            loss.backward()
+            opt.step()
+        dt = time.perf_counter() - t0
+        imgs = batch * n_steps / dt
+        log(f"torch baseline: {n_steps} steps of batch {batch} in {dt:.2f}s -> {imgs:.1f} img/s")
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"images_per_sec": imgs, "backend": "torch-cpu",
+                       "batch": batch, "steps": n_steps}, f)
+        return imgs
+    except Exception as e:  # noqa: BLE001
+        log(f"torch baseline unavailable: {e}")
+        return 0.0
+
+
+def main():
+    value, n_chips = measure_ours()
+    baseline = measure_torch_baseline()
+    vs = value / baseline if baseline > 0 else None
+    print(json.dumps({
+        "metric": "cifar100_vit_mop_5m_images_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,31 @@
+"""Device-mesh parallelism: mesh construction, shardings, pjit train steps."""
+
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+from .train_step import (
+    cast_floats,
+    make_classifier_eval_step,
+    make_classifier_train_step,
+    make_lm_train_step,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "replicate",
+    "cast_floats",
+    "make_classifier_train_step",
+    "make_classifier_eval_step",
+    "make_lm_train_step",
+]

@@ -1,0 +1,57 @@
+"""Device mesh + sharding helpers — the ICI data-parallel layer.
+
+The reference has no distributed support at all (single device,
+``cifar100_ab5_param_budgets.py:43-48``). This module is the TPU-native
+first-class equivalent BASELINE.json requires: a 1-D (or 2-D) jax.sharding
+Mesh over ICI, batch-axis sharding for inputs, replicated parameters, and XLA
+collectives inserted automatically by pjit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    model_parallel=1 gives pure data parallelism (the BASELINE.json target
+    config for v5e-8: batch-axis sharding over ICI, replicated params).
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.asarray(devs).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place host arrays on the mesh with the batch axis sharded."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, replicated(mesh)), tree)
