@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""CIFAR-10 two-hop gated-attention experiment (TPU-native).
+
+Flag/output parity with reference ``experiments/cifar10_twohop_gates.py``:
+ViTGated (dual-path logits + two-hop value transport) with fixed scalar logic
+gates from the CLI; CSV ``cifar10_twohop_gates.csv`` with ``seed,acc``.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from experiments._single_model import base_argparser, run_single_model_seeds
+from mop_tpu.models import ViTGated
+
+
+def main():
+    ap = base_argparser(1000, 200, "results/cifar10_twohop_gates", 6)
+    ap.add_argument("--beta_not", type=float, default=0.5)
+    ap.add_argument("--gate_base", type=float, default=1.0)
+    ap.add_argument("--gate_and", type=float, default=1.0)
+    ap.add_argument("--gate_or", type=float, default=0.0)
+    ap.add_argument("--gate_not", type=float, default=0.0)
+    ap.add_argument("--gate_chain", type=float, default=0.0)
+    args = ap.parse_args()
+
+    gates = dict(base=args.gate_base, and_=args.gate_and, or_=args.gate_or,
+                 not_=args.gate_not, chain=args.gate_chain)
+
+    def factory():
+        return ViTGated(
+            dim=args.dim, depth=args.depth, heads=args.heads,
+            n_classes=10, drop_path=args.drop_path,
+            beta_not=args.beta_not, gates=gates,
+        )
+
+    run_single_model_seeds(args, "cifar10", factory, "cifar10_twohop_gates.csv")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,386 @@
+"""Shared experiment machinery for the mop-tpu CLI surface.
+
+The reference duplicates this logic across ~15 scripts (param matching in
+``cifar100_ab5_param_budgets.py:165-325``, loaders :107-162, make_opt
+:464-479, lockstep loop :789-823, CSV emission :841-918). Here it is one
+engine; each script keeps its reference-identical argparse flags and output
+contract.
+
+JAX-specific improvements over the reference:
+- ``estimate_params`` uses ``jax.eval_shape`` (abstract init) so the budget
+  grid search never materializes weights (the reference instantiates dozens of
+  throwaway torch models per search).
+- Training runs as per-model jitted data-parallel steps over a device mesh
+  with on-device augmentation and bf16 compute.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mop_tpu.data import BatchIterator, eval_batches, load_cifar, train_val_split
+from mop_tpu.ops.preprocess import (
+    CIFAR10_MEAN,
+    CIFAR10_STD,
+    CIFAR100_MEAN,
+    CIFAR100_STD,
+)
+from mop_tpu.parallel import (
+    make_classifier_eval_step,
+    make_classifier_train_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+def set_seed(seed: int) -> jax.Array:
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def get_device_str() -> str:
+    d = jax.devices()[0]
+    return f"{d.platform}:{d.device_kind} x{len(jax.devices())}"
+
+
+# ----------------------------- data -----------------------------
+
+
+def get_loaders(
+    dataset: str,
+    batch: int,
+    tiny: bool = False,
+    val_frac: float = 0.1,
+    val_seed: int = 0,
+    synthetic: bool = False,
+    seed: int = 0,
+):
+    """Train iterator + val/test eval-batch factories (reference :107-162).
+
+    Returns (train_iter_factory(seed), val_batches_fn, test_batches_fn,
+    mean, std, n_classes).
+    """
+    name = "cifar10" if dataset == "cifar10" else "cifar100"
+    mean, std = (CIFAR10_MEAN, CIFAR10_STD) if name == "cifar10" else (
+        CIFAR100_MEAN, CIFAR100_STD)
+    n_classes = 10 if name == "cifar10" else 100
+    tr_x, tr_y, te_x, te_y = load_cifar(name, synthetic=synthetic)
+    if tiny:
+        tr_x, tr_y = tr_x[:2000], tr_y[:2000]
+        te_x, te_y = te_x[:1000], te_y[:1000]
+    if val_frac > 0:
+        tr_x, tr_y, va_x, va_y = train_val_split(tr_x, tr_y, val_frac, val_seed)
+    else:
+        va_x, va_y = te_x, te_y
+
+    def train_iter(seed_=0):
+        return BatchIterator(tr_x, tr_y, batch, seed=seed_)
+
+    def val_batches():
+        return eval_batches(va_x, va_y, batch)
+
+    def test_batches():
+        return eval_batches(te_x, te_y, batch)
+
+    return train_iter, val_batches, test_batches, mean, std, n_classes
+
+
+# ----------------------- parameter matching -----------------------
+
+
+def count_parameters(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def estimate_params(
+    ctor,
+    n_classes: int,
+    dim: int,
+    depth: int,
+    heads: int,
+    extra_kwargs: Optional[Dict] = None,
+    img_size: int = 32,
+) -> int:
+    """Abstract-init param count (reference :182-194, minus the throwaway
+    instantiation cost — eval_shape only traces)."""
+    kwargs = dict(dim=dim, depth=depth, heads=heads, n_classes=n_classes)
+    if extra_kwargs:
+        kwargs.update(extra_kwargs)
+    model = ctor(**kwargs)
+    x = jax.ShapeDtypeStruct((1, 3, img_size, img_size), jnp.float32)
+    tree = jax.eval_shape(
+        lambda xx: model.init(jax.random.PRNGKey(0), xx), x
+    )
+    return count_parameters(tree)
+
+
+def find_config_for_target(
+    ctor,
+    n_classes: int,
+    target_params: int,
+    dims: Iterable[int] = (128, 160, 192, 224, 256, 320, 384, 448, 512, 640, 768),
+    depths: Iterable[int] = (6, 8, 10, 12),
+    heads_list: Iterable[int] = (4, 6, 8),
+    extra_kwargs: Optional[Dict] = None,
+    img_size: int = 32,
+) -> Tuple[Dict[str, int], int]:
+    """Grid search minimizing |target - params| (reference :196-227)."""
+    best_diff, best_cfg, best_params = None, None, None
+    for heads in heads_list:
+        for dim in dims:
+            if dim % heads != 0:
+                continue
+            for depth in depths:
+                try:
+                    p = estimate_params(
+                        ctor, n_classes, dim, depth, heads, extra_kwargs, img_size
+                    )
+                except Exception:
+                    continue
+                diff = abs(int(target_params) - p)
+                if best_diff is None or diff < best_diff:
+                    best_diff, best_params = diff, p
+                    best_cfg = {"dim": dim, "depth": depth, "heads": heads}
+    if best_cfg is None:
+        raise RuntimeError("Could not find a configuration close to target params.")
+    return best_cfg, int(best_params)
+
+
+def find_model_config_match_baseline(
+    ctor,
+    n_classes: int,
+    target_params: int,
+    baseline_cfg: Dict[str, int],
+    baseline_params: int,
+    max_ratio_diff: float = 0.01,
+    dims_choices: Iterable[int] = tuple(range(64, 2049, 8)),
+    depths_choices: Iterable[int] = (6, 8, 9, 10, 11, 12),
+    heads_choices: Iterable[int] = (4, 6, 8),
+    extra_kwargs: Optional[Dict] = None,
+    img_size: int = 32,
+) -> Tuple[Dict[str, int], int, bool]:
+    """Structure-constrained matching (reference :249-323): candidate <=
+    baseline on every axis; prefer identical structure if it fits under
+    budget; otherwise score = within-1%-flag*1e12 + target_diff*1e3 +
+    (10000*dHeads + 1000*dDepth + dDim)."""
+    base_dim, base_depth, base_heads = (
+        baseline_cfg["dim"], baseline_cfg["depth"], baseline_cfg["heads"])
+
+    dims = [d for d in dims_choices if 0 < d <= base_dim]
+    if base_dim not in dims:
+        dims.append(base_dim)
+    depths = [d for d in depths_choices if 0 < d <= base_depth]
+    if base_depth not in depths:
+        depths.append(base_depth)
+    heads_list = [h for h in heads_choices if 0 < h <= base_heads]
+    if base_heads not in heads_list:
+        heads_list.append(base_heads)
+
+    try:
+        p_same = estimate_params(
+            ctor, n_classes, base_dim, base_depth, base_heads, extra_kwargs, img_size
+        )
+        if p_same <= baseline_params:
+            rel_gap = abs(baseline_params - p_same) / max(1, baseline_params)
+            return (
+                {"dim": base_dim, "depth": base_depth, "heads": base_heads},
+                int(p_same),
+                (rel_gap <= max_ratio_diff),
+            )
+    except Exception:
+        pass
+
+    best_within = best_within_params = best_within_score = None
+    best_under = best_under_params = best_under_score = None
+    for heads in sorted(set(heads_list)):
+        for depth in sorted(set(depths)):
+            for dim in sorted(set(dims)):
+                if dim % heads != 0:
+                    continue
+                try:
+                    p = estimate_params(
+                        ctor, n_classes, dim, depth, heads, extra_kwargs, img_size
+                    )
+                except Exception:
+                    continue
+                if p > baseline_params:
+                    continue
+                rel_gap = abs(baseline_params - p) / max(1, baseline_params)
+                target_diff = abs(int(target_params) - p)
+                struct_penalty = (
+                    10000 * abs(base_heads - heads)
+                    + 1000 * abs(base_depth - depth)
+                    + abs(base_dim - dim)
+                )
+                score = (
+                    (0 if rel_gap <= max_ratio_diff else 1) * 10**12
+                    + target_diff * 10**3
+                    + struct_penalty
+                )
+                if rel_gap <= max_ratio_diff and (
+                    best_within is None or score < best_within_score
+                ):
+                    best_within = {"dim": dim, "depth": depth, "heads": heads}
+                    best_within_params, best_within_score = p, score
+                if best_under is None or score < best_under_score:
+                    best_under = {"dim": dim, "depth": depth, "heads": heads}
+                    best_under_params, best_under_score = p, score
+
+    if best_within is not None:
+        return best_within, int(best_within_params), True
+    if best_under is not None:
+        return best_under, int(best_under_params), False
+    raise RuntimeError("Could not find configuration under baseline budget.")
+
+
+# --------------------------- training ---------------------------
+
+
+def make_lr_schedule(lr: float, steps: int, warmup_frac: float):
+    """LinearLR(start 1e-3) warmup -> CosineAnnealing (reference :464-479)."""
+    warmup_steps = int(max(steps, 1) * max(warmup_frac, 0.0))
+    if warmup_steps > 0:
+        warm = optax.linear_schedule(lr * 1e-3, lr, warmup_steps)
+        cos = optax.cosine_decay_schedule(lr, max(steps - warmup_steps, 1))
+        return optax.join_schedules([warm, cos], [warmup_steps])
+    return optax.cosine_decay_schedule(lr, max(steps, 1))
+
+
+def make_opt(lr: float, steps: int, warmup_frac: float, weight_decay: float):
+    return optax.adamw(
+        make_lr_schedule(lr, steps, warmup_frac), weight_decay=weight_decay
+    )
+
+
+class ModelRun:
+    """One model in a lockstep comparison: def + params + opt + steps."""
+
+    def __init__(self, key, model, lr, mesh, mean, std, steps, warmup_frac,
+                 weight_decay, seed, grad_clip=None, augment=True):
+        self.key = key
+        self.model = model
+        rng = jax.random.PRNGKey(seed)
+        x0 = jnp.zeros((2, 3, 32, 32), jnp.float32)
+        params = model.init({"params": rng, "dropout": rng}, x0, train=True)
+        self.n_params = count_parameters(params)
+        tx = make_opt(lr, steps, warmup_frac, weight_decay)
+        self.params = replicate(params, mesh)
+        self.opt_state = replicate(tx.init(params), mesh)
+        self.train_step = make_classifier_train_step(
+            model, tx, mesh, mean, std, augment=augment, grad_clip=grad_clip
+        )
+        self.eval_step = make_classifier_eval_step(model, mesh, mean, std)
+        self.rng = rng
+        self.last_loss = float("nan")
+
+    def step(self, xb, yb, step_i):
+        k = jax.random.fold_in(self.rng, step_i)
+        self.params, self.opt_state, m = self.train_step(
+            self.params, self.opt_state, xb, yb, k
+        )
+        self.loss_handle = m["loss"]
+        return m
+
+    def sync_loss(self) -> float:
+        self.last_loss = float(self.loss_handle)
+        return self.last_loss
+
+    def evaluate(self, batches) -> float:
+        correct, total = 0.0, 0.0
+        for xb, yb, mb in batches:
+            c, t = self.eval_step(self.params, xb, yb, mb)
+            correct += float(c)
+            total += float(t)
+        return correct / total if total else 0.0
+
+
+def lockstep_train(
+    runs: Dict[str, ModelRun],
+    train_iter,
+    val_batches_fn,
+    steps: int,
+    eval_every: int,
+    mesh,
+    seeds_last: bool = True,
+    log=print,
+):
+    """Lockstep multi-model training on identical batches (reference :789-823).
+
+    Returns per-model history {key: {'steps': [...], 'acc': [...]}}.
+    """
+    hist = {k: {"steps": [], "acc": []} for k in runs}
+    with mesh:
+        for step_i in range(1, steps + 1):
+            xb, yb = next(train_iter)
+            xb, yb = shard_batch((np.asarray(xb), np.asarray(yb)), mesh)
+            for run in runs.values():
+                run.step(xb, yb, step_i)
+            if step_i % max(eval_every, 1) == 0 or step_i == 1:
+                loss_str = " ".join(
+                    f"L{k}={r.sync_loss():.3f}" for k, r in runs.items()
+                )
+                accs = []
+                for k, r in runs.items():
+                    a = r.evaluate(val_batches_fn())
+                    hist[k]["steps"].append(step_i)
+                    hist[k]["acc"].append(a)
+                    accs.append(f"A{k}={a:.3f}")
+                log(f"step {step_i:4d} | {loss_str} | {' '.join(accs)}")
+    return hist
+
+
+# ----------------------------- output -----------------------------
+
+
+def save_csv(path: str, header: List[str], rows: List[List]) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(",".join(header) + "\n")
+        for row in rows:
+            f.write(",".join(str(v) for v in row) + "\n")
+
+
+def save_val_curve_plot(path, hist, title):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(8, 5))
+    for key, h in hist.items():
+        if h["steps"]:
+            plt.plot(h["steps"], h["acc"], label=key)
+    plt.xlabel("Step")
+    plt.ylabel("Val Accuracy")
+    plt.title(title)
+    plt.legend()
+    plt.grid(True, alpha=0.3)
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close()
+
+
+def save_test_bar_plot(path, labels, vals, title):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(6, 4))
+    plt.bar(labels, vals)
+    plt.ylim(0, 1)
+    plt.ylabel("Test Accuracy")
+    plt.title(title)
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close()

@@ -66,6 +66,7 @@ from .whisper_mop import (
     create_whisper_baseline,
     create_whisper_mop,
 )
+from .vit_localizer import ViTLocalizer, bbox_iou, smooth_l1
 from .vit_variants import (
     DualPathMSA,
     ViTCrossView,
@@ -82,6 +83,9 @@ __all__ = [
     "ViTMultiHop",
     "ViTGated",
     "DualPathMSA",
+    "ViTLocalizer",
+    "bbox_iou",
+    "smooth_l1",
     # GPT family
     "GPT_MoP",
     "create_gpt_mop",

@@ -131,6 +131,86 @@ def cutmix(key: Array, x: Array, y_onehot: Array, alpha: float = 1.0):
     return mixed, lam_adj * y_onehot + (1.0 - lam_adj) * y_onehot[::-1]
 
 
+def _adjust_brightness(x, mag):
+    return jnp.clip(x * (1.0 + mag), 0.0, 1.0)
+
+
+def _adjust_contrast(x, mag):
+    mean = jnp.mean(x, axis=(-3, -2, -1), keepdims=True)
+    return jnp.clip((x - mean) * (1.0 + mag) + mean, 0.0, 1.0)
+
+
+def _adjust_saturation(x, mag):
+    gray = jnp.mean(x, axis=-3, keepdims=True)
+    return jnp.clip(gray + (x - gray) * (1.0 + mag), 0.0, 1.0)
+
+
+def _posterize(x, mag):
+    bits = jnp.clip(8.0 - jnp.abs(mag) * 6.0, 2.0, 8.0)
+    levels = 2.0 ** bits
+    return jnp.floor(x * levels) / levels
+
+
+def _solarize(x, mag):
+    thresh = jnp.clip(1.0 - jnp.abs(mag), 0.1, 1.0)
+    return jnp.where(x >= thresh, 1.0 - x, x)
+
+
+def _invert(x, mag):
+    return 1.0 - x
+
+
+def _translate_x(x, mag):
+    shift = (mag * x.shape[-1] * 0.3).astype(jnp.int32)
+    return jnp.roll(x, shift, axis=-1)
+
+
+def _translate_y(x, mag):
+    shift = (mag * x.shape[-2] * 0.3).astype(jnp.int32)
+    return jnp.roll(x, shift, axis=-2)
+
+
+_RANDAUG_OPS = (
+    _adjust_brightness,
+    _adjust_contrast,
+    _adjust_saturation,
+    _posterize,
+    _solarize,
+    _invert,
+    _translate_x,
+    _translate_y,
+)
+
+
+def rand_augment(key: Array, x: Array, n: int = 2, m: int = 9) -> Array:
+    """RandAugment-style policy, fully on-device (reference uses torchvision's
+    host-side RandAugment, ``imagenet_ab_param_budgets.py:103-107``).
+
+    Applies ``n`` randomly-chosen ops per sample at magnitude ``m``/30 with
+    random sign. The op set is the photometric/translation subset that maps
+    cleanly onto XLA (no image warps); semantically equivalent regularization.
+    x: (B,C,H,W) float in [0,1].
+    """
+    mag = m / 30.0
+
+    def apply_one(key, img):
+        def body(i, carry):
+            img, k = carry
+            k, k_op, k_sign = jax.random.split(k, 3)
+            op_idx = jax.random.randint(k_op, (), 0, len(_RANDAUG_OPS))
+            sign = jnp.where(jax.random.bernoulli(k_sign), 1.0, -1.0)
+            img = jax.lax.switch(
+                op_idx, [lambda im, s=s: _RANDAUG_OPS[s](im, sign * mag)
+                         for s in range(len(_RANDAUG_OPS))], img)
+            return img, k
+
+        img, _ = jax.lax.fori_loop(0, n, body, (img, key))
+        return img
+
+    keys = jax.random.split(key, x.shape[0])
+    return jax.vmap(apply_one)(keys, x)
+
+
 def cifar_train_augment(key: Array, x_uint8: Array, mean, std) -> Array:
     """The reference CIFAR train transform: RandomCrop(32, pad 4) + flip +
     normalize (``cifar100_ab5_param_budgets.py:129-135``), fully on-device."""

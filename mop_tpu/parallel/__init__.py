@@ -13,6 +13,7 @@ from .train_step import (
     cast_floats,
     make_classifier_eval_step,
     make_classifier_train_step,
+    make_imagenet_train_step,
     make_lm_train_step,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "cast_floats",
     "make_classifier_train_step",
     "make_classifier_eval_step",
+    "make_imagenet_train_step",
     "make_lm_train_step",
 ]

@@ -115,6 +115,83 @@ def make_classifier_eval_step(model, mesh, mean, std, compute_dtype=jnp.bfloat16
     return jax.jit(step, in_shardings=(rep, bsh, bsh, bsh), out_shardings=(rep, rep))
 
 
+def make_imagenet_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh,
+    mean,
+    std,
+    n_classes: int,
+    label_smoothing: float = 0.1,
+    use_randaug: bool = False,
+    randaug_n: int = 2,
+    randaug_m: int = 9,
+    random_erasing: float = 0.25,
+    mixup_alpha: float = 0.8,
+    cutmix_alpha: float = 1.0,
+    mix_prob: float = 0.5,
+    grad_clip: Optional[float] = 1.0,
+    compute_dtype=jnp.bfloat16,
+):
+    """ImageNet-style train step with the reference's full regularization suite
+    (``imagenet_ab_param_budgets.py``): crop/flip, RandAugment-lite,
+    RandomErasing, Mixup/CutMix arbitration by ``mix_prob`` (:676-694), label
+    smoothing (:652-654), grad clip (:700-703) — all on-device in one jit.
+    """
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    def loss_fn(params, x_u8, y, rng):
+        k_crop, k_flip, k_ra, k_er, k_mix, k_arb, k_drop = jax.random.split(rng, 7)
+        x = pp.to_float(x_u8)
+        x = pp.random_crop(k_crop, x, padding=x.shape[-1] // 8)
+        x = pp.random_hflip(k_flip, x)
+        if use_randaug:
+            x = pp.rand_augment(k_ra, x, randaug_n, randaug_m)
+        if random_erasing > 0:
+            x = pp.random_erasing(k_er, x, p=random_erasing)
+        x = pp.normalize(x, mean, std)
+        tgt = pp.label_smoothing_onehot(y, n_classes, label_smoothing)
+        if mixup_alpha > 0 and cutmix_alpha > 0:
+            use_mix = jax.random.uniform(k_arb) < mix_prob
+            x, tgt = jax.lax.cond(
+                use_mix,
+                lambda args: pp.mixup(k_mix, *args, alpha=mixup_alpha),
+                lambda args: pp.cutmix(k_mix, *args, alpha=cutmix_alpha),
+                (x, tgt),
+            )
+        elif mixup_alpha > 0:
+            x, tgt = pp.mixup(k_mix, x, tgt, alpha=mixup_alpha)
+        elif cutmix_alpha > 0:
+            x, tgt = pp.cutmix(k_mix, x, tgt, alpha=cutmix_alpha)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            p = cast_floats(params, compute_dtype)
+        else:
+            p = params
+        logits = model.apply(p, x, train=True, rngs={"dropout": k_drop})
+        loss = optax.softmax_cross_entropy(logits.astype(jnp.float32), tgt).mean()
+        return loss
+
+    def step(params, opt_state, x_u8, y, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x_u8, y, rng)
+        grads = cast_floats(grads, jnp.float32)
+        if grad_clip is not None and grad_clip > 0:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss}
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, bsh, bsh, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+
+
 def make_lm_train_step(model, tx, mesh, grad_clip: Optional[float] = None,
                        compute_dtype=jnp.bfloat16):
     """Jitted data-parallel causal-LM train step (GPT family).

@@ -6,6 +6,7 @@ EarlyStopping, and EMA — the semantic payload the reference stores.
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import pickle
@@ -123,8 +124,12 @@ class EarlyStopping:
         return self.should_stop
 
 
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=2)
 def ema_update(ema_params, params, decay: float):
-    """Shadow-parameter EMA step (reference ``imagenet_ab_param_budgets.py:616-635``)."""
+    """Shadow-parameter EMA step (reference ``imagenet_ab_param_budgets.py:616-635``).
+
+    Jitted with the EMA tree donated so the shadow updates in place.
+    """
     return jax.tree_util.tree_map(
         lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params
     )
