@@ -313,11 +313,17 @@ class EdgewiseMSA(nn.Module):
                 vs.append(vi)
 
         if self.use_lens_bank_qk:
-            # Depthwise conv over the token axis per dilation (reference :472-494).
+            # Depthwise conv per dilation (reference :472-494). NOTE: the
+            # reference flattens (B,H,N,D) with a RAW reshape to (B*H, D, N)
+            # (:477-478) — not a transpose — so the conv axis interleaves
+            # token and feature positions. We reproduce that exact semantics
+            # (raw reshape, conv over the last axis, view back + transpose).
             ksz = self.lens_qk_kernel_size
             s_list = []
-            q_flat = qs[0].reshape(b * h, n, dk)  # NLC
-            k_flat = ks[0].reshape(b * h, n, dk)
+            q_scr = qs[0].reshape(b * h, dk, n)  # raw reshape, torch semantics
+            k_scr = ks[0].reshape(b * h, dk, n)
+            q_nlc = q_scr.transpose(0, 2, 1)  # NLC for the conv
+            k_nlc = k_scr.transpose(0, 2, 1)
             for i, dil in enumerate(lens_qk_dil):
                 if self.lens_qk_causal:
                     pad = ((ksz - 1) * dil, 0)
@@ -326,11 +332,14 @@ class EdgewiseMSA(nn.Module):
                 q_l = Conv1d(
                     dk, ksz, padding=pad, dilation=dil, feature_group_count=dk,
                     use_bias=False, name=f"q_lens_{i}",
-                )(q_flat).reshape(b, h, n, dk)
+                )(q_nlc).transpose(0, 2, 1)  # back to (BH, dk, n) scrambled
                 k_l = Conv1d(
                     dk, ksz, padding=pad, dilation=dil, feature_group_count=dk,
                     use_bias=False, name=f"k_lens_{i}",
-                )(k_flat).reshape(b, h, n, dk)
+                )(k_nlc).transpose(0, 2, 1)
+                # view back as (B,H,D,N) then transpose -> (B,H,N,D) (:491-492)
+                q_l = q_l.reshape(b, h, dk, n).transpose(0, 1, 3, 2)
+                k_l = k_l.reshape(b, h, dk, n).transpose(0, 1, 3, 2)
                 s_list.append(A.scaled_scores(q_l, k_l))
         else:
             s_list = [A.scaled_scores(qs[i], ks[i]) for i in range(n_views)]

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Generate golden numerics fixtures from the PyTorch reference.
+
+Runs the reference models (path via $MOP_REFERENCE, default /root/reference)
+on fixed random inputs, dumps {inputs, torch state_dict, outputs} to
+``tests/golden/*.npz``. ``tests/test_golden_numerics.py`` then transplants the
+weights into the JAX models and asserts output equality — the strongest
+possible evidence that the rewritten TPU math matches the reference
+(BASELINE.json: "parameter-parity + forward-shape tests pass against the
+PyTorch outputs").
+
+Run once on a machine with the reference checked out; fixtures are committed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import torch
+
+REF = os.environ.get("MOP_REFERENCE", "/root/reference")
+sys.path.insert(0, REF)
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "golden")
+os.makedirs(OUT, exist_ok=True)
+
+torch.manual_seed(0)
+
+
+def dump(name: str, model: torch.nn.Module, inputs: dict, outputs: dict,
+         meta: dict | None = None):
+    payload = {}
+    for k, v in inputs.items():
+        payload[f"in__{k}"] = v.detach().numpy() if torch.is_tensor(v) else np.asarray(v)
+    for k, v in model.state_dict().items():
+        payload[f"w__{k}"] = v.detach().numpy()
+    for k, v in outputs.items():
+        payload[f"out__{k}"] = v.detach().numpy() if torch.is_tensor(v) else np.asarray(v)
+    for k, v in (meta or {}).items():
+        payload[f"meta__{k}"] = np.asarray(v)
+    path = os.path.join(OUT, f"{name}.npz")
+    np.savez_compressed(path, **payload)
+    print(f"wrote {path} ({len(payload)} arrays)")
+
+
+def main():
+    from mop.models.attention_variants import (
+        BaselineMSA, CrossViewMixerMSA, EdgewiseMSA, MultiHopMSA)
+    from mop.models import ViT_MoP, ViT_Baseline
+    from mop.models.quartet_attn_patch import TransformerConfig, TinyTransformerLM
+    from mop.models.gpt_mop import create_gpt_mop
+    from mop.models.whisper_mop import WhisperConfig, create_whisper_mop
+
+    g = torch.Generator().manual_seed(42)
+    x_seq = torch.randn(2, 8, 32, generator=g)
+
+    # 1. Baseline MSA
+    m = BaselineMSA(dim=32, heads=4).eval()
+    with torch.no_grad():
+        y = m(x_seq)
+    dump("baseline_msa", m, {"x": x_seq}, {"y": y})
+
+    # 2. CrossView with prior + transpose cues
+    # NOTE: anchor_mode='argmax_row_sum' is numerically degenerate (softmax row
+    # sums are all ~1.0, so the argmax tie-breaks on float noise and is not
+    # reproducible across frameworks) — use the fixed anchor for the golden.
+    m = CrossViewMixerMSA(dim=32, heads=4, use_transpose_cues=True, t1=0.1, t2=0.2,
+                          enable_per_key_prior=True, prior_weight=0.5,
+                          anchor_mode="fixed", fixed_k_star=3).eval()
+    with torch.no_grad():
+        y = m(x_seq)
+    dump("crossview_msa", m, {"x": x_seq}, {"y": y})
+
+    # 3. MultiHop, non-trivial gates
+    m = MultiHopMSA(dim=32, heads=4, beta_not=0.5,
+                    gates=dict(base=1.0, and_=1.0, or_=0.5, not_=0.25, chain=0.75),
+                    hops=3).eval()
+    with torch.no_grad():
+        y = m(x_seq)
+    dump("multihop_msa", m, {"x": x_seq}, {"y": y})
+
+    # 4. Edgewise dense + k3 + preset
+    m = EdgewiseMSA(dim=32, heads=4, n_views=3, use_k3=True,
+                    gate_mode="dense", gate_init="and").eval()
+    with torch.no_grad():
+        y = m(x_seq)
+    dump("edgewise_dense", m, {"x": x_seq}, {"y": y})
+
+    # 5. Edgewise lowrank + share_qkv + both lens banks
+    m = EdgewiseMSA(dim=32, heads=4, n_views=3, share_qkv=True,
+                    gate_mode="lowrank", gate_rank=2, gate_init="mix5",
+                    use_lens_bank=True, lens_dilations=(1, 2),
+                    use_lens_bank_qk=True, lens_qk_dilations=(1, 2),
+                    lens_qk_causal=True).eval()
+    with torch.no_grad():
+        y = m(x_seq)
+    dump("edgewise_lowrank_lens", m, {"x": x_seq}, {"y": y})
+
+    # 6. Full ViT_MoP (+ gate maps)
+    x_img = torch.randn(2, 3, 32, 32, generator=g)
+    m = ViT_MoP(dim=32, depth=2, heads=4, n_classes=10, n_views=3,
+                n_kernels=2, drop_path=0.0).eval()
+    with torch.no_grad():
+        y = m(x_img)
+        gate, views, kernels = m.get_gate_maps(x_img)
+    dump("vit_mop", m, {"x": x_img},
+         {"y": y, "gate": gate, "views": views, "kernels": kernels})
+
+    # 7. ViT_Baseline
+    m = ViT_Baseline(dim=32, depth=2, heads=4, n_classes=10, drop_path=0.0).eval()
+    with torch.no_grad():
+        y = m(x_img)
+    dump("vit_baseline", m, {"x": x_img}, {"y": y})
+
+    # 8. Quartet LM (use_quartet=True), logits + loss
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=16, bias=False, use_quartet=True)
+    m = TinyTransformerLM(vocab_size=50, config=cfg).eval()
+    idx = torch.randint(0, 50, (2, 12), generator=g)
+    tgt = torch.randint(0, 50, (2, 12), generator=g)
+    with torch.no_grad():
+        logits, loss = m(idx, targets=tgt)
+    dump("quartet_lm", m, {"idx": idx, "targets": tgt},
+         {"logits": logits, "loss": loss})
+
+    # 9. GPT-MoP full forward
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=16, bias=False, use_quartet=False)
+    m = create_gpt_mop(50, cfg, n_views=2, n_kernels=1).eval()
+    with torch.no_grad():
+        logits, loss = m(idx, targets=tgt)
+    dump("gpt_mop", m, {"idx": idx, "targets": tgt},
+         {"logits": logits, "loss": loss})
+
+    # 10. Whisper-MoP full forward
+    wcfg = WhisperConfig(n_layer_enc=2, n_layer_dec=2, n_head=2, n_embd=32,
+                         n_mels=16, n_audio_ctx=32, n_text_ctx=32, dropout=0.0,
+                         bias=False, n_views=2, n_kernels=1, kernel_size=3,
+                         vocab_size=50)
+    m = create_whisper_mop(wcfg).eval()
+    mel = torch.randn(2, 12, 16, generator=g)
+    dec = torch.randint(0, 50, (2, 10), generator=g)
+    wtgt = torch.randint(0, 50, (2, 10), generator=g)
+    with torch.no_grad():
+        logits, loss, gates = m(mel, dec, targets=wtgt)
+    dump("whisper_mop", m, {"mel": mel, "dec": dec, "targets": wtgt},
+         {"logits": logits, "loss": loss, "gates": gates})
+
+
+if __name__ == "__main__":
+    main()
