@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import attention as A
+from ..ops import fused as F
+from ..config import use_fused_attention
 from .layers import (
     Conv,
     Conv1d,
@@ -70,10 +72,14 @@ class BaselineMSA(nn.Module):
         self, x: Array, attn_mask: Optional[Array] = None, train: bool = False
     ) -> Array:
         q, k, v = _qkv(x, self.heads, Linear(self.dim * 3, use_bias=False, name="qkv"))
-        s = A.scaled_scores(q, k)
-        att = A.masked_softmax(s, attn_mask)
-        att = nn.Dropout(self.attn_drop, deterministic=not train)(att)
-        y = jnp.einsum("bhnm,bhmd->bhnd", att.astype(v.dtype), v)
+        if (use_fused_attention() and attn_mask is None
+                and (self.attn_drop == 0.0 or not train)):
+            y = F.flash_attention(q, k, v, causal=False)
+        else:
+            s = A.scaled_scores(q, k)
+            att = A.masked_softmax(s, attn_mask)
+            att = nn.Dropout(self.attn_drop, deterministic=not train)(att)
+            y = jnp.einsum("bhnm,bhmd->bhnd", att.astype(v.dtype), v)
         y = Linear(self.dim, use_bias=False, name="proj")(_merge_heads(y))
         return nn.Dropout(self.proj_drop, deterministic=not train)(y)
 

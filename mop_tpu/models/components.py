@@ -17,6 +17,8 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops import attention as ops_attn
+from ..ops import fused as ops_fused
+from ..config import use_fused_attention
 from .layers import Conv, Embedding, LayerNorm, Linear, gelu_tanh, normal_init
 
 Array = jax.Array
@@ -82,10 +84,14 @@ class MSA(nn.Module):
         qkv = Linear(d * 3, use_bias=False, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, h, dk).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        s = ops_attn.scaled_scores(q, k)
-        a = jax.nn.softmax(s, axis=-1)
-        a = nn.Dropout(self.attn_drop, deterministic=not train)(a)
-        y = jnp.einsum("bhnm,bhmd->bhnd", a.astype(v.dtype), v)
+        if use_fused_attention() and (self.attn_drop == 0.0 or not train):
+            # Fused Pallas path: scores never materialize in HBM.
+            y = ops_fused.flash_attention(q, k, v, causal=False)
+        else:
+            s = ops_attn.scaled_scores(q, k)
+            a = jax.nn.softmax(s, axis=-1)
+            a = nn.Dropout(self.attn_drop, deterministic=not train)(a)
+            y = jnp.einsum("bhnm,bhmd->bhnd", a.astype(v.dtype), v)
         y = y.transpose(0, 2, 1, 3).reshape(b, n, d)
         y = Linear(d, use_bias=False, name="proj")(y)
         return nn.Dropout(self.proj_drop, deterministic=not train)(y)
@@ -118,13 +124,17 @@ class MoEMLP(nn.Module):
     dim: int
     mlp_ratio: float = 4.0
     num_experts: int = 4
+    # 'dense' = reference-exact compute-all-experts; 'routed' = capacity-bounded
+    # dispatch (O(T/E) per expert instead of O(T)); see mop_tpu.ops.moe.
+    impl: str = "dense"
+    capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         assert self.num_experts >= 2, "MoE requires at least 2 experts"
         hidden = int(self.dim * self.mlp_ratio)
         e = self.num_experts
-        kinit = None
+        from ..ops import moe as ops_moe
         from .layers import torch_kaiming_uniform, fan_in_bias_init
 
         w1 = self.param("fc1", torch_kaiming_uniform(), (e, self.dim, hidden))
@@ -134,14 +144,13 @@ class MoEMLP(nn.Module):
 
         b, n, d = x.shape
         xf = x.reshape(b * n, d)
-        logits = xf @ gate_w + gate_b  # (BN, E)
-        top = jnp.argmax(logits, axis=-1)  # (BN,)
-        one_hot = jax.nn.one_hot(top, e, dtype=x.dtype)  # (BN, E)
-        # All-expert dense compute mixed by one-hot (reference semantics).
-        h = jnp.einsum("td,edh->teh", xf, w1)
-        h = gelu_tanh(h)
-        y = jnp.einsum("teh,ehd->ted", h, w2)
-        y = jnp.einsum("ted,te->td", y, one_hot)
+        if self.impl == "routed":
+            y = ops_moe.top1_routed_mlp(
+                xf, gate_w, gate_b, w1, w2, gelu_tanh,
+                capacity_factor=self.capacity_factor,
+            )
+        else:
+            y = ops_moe.dense_top1_mlp(xf, gate_w, gate_b, w1, w2, gelu_tanh)
         return y.reshape(b, n, d)
 
 

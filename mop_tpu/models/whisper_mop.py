@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import attention as A
+from ..ops import fused as F
+from ..config import use_fused_attention
 from .layers import Conv, Embedding, LayerNorm, Linear, gelu_tanh, normal_init
 
 Array = jax.Array
@@ -154,14 +156,18 @@ class MultiheadSelfAttention(nn.Module):
         q = split(_wlin(d, self.bias, "q_proj")(x))
         k = split(_wlin(d, self.bias, "k_proj")(x))
         v = split(_wlin(d, self.bias, "v_proj")(x))
-        att = A.scaled_scores(q, k)
-        if self.causal:
-            att = A.apply_mask(att, A.causal_mask(t))
-        if attn_bias is not None:
-            att = att + attn_bias
-        att = jax.nn.softmax(att, axis=-1)
-        att = nn.Dropout(self.dropout, deterministic=not train)(att)
-        y = jnp.einsum("bhnm,bhmd->bhnd", att.astype(v.dtype), v)
+        if (use_fused_attention() and attn_bias is None
+                and (self.dropout == 0.0 or not train)):
+            y = F.flash_attention(q, k, v, causal=self.causal)
+        else:
+            att = A.scaled_scores(q, k)
+            if self.causal:
+                att = A.apply_mask(att, A.causal_mask(t))
+            if attn_bias is not None:
+                att = att + attn_bias
+            att = jax.nn.softmax(att, axis=-1)
+            att = nn.Dropout(self.dropout, deterministic=not train)(att)
+            y = jnp.einsum("bhnm,bhmd->bhnd", att.astype(v.dtype), v)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
         y = _wlin(d, self.bias, "o_proj")(y)
         return nn.Dropout(self.dropout, deterministic=not train)(y)
@@ -190,12 +196,16 @@ class MultiheadCrossAttention(nn.Module):
         q = _wlin(dq, self.bias, "q_proj")(x_q).reshape(b, tq, h, dh).transpose(0, 2, 1, 3)
         k = _wlin(dq, self.bias, "k_proj")(x_kv).reshape(b, tk, h, dh).transpose(0, 2, 1, 3)
         v = _wlin(dq, self.bias, "v_proj")(x_kv).reshape(b, tk, h, dh).transpose(0, 2, 1, 3)
-        att = A.scaled_scores(q, k)
-        if attn_mask is not None:
-            att = att + attn_mask
-        att = jax.nn.softmax(att, axis=-1)
-        att = nn.Dropout(self.dropout, deterministic=not train)(att)
-        y = jnp.einsum("bhnm,bhmd->bhnd", att.astype(v.dtype), v)
+        if (use_fused_attention() and attn_mask is None
+                and (self.dropout == 0.0 or not train)):
+            y = F.flash_attention(q, k, v, causal=False)
+        else:
+            att = A.scaled_scores(q, k)
+            if attn_mask is not None:
+                att = att + attn_mask
+            att = jax.nn.softmax(att, axis=-1)
+            att = nn.Dropout(self.dropout, deterministic=not train)(att)
+            y = jnp.einsum("bhnm,bhmd->bhnd", att.astype(v.dtype), v)
         y = y.transpose(0, 2, 1, 3).reshape(b, tq, dq)
         y = _wlin(dq, self.bias, "o_proj")(y)
         return nn.Dropout(self.dropout, deterministic=not train)(y)

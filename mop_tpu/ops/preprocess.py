@@ -53,10 +53,10 @@ def random_crop(key: Array, x: Array, padding: int = 4) -> Array:
     off_w = jax.random.randint(kw, (b,), 0, 2 * padding + 1)
     rows = off_h[:, None] + jnp.arange(h)[None, :]  # (B, H)
     cols = off_w[:, None] + jnp.arange(w)[None, :]  # (B, W)
-    out = xp[jnp.arange(b)[:, None, None, None],
-             jnp.arange(c)[None, :, None, None],
-             rows[:, None, :, None],
-             cols[:, None, None, :]]
+    # Two single-axis gathers (take_along_axis) — a combined 4-axis fancy
+    # index lowers to an enormous gather that dominates the train step on TPU.
+    out = jnp.take_along_axis(xp, rows[:, None, :, None], axis=2)
+    out = jnp.take_along_axis(out, cols[:, None, None, :], axis=3)
     return out
 
 

@@ -1,0 +1,99 @@
+"""Op-level tests: fused flash attention (interpret mode), routed MoE, log-mel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import mop_tpu.ops.attention as ref
+import mop_tpu.ops.fused as F
+from mop_tpu.ops import moe
+from mop_tpu.ops.mel import log_mel_spectrogram
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_matches_reference(causal):
+    rng = jax.random.PRNGKey(0)
+    b, h, n, dk = 2, 4, 64, 56
+    q = jax.random.normal(rng, (b, h, n, dk))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (b, h, n, dk))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (b, h, n, dk))
+    with pltpu.force_tpu_interpret_mode():
+        o = F.flash_attention(q, k, v, causal=causal, force=True)
+    o_ref = ref.attend(q, k, v, ref.causal_mask(n) if causal else None)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=2e-5)
+
+
+def test_flash_attention_grads_match():
+    rng = jax.random.PRNGKey(0)
+    b, h, n, dk = 1, 2, 32, 16
+    q = jax.random.normal(rng, (b, h, n, dk))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (b, h, n, dk))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (b, h, n, dk))
+
+    def loss_fused(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return (F.flash_attention(q, k, v, causal=True, force=True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (ref.attend(q, k, v, ref.causal_mask(n)) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
+def test_flash_fallback_off_supported_shapes():
+    # n=7 not divisible by any block size -> falls back to the XLA path.
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (1, 2, 7, 8))
+    o = F.flash_attention(q, q, q, causal=False)
+    o_ref = ref.attend(q, q, q)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=1e-5)
+
+
+def test_routed_moe_matches_dense_when_capacity_suffices():
+    rng = jax.random.PRNGKey(0)
+    t, d, e, hdim = 64, 16, 4, 32
+    x = jax.random.normal(rng, (t, d))
+    gate_w = jax.random.normal(jax.random.fold_in(rng, 1), (d, e)) * 0.1
+    gate_b = jnp.zeros((e,))
+    w1 = jax.random.normal(jax.random.fold_in(rng, 2), (e, d, hdim)) * 0.1
+    w2 = jax.random.normal(jax.random.fold_in(rng, 3), (e, hdim, d)) * 0.1
+    act = jax.nn.gelu
+    dense = moe.dense_top1_mlp(x, gate_w, gate_b, w1, w2, act)
+    # capacity_factor = E guarantees no token is dropped (C = T).
+    routed = moe.top1_routed_mlp(x, gate_w, gate_b, w1, w2, act,
+                                 capacity_factor=float(e))
+    np.testing.assert_allclose(np.asarray(routed), np.asarray(dense), atol=1e-5)
+
+
+def test_routed_moe_drops_overflow_to_zero():
+    t, d, e, hdim = 8, 4, 2, 8
+    x = jnp.ones((t, d))
+    # Gate forces every token to expert 0.
+    gate_w = jnp.zeros((d, e))
+    gate_b = jnp.asarray([10.0, -10.0])
+    w1 = jnp.ones((e, d, hdim))
+    w2 = jnp.ones((e, hdim, d))
+    out = moe.top1_routed_mlp(x, gate_w, gate_b, w1, w2, jax.nn.relu,
+                              capacity_factor=0.5)  # C = 2 of 8 kept
+    nonzero_rows = int(jnp.sum(jnp.any(out != 0, axis=-1)))
+    assert nonzero_rows == 2
+
+
+def test_log_mel_shapes_and_range():
+    rng = jax.random.PRNGKey(0)
+    audio = jax.random.normal(rng, (2, 16000)) * 0.1  # 1s at 16kHz
+    mel = log_mel_spectrogram(audio, n_fft=400, hop=160, n_mels=80)
+    assert mel.shape[0] == 2 and mel.shape[2] == 80
+    assert mel.shape[1] == 1 + 16000 // 160
+    assert bool(jnp.isfinite(mel).all())
+    # pure tone concentrates energy in few mel bins
+    t = jnp.arange(16000) / 16000.0
+    tone = jnp.sin(2 * jnp.pi * 440.0 * t)[None, :]
+    m = log_mel_spectrogram(tone)
+    peak_bin = int(jnp.argmax(jnp.mean(m[0], axis=0)))
+    assert 0 < peak_bin < 40  # 440 Hz lands in the lower mel range
