@@ -163,23 +163,35 @@ class MultiHopMSA(nn.Module):
         gates = self.gates or dict(and_=1.0, or_=0.0, not_=0.0, chain=0.0, base=1.0)
         q1, k1, v1 = _qkv(x, h, Linear(self.dim * 3, use_bias=False, name="qkv1"))
         q2, k2, v2 = _qkv(x, h, Linear(self.dim * 3, use_bias=False, name="qkv2"))
-        s1 = A.apply_mask(A.scaled_scores(q1, k1), attn_mask)
-        s2 = A.apply_mask(A.scaled_scores(q2, k2), attn_mask)
-        a1 = jax.nn.softmax(s1, axis=-1)
-        a2 = jax.nn.softmax(s2, axis=-1)
-        c_fwd = A.chain_product([a1] + [a2] * (self.hops - 1))
-        smix = A.multihop_logit_mix(s1, s2, c_fwd, gates, self.beta_not)
-        att = A.masked_softmax(smix, attn_mask)
-        att = nn.Dropout(self.attn_drop, deterministic=not train)(att)
-        # Value transport along the chain: A1 @ A2^(hops-1) @ v2
-        transport = v2
-        for _ in range(max(0, self.hops - 1)):
-            transport = jnp.einsum("bhnm,bhmd->bhnd", a2.astype(v2.dtype), transport)
-        y_chain = jnp.einsum("bhnm,bhmd->bhnd", a1.astype(v2.dtype), transport)
         w = jax.nn.sigmoid(
             self.param("chain_value_logit", lambda k, s: jnp.asarray(-2.0), ())
         )
-        y = jnp.einsum("bhnm,bhmd->bhnd", att.astype(v1.dtype), v1) + w * y_chain
+        if use_fused_attention() and attn_mask is None and not train:
+            # One fused kernel: scores, softmaxes, chain, mix, value transport.
+            # Inference-only: the custom-VJP recompute backward costs an extra
+            # forward, which loses to XLA autodiff at training time (measured
+            # on v5e: 28.0 vs 19.7 ms/step for the 5M ViTMultiHop).
+            y = F.fused_multihop_attention(
+                q1, k1, v1, q2, k2, v2,
+                gates={**gates, "base": 1.0}, beta_not=self.beta_not,
+                hops=self.hops, chain_w=w,
+            )
+        else:
+            s1 = A.apply_mask(A.scaled_scores(q1, k1), attn_mask)
+            s2 = A.apply_mask(A.scaled_scores(q2, k2), attn_mask)
+            a1 = jax.nn.softmax(s1, axis=-1)
+            a2 = jax.nn.softmax(s2, axis=-1)
+            c_fwd = A.chain_product([a1] + [a2] * (self.hops - 1))
+            smix = A.multihop_logit_mix(s1, s2, c_fwd, gates, self.beta_not)
+            att = A.masked_softmax(smix, attn_mask)
+            att = nn.Dropout(self.attn_drop, deterministic=not train)(att)
+            # Value transport along the chain: A1 @ A2^(hops-1) @ v2
+            transport = v2
+            for _ in range(max(0, self.hops - 1)):
+                transport = jnp.einsum(
+                    "bhnm,bhmd->bhnd", a2.astype(v2.dtype), transport)
+            y_chain = jnp.einsum("bhnm,bhmd->bhnd", a1.astype(v2.dtype), transport)
+            y = jnp.einsum("bhnm,bhmd->bhnd", att.astype(v1.dtype), v1) + w * y_chain
         y = Linear(self.dim, use_bias=False, name="proj")(_merge_heads(y))
         return nn.Dropout(self.proj_drop, deterministic=not train)(y)
 

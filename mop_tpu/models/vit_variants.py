@@ -19,6 +19,8 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops import attention as A
+from ..ops import fused as F
+from ..config import use_fused_attention
 from .attention_variants import (
     CrossViewMixerMSA,
     EdgewiseMSA,
@@ -53,28 +55,36 @@ class DualPathMSA(nn.Module):
         h = self.heads
         q1, k1, v1 = _qkv(x, h, Linear(self.dim * 3, use_bias=False, name="qkv1"))
         q2, k2, v2 = _qkv(x, h, Linear(self.dim * 3, use_bias=False, name="qkv2"))
-        s1 = A.scaled_scores(q1, k1)
-        s2 = A.scaled_scores(q2, k2)
-        a1 = A.masked_softmax(s1, attn_mask)
-        a2 = A.masked_softmax(s2, attn_mask)
-        c_right = A.chain_product([a1, a2])
-        smix = gates["base"] * s1
-        smix = smix + gates["and_"] * s2
-        smix = smix + gates["or_"] * (A.lse_pair(s1, s2) - s1)
-        smix = smix - gates["not_"] * (self.beta_not * s2)
-        smix = smix + gates["chain"] * jnp.log(c_right + 1e-6)
-        att = A.masked_softmax(smix, attn_mask)
-        att = nn.Dropout(self.attn_drop, deterministic=not train)(att)
-        y_base = jnp.einsum("bhnm,bhmd->bhnd", att.astype(v1.dtype), v1)
-        y_chain = jnp.einsum(
-            "bhnm,bhmd->bhnd",
-            a1.astype(v2.dtype),
-            jnp.einsum("bhnm,bhmd->bhnd", a2.astype(v2.dtype), v2),
-        )
         w = jax.nn.sigmoid(
             self.param("chain_value_logit", lambda k, s: jnp.asarray(-2.0), ())
         )
-        y = y_base + w * y_chain
+        if use_fused_attention() and attn_mask is None and not train:
+            # Two-hop == multihop kernel with hops=2 (+ base-scaled S1).
+            # Inference-only (see MultiHopMSA note on recompute backward).
+            y = F.fused_multihop_attention(
+                q1, k1, v1, q2, k2, v2, gates=dict(gates),
+                beta_not=self.beta_not, hops=2, chain_w=w,
+            )
+        else:
+            s1 = A.scaled_scores(q1, k1)
+            s2 = A.scaled_scores(q2, k2)
+            a1 = A.masked_softmax(s1, attn_mask)
+            a2 = A.masked_softmax(s2, attn_mask)
+            c_right = A.chain_product([a1, a2])
+            smix = gates["base"] * s1
+            smix = smix + gates["and_"] * s2
+            smix = smix + gates["or_"] * (A.lse_pair(s1, s2) - s1)
+            smix = smix - gates["not_"] * (self.beta_not * s2)
+            smix = smix + gates["chain"] * jnp.log(c_right + 1e-6)
+            att = A.masked_softmax(smix, attn_mask)
+            att = nn.Dropout(self.attn_drop, deterministic=not train)(att)
+            y_base = jnp.einsum("bhnm,bhmd->bhnd", att.astype(v1.dtype), v1)
+            y_chain = jnp.einsum(
+                "bhnm,bhmd->bhnd",
+                a1.astype(v2.dtype),
+                jnp.einsum("bhnm,bhmd->bhnd", a2.astype(v2.dtype), v2),
+            )
+            y = y_base + w * y_chain
         y = Linear(self.dim, use_bias=False, name="proj")(_merge_heads(y))
         return nn.Dropout(self.proj_drop, deterministic=not train)(y)
 

@@ -8,9 +8,10 @@ matmul blockwise in VMEM so score maps never round-trip through HBM:
 - ``flash_attention``: single-view scaled-dot-product attention (used by
   MSA/BaselineMSA and the GPT/Whisper attention paths), optional causal mask,
   custom VJP with recompute backward.
-- ``fused_dual_path_attention``: D-mode style dual-path logit mix
-  (S1 + g_and*S2 + g_or*(LSE-S1) - g_not*beta*S2) fused in one pass — the
-  two score maps are built and mixed in VMEM.
+- ``fused_multihop_attention``: D-mode / two-hop dual-path attention —
+  both score maps, both softmaxes, the chain product A1 @ A2^(hops-1), the
+  gated logit mix, the final softmax, and both value matmuls in ONE kernel
+  (N x N state lives only in VMEM; the reference round-trips 6+ maps).
 
 All kernels fall back to the pure-JAX ops (``mop_tpu.ops.attention``) on
 non-TPU backends or unsupported shapes; behavior is bit-compatible up to
@@ -220,3 +221,136 @@ def flash_attention(
         vf = v.reshape(b * h, n_kv, dk)
         out = _flash_attention_bhnd(qf, kf, vf, causal).reshape(b, h, n, dk)
     return out[0] if squeeze else out
+
+
+# ------------------- fused dual-path / multi-hop kernel -------------------
+#
+# D-mode (MultiHopMSA, reference ``attention_variants.py:163-231``) needs the
+# full per-view attention matrices for the chain product A1 @ A2^(hops-1), so
+# a Flash-style streaming kernel does not apply. Instead, for N <= 512 the
+# whole score algebra runs in VMEM per (batch*head) program: both score maps,
+# both softmaxes, the chain product, the gated logit mix, the final softmax,
+# and both value matmuls — one kernel, zero N x N HBM round-trips (the
+# reference materializes 6+ such maps per layer, SURVEY §3.3).
+
+
+def _multihop_kernel(q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref, w_ref,
+                     o_ref, *, scale, gates, beta_not, hops):
+    f32 = jnp.float32
+    q1 = q1_ref[0].astype(f32) * scale
+    k1 = k1_ref[0].astype(f32)
+    q2 = q2_ref[0].astype(f32) * scale
+    k2 = k2_ref[0].astype(f32)
+
+    def dot_nt(a, b):  # a @ b.T
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    s1 = dot_nt(q1, k1)
+    s2 = dot_nt(q2, k2)
+    a1 = jax.nn.softmax(s1, axis=-1)
+    a2 = jax.nn.softmax(s2, axis=-1)
+    c_fwd = dot(a1, a2)
+    for _ in range(max(0, hops - 2)):
+        c_fwd = dot(c_fwd, a2)
+    smix = gates.get("base", 1.0) * s1
+    smix = smix + gates.get("and_", 1.0) * s2
+    smix = smix + gates.get("or_", 0.0) * (jnp.logaddexp(s1, s2) - s1)
+    smix = smix - gates.get("not_", 0.0) * (beta_not * s2)
+    smix = smix + gates.get("chain", 0.0) * jnp.log(c_fwd + 1e-6)
+    a = jax.nn.softmax(smix, axis=-1)
+
+    v1 = v1_ref[0].astype(f32)
+    v2 = v2_ref[0].astype(f32)
+    transport = v2
+    for _ in range(max(0, hops - 1)):
+        transport = dot(a2, transport)
+    y = dot(a, v1) + w_ref[0, 0] * dot(a1, transport)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _multihop_forward(q1, k1, v1, q2, k2, v2, gates, beta_not, hops, chain_w):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, n, dk = q1.shape
+    kernel = functools.partial(
+        _multihop_kernel, scale=1.0 / np.sqrt(dk), gates=dict(gates),
+        beta_not=float(beta_not), hops=int(hops),
+    )
+    spec = pl.BlockSpec((1, n, dk), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    w_arr = jnp.asarray(chain_w, jnp.float32).reshape(1, 1)
+    w_spec = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[spec] * 6 + [w_spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bh, n, dk), q1.dtype),
+    )(q1, k1, v1, q2, k2, v2, w_arr)
+
+
+def fused_multihop_attention(
+    q1: Array, k1: Array, v1: Array,
+    q2: Array, k2: Array, v2: Array,
+    gates: dict, beta_not: float, hops: int, chain_w: Array,
+    force: Optional[bool] = None,
+) -> Array:
+    """Fully fused D-mode attention over (B, H, N, dk) inputs.
+
+    Computes ``softmax(mix(S1, S2, logC)) @ v1 + w * A1 @ A2^(hops-1) @ v2``
+    in one Pallas kernel (N x N maps live only in VMEM). ``chain_w`` is the
+    sigmoid'd chain-value weight (a traced scalar is fine). Falls back to the
+    composed reference ops off-TPU or when N^2 state exceeds VMEM.
+
+    Differentiated via recompute: the kernel is used for the forward pass and
+    the backward runs through the reference composition.
+    """
+    b, h, n, dk = q1.shape
+    vmem_ok = n <= 512 and dk <= 128
+    use = force if force is not None else (_on_tpu() and vmem_ok)
+
+    def reference(q1, k1, v1, q2, k2, v2, chain_w):
+        s1 = ref.scaled_scores(q1, k1)
+        s2 = ref.scaled_scores(q2, k2)
+        a1 = jax.nn.softmax(s1, axis=-1)
+        a2 = jax.nn.softmax(s2, axis=-1)
+        c_fwd = ref.chain_product([a1] + [a2] * (hops - 1))
+        smix = ref.multihop_logit_mix(s1, s2, c_fwd, gates, beta_not)
+        base = gates.get("base", 1.0)
+        if base != 1.0:
+            smix = smix + (base - 1.0) * s1
+        a = jax.nn.softmax(smix, axis=-1)
+        transport = v2
+        for _ in range(max(0, hops - 1)):
+            transport = jnp.einsum("...nm,...md->...nd", a2, transport)
+        y_chain = jnp.einsum("...nm,...md->...nd", a1, transport)
+        out = (jnp.einsum("...nm,...md->...nd", a.astype(v1.dtype), v1)
+               + chain_w * y_chain)
+        return out.astype(q1.dtype)  # match the kernel's output dtype
+
+    if not use:
+        return reference(q1, k1, v1, q2, k2, v2, chain_w)
+
+    @jax.custom_vjp
+    def fwd(q1, k1, v1, q2, k2, v2, chain_w):
+        flat = lambda t: t.reshape(b * h, n, dk)
+        out = _multihop_forward(flat(q1), flat(k1), flat(v1),
+                                flat(q2), flat(k2), flat(v2),
+                                gates, beta_not, hops, chain_w)
+        return out.reshape(b, h, n, dk)
+
+    def fwd_rule(*args):
+        return fwd(*args), args
+
+    def bwd_rule(res, g):
+        _, vjp = jax.vjp(reference, *res)
+        return vjp(g)
+
+    fwd.defvjp(fwd_rule, bwd_rule)
+    return fwd(q1, k1, v1, q2, k2, v2, chain_w)

@@ -97,3 +97,59 @@ def test_log_mel_shapes_and_range():
     m = log_mel_spectrogram(tone)
     peak_bin = int(jnp.argmax(jnp.mean(m[0], axis=0)))
     assert 0 < peak_bin < 40  # 440 Hz lands in the lower mel range
+
+
+def test_fused_multihop_matches_reference():
+    rng = jax.random.PRNGKey(0)
+    b, h, n, dk = 1, 2, 32, 16
+    mk = lambda i: jax.random.normal(jax.random.fold_in(rng, i), (b, h, n, dk))
+    q1, k1, v1, q2, k2, v2 = (mk(i) for i in range(6))
+    gates = dict(base=1.0, and_=1.0, or_=0.5, not_=0.25, chain=0.75)
+    w = jnp.asarray(0.3)
+
+    with pltpu.force_tpu_interpret_mode():
+        o = F.fused_multihop_attention(q1, k1, v1, q2, k2, v2,
+                                       gates=gates, beta_not=0.5, hops=3,
+                                       chain_w=w, force=True)
+    o_ref = F.fused_multihop_attention(q1, k1, v1, q2, k2, v2,
+                                       gates=gates, beta_not=0.5, hops=3,
+                                       chain_w=w, force=False)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=3e-5)
+
+    # grads through the custom VJP (recompute backward)
+    def loss_fused(q1, v2):
+        with pltpu.force_tpu_interpret_mode():
+            return (F.fused_multihop_attention(
+                q1, k1, v1, q2, k2, v2, gates=gates, beta_not=0.5,
+                hops=3, chain_w=w, force=True) ** 2).sum()
+
+    def loss_ref(q1, v2):
+        return (F.fused_multihop_attention(
+            q1, k1, v1, q2, k2, v2, gates=gates, beta_not=0.5,
+            hops=3, chain_w=w, force=False) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(q1, v2)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(q1, v2)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_multihop_msa_consistent_with_fused_flag():
+    """MultiHopMSA output must be identical with the fused flag on and off on
+    CPU (fallback) — the flag must not change semantics."""
+    from mop_tpu import config as mcfg
+    from mop_tpu.models import MultiHopMSA
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32))
+    m = MultiHopMSA(dim=32, heads=4, hops=3,
+                    gates=dict(base=1.0, and_=1.0, or_=0.5, not_=0.2, chain=0.5))
+    p = m.init(jax.random.PRNGKey(1), x)
+    old = mcfg.config.fused_attention
+    try:
+        mcfg.config.fused_attention = True
+        y1 = m.apply(p, x)
+        mcfg.config.fused_attention = False
+        y2 = m.apply(p, x)
+    finally:
+        mcfg.config.fused_attention = old
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
