@@ -86,6 +86,13 @@ def get_loaders(
         va_x, va_y = te_x, te_y
 
     def train_iter(seed_=0):
+        try:
+            from mop_tpu.data import native_loader
+            if native_loader.is_available():
+                return native_loader.NativeBatchIterator(
+                    tr_x, tr_y, batch, seed=seed_)
+        except Exception:
+            pass
         return BatchIterator(tr_x, tr_y, batch, seed=seed_)
 
     def val_batches():
