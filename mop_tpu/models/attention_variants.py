@@ -235,42 +235,53 @@ class EdgewiseGateHead(nn.Module):
     gate_rank: int = 4
     gate_init: str = "neutral"
 
-    @nn.compact
+    def setup(self):
+        if self.gate_mode == "dense":
+            self.conv1 = Conv(self.hidden, (1, 1), use_bias=True)
+            if self.use_k3:
+                self.mid3 = Conv(self.hidden, (3, 3), padding=1, use_bias=True)
+            kinit = torch_kaiming_uniform()
+            self.conv2_kernel = self.param(
+                "conv2_kernel", kinit, (1, 1, self.hidden, 4))
+            self.conv2_bias = self.param(
+                "conv2_bias", lambda k, s: _dense_head_bias(self.gate_init), (4,))
+        else:
+            r = self.gate_rank
+            kinit = torch_kaiming_uniform()
+            self.row_proj_kernel = self.param(
+                "row_proj_kernel", kinit, (self.in_ch, 4 * r))
+            self.row_proj_bias = self.param(
+                "row_proj_bias",
+                lambda k, s: _preset_block_bias(self.gate_init, r, 4 * r),
+                (4 * r,))
+            self.col_proj_kernel = self.param(
+                "col_proj_kernel", kinit, (self.in_ch, 4 * r))
+            self.col_proj_bias = self.param(
+                "col_proj_bias",
+                lambda k, s: _preset_block_bias(self.gate_init, r, 4 * r),
+                (4 * r,))
+
+    def lowrank_params(self):
+        """(wrow, brow, wcol, bcol) — consumed by the fused Pallas kernel."""
+        assert self.gate_mode != "dense"
+        return (self.row_proj_kernel, self.row_proj_bias,
+                self.col_proj_kernel, self.col_proj_bias)
+
     def __call__(self, feat: Array) -> Array:
         if self.gate_mode == "dense":
-            x = Conv(self.hidden, (1, 1), use_bias=True, name="conv1")(feat)
+            x = self.conv1(feat)
             x = gelu_tanh(x)
             if self.use_k3:
-                x = Conv(self.hidden, (3, 3), padding=1, use_bias=True, name="mid3")(
-                    gelu_tanh(x)
-                )
-            kinit = torch_kaiming_uniform()
-            w = self.param("conv2_kernel", kinit, (1, 1, self.hidden, 4))
-            b = self.param(
-                "conv2_bias", lambda k, s: _dense_head_bias(self.gate_init), (4,)
-            )
-            x = jnp.einsum("bnmc,co->bnmo", x, w[0, 0]) + b
-            return jax.nn.sigmoid(x)
+                x = self.mid3(gelu_tanh(x))
+            x = jnp.einsum("bnmc,co->bnmo", x, self.conv2_kernel[0, 0])
+            return jax.nn.sigmoid(x + self.conv2_bias)
         # Low-rank: row/col mean-pooled features -> per-gate rank factors.
         r = self.gate_rank
         row_feat = jnp.mean(feat, axis=2)  # (BH, N, C)  — mean over keys j
         col_feat = jnp.mean(feat, axis=1)  # (BH, N, C)  — mean over queries i
-        kinit = torch_kaiming_uniform()
-        wrow = self.param("row_proj_kernel", kinit, (self.in_ch, 4 * r))
-        brow = self.param(
-            "row_proj_bias",
-            lambda k, s: _preset_block_bias(self.gate_init, r, 4 * r),
-            (4 * r,),
-        )
-        wcol = self.param("col_proj_kernel", kinit, (self.in_ch, 4 * r))
-        bcol = self.param(
-            "col_proj_bias",
-            lambda k, s: _preset_block_bias(self.gate_init, r, 4 * r),
-            (4 * r,),
-        )
         bh, n, _ = row_feat.shape
-        a = (row_feat @ wrow + brow).reshape(bh, n, 4, r)
-        b = (col_feat @ wcol + bcol).reshape(bh, n, 4, r)
+        a = (row_feat @ self.row_proj_kernel + self.row_proj_bias).reshape(bh, n, 4, r)
+        b = (col_feat @ self.col_proj_kernel + self.col_proj_bias).reshape(bh, n, 4, r)
         # G[bh, i, j, c] = sum_r a[bh,i,c,r] * b[bh,j,c,r]
         g = jnp.einsum("bicr,bjcr->bijc", a, b)
         return jax.nn.sigmoid(g)
@@ -329,6 +340,37 @@ class EdgewiseMSA(nn.Module):
                 qs.append(qi)
                 ks.append(ki)
                 vs.append(vi)
+
+        head = EdgewiseGateHead(
+            in_ch=2 * (len(lens_qk_dil) if self.use_lens_bank_qk else n_views) + 2
+            + ((len(lens_qk_dil) if self.use_lens_bank_qk else n_views)
+               * len(lens_dil) if self.use_lens_bank else 0),
+            hidden=16,
+            use_k3=self.use_k3,
+            gate_mode=self.gate_mode,
+            gate_rank=self.gate_rank,
+            gate_init=self.gate_init,
+            name="edge_head",
+        )
+
+        w = jax.nn.sigmoid(
+            self.param("chain_value_logit", lambda k, s: jnp.asarray(-2.0), ())
+        )
+
+        if (use_fused_attention() and not train and attn_mask is None
+                and self.gate_mode == "lowrank"
+                and not self.use_lens_bank and not self.use_lens_bank_qk):
+            # Fully fused E-mode kernel (inference): every score map, chain,
+            # pooled gate factor, mix, softmax, and value product in VMEM.
+            wrow, brow, wcol, bcol = head.lowrank_params()
+            y = F.fused_edgewise_lowrank_attention(
+                jnp.stack(qs, axis=2), jnp.stack(ks, axis=2),
+                jnp.stack(vs, axis=2), wrow, brow, wcol, bcol,
+                beta_not=self.beta_not, chain_w=w,
+            )
+            if y is not None:
+                y = Linear(d, use_bias=False, name="proj")(_merge_heads(y))
+                return nn.Dropout(self.proj_drop, deterministic=not train)(y)
 
         if self.use_lens_bank_qk:
             # Depthwise conv per dilation (reference :472-494). NOTE: the
@@ -393,15 +435,8 @@ class EdgewiseMSA(nn.Module):
             in_ch += num_s * len(lens_dil)
 
         feat = jnp.stack(feat_list, axis=-1)  # (BH, N, N, C)
-        gates = EdgewiseGateHead(
-            in_ch=in_ch,
-            hidden=16,
-            use_k3=self.use_k3,
-            gate_mode=self.gate_mode,
-            gate_rank=self.gate_rank,
-            gate_init=self.gate_init,
-            name="edge_head",
-        )(feat)
+        assert head.in_ch == in_ch, (head.in_ch, in_ch)
+        gates = head(feat)
         g_and, g_or, g_not, g_chain = (
             gates[..., 0],
             gates[..., 1],
@@ -425,9 +460,6 @@ class EdgewiseMSA(nn.Module):
             )
         y_chain = jnp.einsum(
             "bhnm,bhmd->bhnd", a_list[0].astype(transport.dtype), transport
-        )
-        w = jax.nn.sigmoid(
-            self.param("chain_value_logit", lambda k, s: jnp.asarray(-2.0), ())
         )
         y = y + w * y_chain
         y = Linear(d, use_bias=False, name="proj")(_merge_heads(y))

@@ -354,3 +354,141 @@ def fused_multihop_attention(
 
     fwd.defvjp(fwd_rule, bwd_rule)
     return fwd(q1, k1, v1, q2, k2, v2, chain_w)
+
+
+# ------------------- fused edgewise (E-mode, lowrank) kernel -------------------
+#
+# The full EdgewiseMSA lowrank pipeline (reference ``attention_variants.py:
+# 453-564`` minus lens banks) in ONE kernel per (batch*head) program:
+# V score maps, V softmaxes, forward/backward chain products, row/col-pooled
+# gate features, the rank-factor gate head, the 4-way gated logit mix, the
+# final softmax, and the chained value transport. The reference materializes
+# every intermediate N x N map in HBM (6+ round-trips, SURVEY §3.3); here the
+# N x N state never leaves VMEM. Lowrank gates are the benchmark config
+# (reference README); dense-conv gates need the full feature stack and keep
+# the XLA path.
+
+
+def _edgewise_kernel(q_ref, k_ref, v_ref, wrow_ref, brow_ref, wcol_ref,
+                     bcol_ref, w_ref, o_ref, *, scale, beta_not, n_views,
+                     gate_rank):
+    f32 = jnp.float32
+    V = n_views
+    r = gate_rank
+
+    def dot_nt(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    s_list, a_list = [], []
+    for i in range(V):
+        s = dot_nt(q_ref[0, i].astype(f32) * scale, k_ref[0, i].astype(f32))
+        s_list.append(s)
+        a_list.append(jax.nn.softmax(s, axis=-1))
+
+    c_fwd = a_list[0]
+    for i in range(1, V):
+        c_fwd = dot(c_fwd, a_list[i])
+    c_bwd = a_list[-1]
+    for i in range(V - 2, -1, -1):
+        c_bwd = dot(c_bwd, a_list[i])
+    log_cf = jnp.log(c_fwd + 1e-6)
+    log_cb = jnp.log(c_bwd + 1e-6)
+
+    # Row/col pooled features, channel order matching the reference stack
+    # [S_1..S_V, S_1^T..S_V^T, logC_fwd, logC_bwd]:
+    # row-mean of S^T == col-mean of S, so transposes are never materialized.
+    def mean_j(s):  # (N, 1): mean over keys j of s(i, j)
+        return jnp.mean(s, axis=1, keepdims=True)
+
+    def mean_i(s):  # (N, 1): mean over queries i of s(i, j), as a column
+        return jnp.mean(s, axis=0, keepdims=True).T
+
+    # row_feat[c][i] = mean_j feat_c(i, j); mean_j of S^T == mean_i of S.
+    row_feat = jnp.concatenate(
+        [mean_j(s) for s in s_list] + [mean_i(s) for s in s_list]
+        + [mean_j(log_cf), mean_j(log_cb)], axis=1)  # (N, C)
+    # col_feat[c][j] = mean_i feat_c(i, j); mean_i of S^T == mean_j of S.
+    col_feat = jnp.concatenate(
+        [mean_i(s) for s in s_list] + [mean_j(s) for s in s_list]
+        + [mean_i(log_cf), mean_i(log_cb)], axis=1)  # (N, C)
+
+    a_fac = dot(row_feat, wrow_ref[:].astype(f32)) + brow_ref[:].astype(f32)
+    b_fac = dot(col_feat, wcol_ref[:].astype(f32)) + bcol_ref[:].astype(f32)
+
+    s1 = s_list[0]
+    s_sum = s1
+    for i in range(1, V):
+        s_sum = s_sum + s_list[i]
+    m = s_list[0]
+    for i in range(1, V):
+        m = jnp.maximum(m, s_list[i])
+    lse = m + jnp.log(sum(jnp.exp(s - m) for s in s_list))
+    mean_others = (s_sum - s1) / max(1, V - 1)
+
+    def gate(c):
+        # G_c = sigmoid(a_c @ b_c^T) over the rank block of channel c.
+        ac = a_fac[:, c * r:(c + 1) * r]
+        bc = b_fac[:, c * r:(c + 1) * r]
+        return jax.nn.sigmoid(dot_nt(ac, bc))
+
+    smix = s1
+    smix = smix + gate(0) * (s_sum - s1)
+    smix = smix + gate(1) * (lse - s1)
+    smix = smix - gate(2) * (beta_not * mean_others)
+    smix = smix + gate(3) * log_cf
+    att = jax.nn.softmax(smix, axis=-1)
+
+    transport = v_ref[0, V - 1].astype(f32)
+    for i in range(V - 1, 0, -1):
+        transport = dot(a_list[i], transport)
+    y = dot(att, v_ref[0, 0].astype(f32)) + w_ref[0, 0] * dot(a_list[0], transport)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def fused_edgewise_lowrank_attention(
+    qs: Array, ks: Array, vs: Array,
+    wrow: Array, brow: Array, wcol: Array, bcol: Array,
+    beta_not: float, chain_w: Array,
+    force: Optional[bool] = None,
+) -> Array:
+    """Fully fused E-mode lowrank attention.
+
+    qs/ks/vs: (B, H, V, N, dk) per-view tensors (already per-view scaled when
+    share_qkv). wrow/wcol: (C, 4r) gate-head kernels with C = 2V+2;
+    brow/bcol: (4r,). Returns (B, H, N, dk). Falls back off-TPU / large N.
+    """
+    b, h, nv, n, dk = qs.shape
+    gate_rank = wrow.shape[1] // 4
+    vmem_ok = n <= 256 and dk <= 128 and nv <= 8
+    use = force if force is not None else (_on_tpu() and vmem_ok)
+    if not use:
+        return None  # caller composes the reference path
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    flat = lambda t: t.reshape(b * h, nv, n, dk)
+    kernel = functools.partial(
+        _edgewise_kernel, scale=1.0 / np.sqrt(dk), beta_not=float(beta_not),
+        n_views=int(nv), gate_rank=int(gate_rank),
+    )
+    spec = pl.BlockSpec((1, nv, n, dk), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(wrow.shape, lambda i: tuple([0] * wrow.ndim),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec(brow.shape, lambda i: (0,), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=[spec, spec, spec, wspec, bspec, wspec, bspec, sspec],
+        out_specs=pl.BlockSpec((1, n, dk), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, dk), qs.dtype),
+    )(flat(qs), flat(ks), flat(vs), wrow, brow, wcol, bcol,
+      jnp.asarray(chain_w, jnp.float32).reshape(1, 1))
+    return out.reshape(b, h, n, dk)

@@ -80,6 +80,27 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return pickle.load(f)
 
 
+def save_checkpoint_orbax(path: str, params, opt_state=None, step: int = 0):
+    """Orbax checkpoint (async-capable, sharding-aware) — the production
+    alternative to the pickle helpers. Payload mirrors the reference's
+    {step, params, opt_state} semantics."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"step": step, "params": params}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, like=None):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), like)
+
+
 class AverageMeter:
     """Running average tracker (reference :178-200)."""
 

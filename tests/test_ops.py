@@ -153,3 +153,51 @@ def test_multihop_msa_consistent_with_fused_flag():
     finally:
         mcfg.config.fused_attention = old
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_fused_edgewise_lowrank_matches_module(monkeypatch):
+    """EdgewiseMSA eval output via the fused kernel (interpret mode) must match
+    the composed reference path."""
+    from mop_tpu import config as mcfg
+    from mop_tpu.models import EdgewiseMSA
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    m = EdgewiseMSA(dim=32, heads=4, n_views=3, share_qkv=True,
+                    gate_mode="lowrank", gate_rank=2, gate_init="mix5",
+                    beta_not=0.5)
+    p = m.init(jax.random.PRNGKey(1), x)
+
+    old = mcfg.config.fused_attention
+    try:
+        mcfg.config.fused_attention = False
+        y_ref = m.apply(p, x)
+        mcfg.config.fused_attention = True
+        monkeypatch.setattr(F, "_on_tpu", lambda: True)
+        with pltpu.force_tpu_interpret_mode():
+            y_fused = m.apply(p, x)
+    finally:
+        mcfg.config.fused_attention = old
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_edgewise_unshared_qkv(monkeypatch):
+    from mop_tpu import config as mcfg
+    from mop_tpu.models import EdgewiseMSA
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 32))
+    m = EdgewiseMSA(dim=32, heads=2, n_views=2, share_qkv=False,
+                    gate_mode="lowrank", gate_rank=4, gate_init="and")
+    p = m.init(jax.random.PRNGKey(1), x)
+    old = mcfg.config.fused_attention
+    try:
+        mcfg.config.fused_attention = False
+        y_ref = m.apply(p, x)
+        mcfg.config.fused_attention = True
+        monkeypatch.setattr(F, "_on_tpu", lambda: True)
+        with pltpu.force_tpu_interpret_mode():
+            y_fused = m.apply(p, x)
+    finally:
+        mcfg.config.fused_attention = old
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-5)
