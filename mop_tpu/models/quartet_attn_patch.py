@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import attention as A
+from ..ops import fused as F
+from ..config import use_fused_attention
 from .layers import Embedding, LayerNorm, Linear, gelu_tanh, normal_init
 
 Array = jax.Array
@@ -74,9 +76,6 @@ class CausalSelfAttention(nn.Module):
         if cfg.use_quartet:
             q2 = split(_gpt_linear(c, cfg.bias, "q2_proj")(x))
             k2 = split(_gpt_linear(c, cfg.bias, "k2_proj")(x))
-            q2k2 = A.scaled_scores(q2, k2)
-            qk_norm = A.standardize_scores(qk, cfg.score_norm_eps)
-            q2k2_norm = A.standardize_scores(q2k2, cfg.score_norm_eps)
             mixture = self.param(
                 "mixture",
                 lambda key, s: jnp.full(s, cfg.quartet_gate_init, jnp.float32),
@@ -88,6 +87,18 @@ class CausalSelfAttention(nn.Module):
                 (1,),
             )
             m = jax.nn.sigmoid(mixture)
+            if (use_fused_attention() and attention_mask is None
+                    and not train and not need_weights):
+                # Fused kernel (inference): standardize + dual-path product
+                # mix + causal softmax + value matmul in one Pallas program.
+                y = F.fused_quartet_attention(
+                    q, k, v, q2, k2, m[0], qscale[0], eps=cfg.score_norm_eps)
+                y = y.transpose(0, 2, 1, 3).reshape(b, t, c)
+                y = _gpt_linear(c, cfg.bias, "o_proj")(y)
+                return nn.Dropout(cfg.dropout, deterministic=not train)(y)
+            q2k2 = A.scaled_scores(q2, k2)
+            qk_norm = A.standardize_scores(qk, cfg.score_norm_eps)
+            q2k2_norm = A.standardize_scores(q2k2, cfg.score_norm_eps)
             scores = (1.0 - m) * qk_norm + m * (qk_norm * q2k2_norm) * qscale
         else:
             scores = A.standardize_scores(qk, 1e-5)

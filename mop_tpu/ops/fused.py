@@ -12,6 +12,11 @@ matmul blockwise in VMEM so score maps never round-trip through HBM:
   both score maps, both softmaxes, the chain product A1 @ A2^(hops-1), the
   gated logit mix, the final softmax, and both value matmuls in ONE kernel
   (N x N state lives only in VMEM; the reference round-trips 6+ maps).
+- ``fused_edgewise_lowrank_attention``: the full E-mode lowrank pipeline
+  (V score maps, chains, pooled gate factors, rank-factor gate head, gated
+  mix, softmax, chained value transport) in one program.
+- ``fused_quartet_attention``: standardized dual-path product mix + causal
+  softmax + value matmul for the GPT Quartet path.
 
 All kernels fall back to the pure-JAX ops (``mop_tpu.ops.attention``) on
 non-TPU backends or unsupported shapes; behavior is bit-compatible up to
@@ -491,4 +496,90 @@ def fused_edgewise_lowrank_attention(
         out_shape=jax.ShapeDtypeStruct((b * h, n, dk), qs.dtype),
     )(flat(qs), flat(ks), flat(vs), wrow, brow, wcol, bcol,
       jnp.asarray(chain_w, jnp.float32).reshape(1, 1))
+    return out.reshape(b, h, n, dk)
+
+
+# ----------------------- fused quartet attention kernel -----------------------
+#
+# Quartet causal attention (reference ``quartet_attn_patch.py:75-127``): two
+# QK paths, per-row standardization with the UNBIASED std, learned scalar mix
+# ``(1-m)*s1n + m*(s1n*s2n)*qscale``, causal mask, softmax, value matmul.
+# Row statistics need the full row, so (like the multihop kernel) each
+# (batch*head) program holds its N x N maps in VMEM; nothing round-trips HBM.
+
+
+def _quartet_kernel(q_ref, k_ref, v_ref, q2_ref, k2_ref, mix_ref, o_ref, *,
+                    scale, eps, n):
+    f32 = jnp.float32
+
+    def dot_nt(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def standardize(s):
+        mu = jnp.mean(s, axis=-1, keepdims=True)
+        var = jnp.sum(jnp.square(s - mu), axis=-1, keepdims=True) / max(1, n - 1)
+        return (s - mu) / (jnp.sqrt(var) + eps)
+
+    s1 = standardize(dot_nt(q_ref[0].astype(f32) * scale, k_ref[0].astype(f32)))
+    s2 = standardize(dot_nt(q2_ref[0].astype(f32) * scale, k2_ref[0].astype(f32)))
+    m = mix_ref[0, 0]
+    qscale = mix_ref[0, 1]
+    scores = (1.0 - m) * s1 + m * (s1 * s2) * qscale
+    rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(rows >= cols, scores, -jnp.inf)
+    att = jax.nn.softmax(scores, axis=-1)
+    o_ref[0] = dot(att, v_ref[0].astype(f32)).astype(o_ref.dtype)
+
+
+def fused_quartet_attention(
+    q: Array, k: Array, v: Array, q2: Array, k2: Array,
+    mixture: Array, quartet_scale: Array, eps: float = 1e-5,
+    force: Optional[bool] = None,
+) -> Array:
+    """Fused causal Quartet attention over (B, H, N, dk).
+
+    ``mixture`` is the already-sigmoided scalar gate; ``quartet_scale`` the
+    learned scale. Falls back to the composed reference math off-TPU / large N.
+    Forward-only kernel (inference); training uses XLA autodiff on the
+    reference composition.
+    """
+    b, h, n, dk = q.shape
+    vmem_ok = n <= 512 and dk <= 128
+    use = force if force is not None else (_on_tpu() and vmem_ok)
+
+    def reference(q, k, v, q2, k2, mixture, quartet_scale):
+        s1 = ref.standardize_scores(ref.scaled_scores(q, k), eps)
+        s2 = ref.standardize_scores(ref.scaled_scores(q2, k2), eps)
+        scores = (1.0 - mixture) * s1 + mixture * (s1 * s2) * quartet_scale
+        scores = ref.apply_mask(scores, ref.causal_mask(n))
+        a = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("...nm,...md->...nd", a.astype(v.dtype), v)
+
+    if not use:
+        return reference(q, k, v, q2, k2, mixture, quartet_scale)
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    flat = lambda t: t.reshape(b * h, n, dk)
+    kernel = functools.partial(
+        _quartet_kernel, scale=1.0 / np.sqrt(dk), eps=float(eps), n=n)
+    spec = pl.BlockSpec((1, n, dk), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mix = jnp.stack([jnp.asarray(mixture, jnp.float32).reshape(()),
+                     jnp.asarray(quartet_scale, jnp.float32).reshape(())])
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=[spec] * 5 + [
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, n, dk), q.dtype),
+    )(flat(q), flat(k), flat(v), flat(q2), flat(k2), mix.reshape(1, 2))
     return out.reshape(b, h, n, dk)

@@ -201,3 +201,40 @@ def test_fused_edgewise_unshared_qkv(monkeypatch):
         mcfg.config.fused_attention = old
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_fused_quartet_matches_reference():
+    rng = jax.random.PRNGKey(0)
+    b, h, n, dk = 1, 2, 32, 16
+    mk = lambda i: jax.random.normal(jax.random.fold_in(rng, i), (b, h, n, dk))
+    q, k, v, q2, k2 = (mk(i) for i in range(5))
+    m = jnp.asarray(0.3)
+    qs = jnp.asarray(1.2)
+    with pltpu.force_tpu_interpret_mode():
+        o = F.fused_quartet_attention(q, k, v, q2, k2, m, qs, force=True)
+    o_ref = F.fused_quartet_attention(q, k, v, q2, k2, m, qs, force=False)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_quartet_lm_consistent_with_fused_flag(monkeypatch):
+    from mop_tpu import config as mcfg
+    from mop_tpu.models import TransformerConfig, create_gpt_quartet
+
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=16, bias=False)
+    model = create_gpt_quartet(50, cfg)
+    idx = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 0, 50)
+    p = model.init(jax.random.PRNGKey(1), idx)
+    old = mcfg.config.fused_attention
+    try:
+        mcfg.config.fused_attention = False
+        y_ref, _ = model.apply(p, idx)
+        mcfg.config.fused_attention = True
+        monkeypatch.setattr(F, "_on_tpu", lambda: True)
+        with pltpu.force_tpu_interpret_mode():
+            y_fused, _ = model.apply(p, idx)
+    finally:
+        mcfg.config.fused_attention = old
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
