@@ -187,6 +187,7 @@ class BlockMoE(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     num_experts: int = 4
+    moe_impl: str = "dense"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -194,7 +195,8 @@ class BlockMoE(nn.Module):
             LayerNorm(name="ln1")(x), train=train
         )
         x = x + DropPath(self.drop_path, name="dp1")(y, train=train)
-        y = MoEMLP(self.dim, self.mlp_ratio, self.num_experts, name="mlp")(
+        y = MoEMLP(self.dim, self.mlp_ratio, self.num_experts,
+                   impl=self.moe_impl, name="mlp")(
             LayerNorm(name="ln2")(x), train=train
         )
         x = x + DropPath(self.drop_path, name="dp2")(y, train=train)
@@ -245,6 +247,7 @@ class ViTEncoderMoE(nn.Module):
     patch: int = 4
     num_tokens: int = 64
     num_experts: int = 4
+    moe_impl: str = "dense"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Tuple[int, int]]:
@@ -261,6 +264,7 @@ class ViTEncoderMoE(nn.Module):
                 0.0,
                 dps[i],
                 num_experts=self.num_experts,
+                moe_impl=self.moe_impl,
                 name=f"blocks_{i}",
             )(tok, train=train)
         tok = LayerNorm(name="ln_f")(tok)

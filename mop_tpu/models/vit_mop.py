@@ -36,6 +36,7 @@ class ViT_MoP(nn.Module):
     img_size: int = 32
     use_moe: bool = False
     moe_experts: int = 4
+    moe_impl: str = "dense"  # 'dense' (reference-exact) | 'routed' (capacity)
 
     def setup(self):
         assert self.dim % self.heads == 0, (
@@ -52,6 +53,7 @@ class ViT_MoP(nn.Module):
                 patch=self.patch,
                 num_tokens=num_tokens,
                 num_experts=int(self.moe_experts),
+                moe_impl=self.moe_impl,
             )
         else:
             self.enc = ViTEncoder(
