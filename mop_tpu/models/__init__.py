@@ -27,6 +27,7 @@ from .components import (
     ViTEncoder,
     ViTEncoderMoE,
 )
+from .generate import generate
 from .gpt_comparison import (
     ComparisonConfig,
     GPTComparisonFramework,
@@ -98,6 +99,7 @@ __all__ = [
     "Kernels1D",
     "FuseExcInh1D",
     "MoPBlock",
+    "generate",
     # Whisper family
     "WhisperMoP",
     "create_whisper_mop",

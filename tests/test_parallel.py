@@ -87,3 +87,20 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(payload["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nan_guard_detects_and_passes():
+    from mop_tpu.utils.debug import check_finite, guard_nans, tree_isfinite
+    import pytest as _pytest
+
+    good = {"a": jnp.ones((3,)), "b": jnp.zeros((2, 2))}
+    bad = {"a": jnp.asarray([1.0, jnp.nan]), "b": jnp.ones(())}
+    assert bool(tree_isfinite(good))
+    assert not bool(tree_isfinite(bad))
+
+    step = guard_nans(lambda x: x * 2)
+    out, flag = step(jnp.ones(3))
+    check_finite(flag)  # no raise
+    out, flag = step(jnp.asarray([jnp.inf]))
+    with _pytest.raises(FloatingPointError):
+        check_finite(flag, "unit test")
