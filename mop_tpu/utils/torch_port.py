@@ -38,6 +38,11 @@ _RENAMES = [
     (r"\bedge_head\.(conv2|row_proj|col_proj)\.(weight|bias)\b",
      lambda m: f"edge_head.{m.group(1)}_{'kernel' if m.group(2) == 'weight' else 'bias'}"),
     (r"\b(wte|wpe|audio_pos|text_pos)\.weight\b", r"\1.embedding"),
+    # ViTLocalizer: head MLP Sequential indices and unified-block MLP
+    (r"\bhead\.mlp\.0\b", "head.fc1"),
+    (r"\bhead\.mlp\.2\b", "head.fc2"),
+    (r"\bmlp\.0\b", "mlp_fc1"),
+    (r"\bmlp\.2\b", "mlp_fc2"),
 ]
 
 _SKIP = (re.compile(r"^lm_head\.weight$"), re.compile(r"causal_mask"))

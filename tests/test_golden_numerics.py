@@ -150,3 +150,35 @@ def test_whisper_mop_golden():
 
     _run("whisper_mop", model, _Apply(
         fn, lambda ins: (jnp.asarray(ins["mel"]), jnp.asarray(ins["dec"]))))
+
+
+@needs
+def test_dualpath_msa_golden():
+    from mop_tpu.models import DualPathMSA
+
+    model = DualPathMSA(dim=32, heads=4, beta_not=0.5,
+                        gates=dict(base=0.9, and_=1.0, or_=0.5, not_=0.25,
+                                   chain=0.75))
+    _run("dualpath_msa", model, _Apply(
+        lambda m, p, ins: {"y": m.apply(p, jnp.asarray(ins["x"]))},
+        lambda ins: (jnp.asarray(ins["x"]),),
+    ))
+
+
+@needs
+@pytest.mark.parametrize("mode,kwargs", [
+    ("B", None),
+    ("E", dict(n_views=2, share_qkv=False, gate_mode="lowrank",
+               gate_rank=2, gate_init="and")),
+])
+def test_vit_localizer_golden(mode, kwargs):
+    from mop_tpu.models import ViTLocalizer
+
+    model = ViTLocalizer(dim=32, depth=2, heads=4, mlp_ratio=2.0,
+                         drop_path=0.0, patch=16, img_size=32,
+                         attn_mode=mode, attn_kwargs=kwargs,
+                         mop_views=2, mop_kernels=1)
+    _run(f"vit_localizer_{mode}", model, _Apply(
+        lambda m, p, ins: {"y": m.apply(p, jnp.asarray(ins["x"]))},
+        lambda ins: (jnp.asarray(ins["x"]),),
+    ))

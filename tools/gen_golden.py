@@ -151,3 +151,47 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def extra_cases():
+    """DualPathMSA (two-hop) and ViTLocalizer goldens (experiment-local
+    classes in the reference: cifar10_twohop_gates.py, voc_localization_vit.py)."""
+    sys.path.insert(0, os.path.join(REF, "experiments"))
+    # The reference experiment scripts import torchvision at module level;
+    # it is absent here and unused by the classes we need - stub it.
+    import types
+    for name in ("torchvision", "torchvision.datasets", "torchvision.transforms",
+                 "torchvision.transforms.functional"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].datasets = sys.modules["torchvision.datasets"]
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+    sys.modules["torchvision.transforms"].functional = (
+        sys.modules["torchvision.transforms.functional"])
+    from cifar10_twohop_gates import DualPathMSA
+    from voc_localization_vit import ViTLocalizer
+
+    g = torch.Generator().manual_seed(7)
+    x_seq = torch.randn(2, 8, 32, generator=g)
+    m = DualPathMSA(dim=32, heads=4, beta_not=0.5,
+                    gates=dict(base=0.9, and_=1.0, or_=0.5, not_=0.25,
+                               chain=0.75)).eval()
+    with torch.no_grad():
+        y = m(x_seq)
+    dump("dualpath_msa", m, {"x": x_seq}, {"y": y})
+
+    x_img = torch.randn(2, 3, 32, 32, generator=g)
+    for mode, kwargs in [("B", None),
+                         ("E", dict(n_views=2, share_qkv=False,
+                                    gate_mode="lowrank", gate_rank=2,
+                                    gate_init="and"))]:
+        m = ViTLocalizer(dim=32, depth=2, heads=4, mlp_ratio=2.0,
+                         drop_path=0.0, patch=16, img_size=32,
+                         attn_mode=mode, attn_kwargs=kwargs,
+                         mop_views=2, mop_kernels=1).eval()
+        with torch.no_grad():
+            y = m(x_img)
+        dump(f"vit_localizer_{mode}", m, {"x": x_img}, {"y": y})
+
+
+if os.environ.get("GOLDEN_EXTRA", "1") == "1":
+    extra_cases()
