@@ -98,6 +98,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--synthetic", action="store_true",
                     help="use deterministic synthetic data (zero-egress envs)")
+    ap.add_argument("--ckpt_every", type=int, default=0,
+                    help="save per-model checkpoints every N steps (0 = off)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoints under --out")
     return ap
 
 
@@ -299,6 +303,8 @@ def run(args, csv_prefix: str = "cifar100_ab5") -> None:
             hist = C.lockstep_train(
                 runs, train_iter_f(s), val_batches, args.steps,
                 args.eval_every, mesh,
+                ckpt_dir=os.path.join(args.out, f"ckpt_t{int(target)}_s{s}"),
+                ckpt_every=args.ckpt_every, resume=args.resume,
             )
             if s == args.seeds[-1]:
                 last_seed_hist = hist

@@ -312,6 +312,21 @@ class ModelRun:
             total += float(t)
         return correct / total if total else 0.0
 
+    def save(self, path: str, step: int) -> None:
+        """Persist params + opt state + step (SURVEY §5.4: the reference has
+        checkpoint helpers but no experiment ever calls them)."""
+        from mop_tpu.training.utils import save_checkpoint
+
+        save_checkpoint(path, self.params, opt_state=self.opt_state, epoch=step)
+
+    def load(self, path: str, mesh) -> int:
+        from mop_tpu.training.utils import load_checkpoint
+
+        payload = load_checkpoint(path)
+        self.params = replicate(payload["params"], mesh)
+        self.opt_state = replicate(payload["opt_state"], mesh)
+        return int(payload["epoch"])
+
 
 def lockstep_train(
     runs: Dict[str, ModelRun],
@@ -322,14 +337,29 @@ def lockstep_train(
     mesh,
     seeds_last: bool = True,
     log=print,
+    ckpt_dir: Optional[str] = None,
+    ckpt_every: int = 0,
+    resume: bool = False,
 ):
     """Lockstep multi-model training on identical batches (reference :789-823).
 
+    With ``ckpt_dir``/``ckpt_every``: periodic per-model checkpoints; with
+    ``resume``: restart from the latest checkpoint step found on disk.
     Returns per-model history {key: {'steps': [...], 'acc': [...]}}.
     """
     hist = {k: {"steps": [], "acc": []} for k in runs}
+    start_step = 1
+    if ckpt_dir and resume:
+        restored = []
+        for k, run in runs.items():
+            path = os.path.join(ckpt_dir, f"{k}.ckpt")
+            if os.path.exists(path):
+                restored.append(run.load(path, mesh))
+        if restored:
+            start_step = min(restored) + 1
+            log(f"resumed from step {start_step - 1}")
     with mesh:
-        for step_i in range(1, steps + 1):
+        for step_i in range(start_step, steps + 1):
             xb, yb = next(train_iter)
             xb, yb = shard_batch((np.asarray(xb), np.asarray(yb)), mesh)
             for run in runs.values():
@@ -345,6 +375,10 @@ def lockstep_train(
                     hist[k]["acc"].append(a)
                     accs.append(f"A{k}={a:.3f}")
                 log(f"step {step_i:4d} | {loss_str} | {' '.join(accs)}")
+            if ckpt_dir and ckpt_every and step_i % ckpt_every == 0:
+                os.makedirs(ckpt_dir, exist_ok=True)
+                for k, run in runs.items():
+                    run.save(os.path.join(ckpt_dir, f"{k}.ckpt"), step_i)
     return hist
 
 

@@ -97,13 +97,21 @@ def synthetic_cifar(
     n_train: int = 10_000,
     n_test: int = 2_000,
     seed: int = 0,
+    difficulty: Optional[float] = None,
 ):
     """Deterministic class-structured synthetic images.
 
     Each class gets a distinct low-frequency template plus per-sample noise and
     a class-coded patch, so models genuinely learn (accuracy rises above
     chance) — good enough for smoke tests, throughput benches, and CI.
+
+    ``difficulty`` in [0, 1] (default 0, or $MOP_SYNTH_DIFFICULTY): raises
+    per-sample noise, dims the class-coded patch, and blends in a distractor
+    class template so accuracy comparisons do not saturate instantly.
     """
+    if difficulty is None:
+        difficulty = float(os.environ.get("MOP_SYNTH_DIFFICULTY", "0") or 0)
+    difficulty = float(np.clip(difficulty, 0.0, 1.0))
     n_classes = 10 if name == "cifar10" else 100
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 32.0
@@ -115,14 +123,21 @@ def synthetic_cifar(
         base = 0.5 + 0.35 * np.sin(2 * np.pi * (fx * xx + fy * yy) + phase)
         for ch in range(3):
             templates[c, ch] = np.roll(base, shift=ch * (c % 7), axis=ch % 2)
-        # class-coded bright patch
+        # class-coded bright patch (dimmed with difficulty)
         px, py = (c * 3) % 24, (c * 7) % 24
-        templates[c, c % 3, py : py + 6, px : px + 6] = 1.0
+        templates[c, c % 3, py : py + 6, px : px + 6] = 1.0 - 0.45 * difficulty
+
+    noise = 0.18 + 0.25 * difficulty
+    blend = 0.35 * difficulty
 
     def make(n, seed_off):
         r = np.random.RandomState(seed + seed_off)
         y = r.randint(0, n_classes, n).astype(np.int32)
-        x = templates[y] + r.normal(0, 0.18, (n, 3, 32, 32)).astype(np.float32)
+        x = templates[y].copy()
+        if blend > 0:
+            distract = templates[r.randint(0, n_classes, n)]
+            x = (1 - blend) * x + blend * distract
+        x = x + r.normal(0, noise, (n, 3, 32, 32)).astype(np.float32)
         x = np.clip(x, 0, 1)
         return (x * 255).astype(np.uint8), y
 
