@@ -80,6 +80,22 @@ def main():
         accs_base.append(a_b)
         accs_mop.append(a_m)
         print(f"seed {s}: baseline={a_b:.4f}  mop={a_m:.4f}  diff={a_m - a_b:+.4f}")
+        if s == args.seeds[-1]:
+            import json
+            with mesh:
+                ca = runs["b"].per_sample_correct(val_batches())
+                cb = runs["m"].per_sample_correct(val_batches())
+            summary = {
+                "seed": s,
+                "params_base": runs["b"].n_params,
+                "params_mop": runs["m"].n_params,
+                "test_acc_A": float(ca.mean()),
+                "test_acc_B": float(cb.mean()),
+                **C.mcnemar(ca, cb),
+                **C.bootstrap_delta(ca, cb),
+            }
+            with open(os.path.join(args.out, "summary.json"), "w") as f:
+                json.dump(summary, f, indent=2)
 
     csv_path = os.path.join(args.out, CSV_NAME)
     C.save_csv(csv_path, ["seed", "baseline", "mop", "diff"],

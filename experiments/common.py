@@ -290,6 +290,7 @@ class ModelRun:
         )
         self.eval_step = make_classifier_eval_step(model, mesh, mean, std)
         self.rng = rng
+        self._mean_std = (mean, std)
         self.last_loss = float("nan")
 
     def step(self, xb, yb, step_i):
@@ -311,6 +312,32 @@ class ModelRun:
             correct += float(c)
             total += float(t)
         return correct / total if total else 0.0
+
+    def per_sample_correct(self, batches) -> np.ndarray:
+        """Per-sample correctness vector over an eval set (for McNemar)."""
+        outs = []
+        for xb, yb, mb in batches:
+            c = self.predict_correct(xb, yb)
+            outs.append(np.asarray(c)[np.asarray(mb) > 0])
+        return np.concatenate(outs)
+
+    def predict_correct(self, xb, yb):
+        if not hasattr(self, "_pred_fn"):
+            from mop_tpu.ops.preprocess import cifar_eval_transform
+            from mop_tpu.parallel import cast_floats
+
+            model = self.model
+            mean, std = self._mean_std
+
+            @jax.jit
+            def pred(params, xb, yb):
+                x = cifar_eval_transform(xb, mean, std).astype(jnp.bfloat16)
+                logits = model.apply(cast_floats(params, jnp.bfloat16), x,
+                                     train=False)
+                return jnp.argmax(logits, -1) == yb
+
+            self._pred_fn = pred
+        return self._pred_fn(self.params, jnp.asarray(xb), jnp.asarray(yb))
 
     def save(self, path: str, step: int) -> None:
         """Persist params + opt state + step (SURVEY §5.4: the reference has
@@ -380,6 +407,43 @@ def lockstep_train(
                 for k, run in runs.items():
                     run.save(os.path.join(ckpt_dir, f"{k}.ckpt"), step_i)
     return hist
+
+
+# --------------------------- statistics ---------------------------
+
+
+def mcnemar(correct_a: np.ndarray, correct_b: np.ndarray) -> Dict[str, float]:
+    """McNemar test on paired per-sample correctness (the reference's
+    committed results carry mcnemar_n01/n10/chi2, see
+    results/cifar10/cifar100_ab_2025-08-17/summary.json).
+
+    n01 = A right, B wrong; n10 = A wrong, B right;
+    chi2 with continuity correction.
+    """
+    a = np.asarray(correct_a, bool)
+    b = np.asarray(correct_b, bool)
+    n01 = int(np.sum(a & ~b))
+    n10 = int(np.sum(~a & b))
+    denom = n01 + n10
+    chi2 = ((abs(n01 - n10) - 1) ** 2 / denom) if denom > 0 else 0.0
+    return {"mcnemar_n01": n01, "mcnemar_n10": n10, "mcnemar_chi2": float(chi2)}
+
+
+def bootstrap_delta(correct_a, correct_b, n_boot: int = 1000, seed: int = 0):
+    """Mean accuracy delta (B - A) with a bootstrap 95% interval."""
+    a = np.asarray(correct_a, np.float64)
+    b = np.asarray(correct_b, np.float64)
+    rng = np.random.RandomState(seed)
+    n = len(a)
+    deltas = np.empty(n_boot)
+    for i in range(n_boot):
+        idx = rng.randint(0, n, n)
+        deltas[i] = b[idx].mean() - a[idx].mean()
+    return {
+        "delta_acc_mean": float(b.mean() - a.mean()),
+        "delta_acc_lo": float(np.percentile(deltas, 2.5)),
+        "delta_acc_hi": float(np.percentile(deltas, 97.5)),
+    }
 
 
 # ----------------------------- output -----------------------------
