@@ -50,3 +50,26 @@ def test_edgewise_forward_and_params():
     assert ye.shape == (1, 10)
     pb = count_params(_init(b))
     assert count_params(pe) <= pb * 4
+
+
+def test_budget_matcher_agrees_with_reference():
+    """The ab5 matching engine must select the exact configs the reference's
+    matcher selects (verified against the torch implementation for the 5M
+    target: A dim224/depth8/heads4 -> 4,872,000; B dim216/depth8/heads4 ->
+    4,534,044, not within 1%)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from experiments import common as C
+    from mop_tpu.models import ViT_Baseline, ViT_MoP
+
+    a_cfg, a_p = C.find_config_for_target(
+        ViT_Baseline, n_classes=100, target_params=5_000_000)
+    assert a_cfg == {"dim": 224, "depth": 8, "heads": 4}
+    assert a_p == 4_872_000
+    b_cfg, b_p, within = C.find_model_config_match_baseline(
+        ViT_MoP, n_classes=100, target_params=5_000_000,
+        baseline_cfg=a_cfg, baseline_params=a_p, max_ratio_diff=0.01,
+        extra_kwargs={"n_views": 5, "n_kernels": 3})
+    assert b_cfg == {"dim": 216, "depth": 8, "heads": 4}
+    assert b_p == 4_534_044
+    assert within is False
