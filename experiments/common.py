@@ -111,6 +111,9 @@ def count_parameters(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 
 
+_ESTIMATE_CACHE: Dict = {}
+
+
 def estimate_params(
     ctor,
     n_classes: int,
@@ -121,7 +124,13 @@ def estimate_params(
     img_size: int = 32,
 ) -> int:
     """Abstract-init param count (reference :182-194, minus the throwaway
-    instantiation cost — eval_shape only traces)."""
+    instantiation cost — eval_shape only traces). Memoized: the edgewise
+    fallback ladder re-queries the same candidates many times."""
+    key = (ctor, n_classes, dim, depth, heads, img_size,
+           tuple(sorted((extra_kwargs or {}).items(),
+                        key=lambda kv: kv[0])).__repr__())
+    if key in _ESTIMATE_CACHE:
+        return _ESTIMATE_CACHE[key]
     kwargs = dict(dim=dim, depth=depth, heads=heads, n_classes=n_classes)
     if extra_kwargs:
         kwargs.update(extra_kwargs)
@@ -130,7 +139,9 @@ def estimate_params(
     tree = jax.eval_shape(
         lambda xx: model.init(jax.random.PRNGKey(0), xx), x
     )
-    return count_parameters(tree)
+    n = count_parameters(tree)
+    _ESTIMATE_CACHE[key] = n
+    return n
 
 
 def find_config_for_target(
@@ -213,14 +224,50 @@ def find_model_config_match_baseline(
     best_under = best_under_params = best_under_score = None
     for heads in sorted(set(heads_list)):
         for depth in sorted(set(depths)):
-            for dim in sorted(set(dims)):
-                if dim % heads != 0:
-                    continue
+            cand_dims = [d for d in sorted(set(dims)) if d % heads == 0]
+            if not cand_dims:
+                continue
+            # Param count is monotonically increasing in dim (fixed depth/heads),
+            # so instead of tracing every dim, binary-search the boundary dims
+            # (largest p <= baseline; p closest to target) and evaluate windows
+            # around them. Selection-equivalent to the full scan: the score
+            # strictly improves toward those boundaries (within-1%-of-baseline
+            # flag, then |target - p|, then structure distance which also
+            # prefers larger dim <= base_dim).
+            def _p(d):
                 try:
-                    p = estimate_params(
-                        ctor, n_classes, dim, depth, heads, extra_kwargs, img_size
-                    )
+                    return estimate_params(
+                        ctor, n_classes, d, depth, heads, extra_kwargs, img_size)
                 except Exception:
+                    return None
+
+            def _boundary(limit):
+                lo, hi = 0, len(cand_dims) - 1
+                pos = -1
+                while lo <= hi:
+                    mid = (lo + hi) // 2
+                    pm = _p(cand_dims[mid])
+                    if pm is None:
+                        # fall back to linear scan on error
+                        return None
+                    if pm <= limit:
+                        pos = mid
+                        lo = mid + 1
+                    else:
+                        hi = mid - 1
+                return pos
+
+            window = set()
+            for limit in (baseline_params, int(target_params)):
+                pos = _boundary(limit)
+                if pos is None:
+                    window = set(range(len(cand_dims)))  # error fallback
+                    break
+                window.update(range(max(0, pos - 16), min(len(cand_dims), pos + 17)))
+            for di in sorted(window):
+                dim = cand_dims[di]
+                p = _p(dim)
+                if p is None:
                     continue
                 if p > baseline_params:
                     continue
