@@ -15,6 +15,7 @@ from .train_step import (
     make_classifier_train_step,
     make_imagenet_train_step,
     make_lm_train_step,
+    make_scanned_classifier_train_step,
 )
 
 __all__ = [
@@ -29,5 +30,6 @@ __all__ = [
     "make_classifier_train_step",
     "make_classifier_eval_step",
     "make_imagenet_train_step",
+    "make_scanned_classifier_train_step",
     "make_lm_train_step",
 ]

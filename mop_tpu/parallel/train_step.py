@@ -115,6 +115,78 @@ def make_classifier_eval_step(model, mesh, mean, std, compute_dtype=jnp.bfloat16
     return jax.jit(step, in_shardings=(rep, bsh, bsh, bsh), out_shardings=(rep, rep))
 
 
+def make_scanned_classifier_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh,
+    mean,
+    std,
+    unroll_steps: int,
+    augment: bool = True,
+    label_smoothing: float = 0.0,
+    grad_clip: Optional[float] = None,
+    compute_dtype=jnp.bfloat16,
+):
+    """K train steps in ONE dispatch via ``lax.scan`` over a stacked
+    (K, B, ...) super-batch — a device-side training loop.
+
+    Amortizes per-call dispatch latency (significant through a tunneled
+    backend) and lets XLA overlap step boundaries. Returns
+    ``step(params, opt_state, x_u8 (K,B,C,H,W), y (K,B), rng) ->
+    (params, opt_state, {'loss': (K,), 'acc': (K,)})``.
+    """
+    rep = replicated(mesh)
+    bsh = NamedSharding(mesh, P(None, DATA_AXIS))  # batch axis is dim 1
+
+    def loss_fn(params, x_u8, y, rng):
+        k_aug, k_drop = jax.random.split(rng)
+        if augment:
+            x = pp.cifar_train_augment(k_aug, x_u8, mean, std)
+        else:
+            x = pp.cifar_eval_transform(x_u8, mean, std)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            p = cast_floats(params, compute_dtype)
+        else:
+            p = params
+        logits = model.apply(p, x, train=True, rngs={"dropout": k_drop})
+        logits = logits.astype(jnp.float32)
+        if label_smoothing > 0.0:
+            tgt = pp.label_smoothing_onehot(y, logits.shape[-1], label_smoothing)
+            loss = optax.softmax_cross_entropy(logits, tgt).mean()
+        else:
+            loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+        acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+        return loss, acc
+
+    def one_step(carry, batch):
+        params, opt_state, rng = carry
+        x_u8, y = batch
+        rng, sub = jax.random.split(rng)
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x_u8, y, sub)
+        grads = cast_floats(grads, jnp.float32)
+        if grad_clip is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rng), (loss, acc)
+
+    def step(params, opt_state, x_u8, y, rng):
+        (params, opt_state, _), (losses, accs) = jax.lax.scan(
+            one_step, (params, opt_state, rng), (x_u8, y))
+        return params, opt_state, {"loss": losses, "acc": accs}
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, bsh, bsh, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+
+
 def make_imagenet_train_step(
     model,
     tx: optax.GradientTransformation,
