@@ -104,3 +104,37 @@ def test_nan_guard_detects_and_passes():
     out, flag = step(jnp.asarray([jnp.inf]))
     with _pytest.raises(FloatingPointError):
         check_finite(flag, "unit test")
+
+
+def test_scanned_train_step_runs_and_learns():
+    from mop_tpu.parallel import make_scanned_classifier_train_step
+
+    mesh = make_mesh(n_devices=8)
+    model = ViT_MoP(dim=32, depth=2, heads=2, n_classes=10, n_views=2,
+                    n_kernels=1, drop_path=0.0)
+    rng = jax.random.PRNGKey(0)
+    K, batch = 4, 16
+    xk = np.random.RandomState(0).randint(0, 256, (K, batch, 3, 32, 32),
+                                          dtype=np.uint8)
+    yk = np.random.RandomState(1).randint(0, 10, (K, batch)).astype(np.int32)
+    params = model.init({"params": rng, "dropout": rng},
+                        jnp.zeros((batch, 3, 32, 32)), train=True)
+    tx = optax.adamw(1e-3)
+    opt = tx.init(params)
+    with mesh:
+        params = replicate(params, mesh)
+        opt = replicate(opt, mesh)
+        xkb = jax.device_put(xk, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "data")))
+        ykb = jax.device_put(yk, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "data")))
+        step = make_scanned_classifier_train_step(
+            model, tx, mesh, CIFAR10_MEAN, CIFAR10_STD, unroll_steps=K,
+            augment=False, compute_dtype=None)
+        losses = []
+        for i in range(4):
+            params, opt, m = step(params, opt, xkb, ykb,
+                                  jax.random.fold_in(rng, i))
+            losses.extend(float(v) for v in np.asarray(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # 16 effective steps on repeated data learn
