@@ -23,6 +23,12 @@ class _Config:
     def __init__(self):
         # Fused Pallas flash attention for single-view attention paths.
         self.fused_attention = _env_flag("MOP_TPU_FUSED_ATTENTION", True)
+        # Fused multi-hop/two-hop and quartet kernels: opt-in. Model-level
+        # min-of-3 on v5e shows XLA autofusion beats the per-(B,H) whole-matrix
+        # kernel for these (ViTMultiHop eval fwd 5.2ms XLA vs 11.2ms fused);
+        # only the edgewise-lowrank kernel wins (22.1 vs 36.3ms, 1.65x).
+        self.fused_multihop = _env_flag("MOP_TPU_FUSED_MULTIHOP", False)
+        self.fused_quartet = _env_flag("MOP_TPU_FUSED_QUARTET", False)
         # Routed (sorted, capacity-bounded) MoE instead of compute-all-experts.
         self.routed_moe = _env_flag("MOP_TPU_ROUTED_MOE", True)
 
@@ -36,3 +42,11 @@ def use_fused_attention() -> bool:
 
 def use_routed_moe() -> bool:
     return config.routed_moe
+
+
+def use_fused_multihop() -> bool:
+    return config.fused_multihop
+
+
+def use_fused_quartet() -> bool:
+    return config.fused_quartet

@@ -26,7 +26,7 @@ from flax import linen as nn
 
 from ..ops import attention as A
 from ..ops import fused as F
-from ..config import use_fused_attention
+from ..config import use_fused_attention, use_fused_multihop
 from .layers import (
     Conv,
     Conv1d,
@@ -166,7 +166,7 @@ class MultiHopMSA(nn.Module):
         w = jax.nn.sigmoid(
             self.param("chain_value_logit", lambda k, s: jnp.asarray(-2.0), ())
         )
-        if use_fused_attention() and attn_mask is None and not train:
+        if use_fused_multihop() and attn_mask is None and not train:
             # One fused kernel: scores, softmaxes, chain, mix, value transport.
             # Inference-only: the custom-VJP recompute backward costs an extra
             # forward, which loses to XLA autodiff at training time (measured

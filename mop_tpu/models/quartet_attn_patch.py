@@ -18,7 +18,7 @@ from flax import linen as nn
 
 from ..ops import attention as A
 from ..ops import fused as F
-from ..config import use_fused_attention
+from ..config import use_fused_quartet
 from .layers import Embedding, LayerNorm, Linear, gelu_tanh, normal_init
 
 Array = jax.Array
@@ -87,7 +87,7 @@ class CausalSelfAttention(nn.Module):
                 (1,),
             )
             m = jax.nn.sigmoid(mixture)
-            if (use_fused_attention() and attention_mask is None
+            if (use_fused_quartet() and attention_mask is None
                     and not train and not need_weights):
                 # Fused kernel (inference): standardize + dual-path product
                 # mix + causal softmax + value matmul in one Pallas program.

@@ -20,7 +20,7 @@ from flax import linen as nn
 
 from ..ops import attention as A
 from ..ops import fused as F
-from ..config import use_fused_attention
+from ..config import use_fused_attention, use_fused_multihop
 from .attention_variants import (
     CrossViewMixerMSA,
     EdgewiseMSA,
@@ -58,7 +58,7 @@ class DualPathMSA(nn.Module):
         w = jax.nn.sigmoid(
             self.param("chain_value_logit", lambda k, s: jnp.asarray(-2.0), ())
         )
-        if use_fused_attention() and attn_mask is None and not train:
+        if use_fused_multihop() and attn_mask is None and not train:
             # Two-hop == multihop kernel with hops=2 (+ base-scaled S1).
             # Inference-only (see MultiHopMSA note on recompute backward).
             y = F.fused_multihop_attention(

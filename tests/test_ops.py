@@ -144,14 +144,14 @@ def test_multihop_msa_consistent_with_fused_flag():
     m = MultiHopMSA(dim=32, heads=4, hops=3,
                     gates=dict(base=1.0, and_=1.0, or_=0.5, not_=0.2, chain=0.5))
     p = m.init(jax.random.PRNGKey(1), x)
-    old = mcfg.config.fused_attention
+    old = mcfg.config.fused_multihop
     try:
-        mcfg.config.fused_attention = True
+        mcfg.config.fused_multihop = True
         y1 = m.apply(p, x)
-        mcfg.config.fused_attention = False
+        mcfg.config.fused_multihop = False
         y2 = m.apply(p, x)
     finally:
-        mcfg.config.fused_attention = old
+        mcfg.config.fused_multihop = old
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
 
 
@@ -226,15 +226,15 @@ def test_quartet_lm_consistent_with_fused_flag(monkeypatch):
     model = create_gpt_quartet(50, cfg)
     idx = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 0, 50)
     p = model.init(jax.random.PRNGKey(1), idx)
-    old = mcfg.config.fused_attention
+    old = mcfg.config.fused_quartet
     try:
-        mcfg.config.fused_attention = False
+        mcfg.config.fused_quartet = False
         y_ref, _ = model.apply(p, idx)
-        mcfg.config.fused_attention = True
+        mcfg.config.fused_quartet = True
         monkeypatch.setattr(F, "_on_tpu", lambda: True)
         with pltpu.force_tpu_interpret_mode():
             y_fused, _ = model.apply(p, idx)
     finally:
-        mcfg.config.fused_attention = old
+        mcfg.config.fused_quartet = old
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-4)
