@@ -76,3 +76,34 @@ def generate(
     (_, _, _), toks = jax.lax.scan(
         step, (window, length0, rng), None, length=max_new_tokens)
     return jnp.concatenate([prompt.astype(jnp.int32), toks.T], axis=1)
+
+
+def whisper_transcribe(
+    model,
+    params,
+    mel: Array,
+    bos_token: int,
+    max_tokens: int,
+) -> Array:
+    """Greedy transcription for WhisperMoP: encode once, decode step by step.
+
+    Returns (B, max_tokens) token ids. Fixed-size decoder window (static
+    shapes, one ``lax.scan``); the encoder runs once. The reference has no
+    decode loop (its WhisperMoP only computes teacher-forced logits).
+    """
+    enc_out, _ = model.apply(params, mel, method=model.encode)
+    b = mel.shape[0]
+    win = max_tokens + 1
+
+    def step(carry, i):
+        tokens = carry  # (B, win) with tokens[:, 0] = BOS
+        logits = model.apply(params, enc_out, tokens, method=model.decode)
+        last = jax.lax.dynamic_index_in_dim(logits, i, axis=1, keepdims=False)
+        nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        onehot = (jnp.arange(win) == (i + 1)).astype(tokens.dtype)
+        tokens = tokens * (1 - onehot)[None, :] + nxt[:, None] * onehot[None, :]
+        return tokens, nxt
+
+    tokens0 = jnp.zeros((b, win), jnp.int32).at[:, 0].set(bos_token)
+    _, outs = jax.lax.scan(step, tokens0, jnp.arange(max_tokens))
+    return outs.T  # (B, max_tokens)

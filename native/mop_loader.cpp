@@ -89,7 +89,7 @@ void producer_loop(Loader* L) {
           const int64_t c = std::min<int64_t>(per, L->batch - s);
           if (c <= 0) break;
           ts.emplace_back([L, &idx, b, s, c, &out] {
-            Batch view;  // shallow helper writing into out via pointers
+            // threads write disjoint [s, s+c) ranges of the same batch
             for (int64_t i = 0; i < c; ++i) {
               const int64_t src = idx[b * L->batch + s + i];
               std::memcpy(out.x.data() + (s + i) * L->sample_bytes,
@@ -97,7 +97,6 @@ void producer_loop(Loader* L) {
                           static_cast<size_t>(L->sample_bytes));
               out.y[s + i] = L->labels[src];
             }
-            (void)view;
           });
         }
         for (auto& t : ts) t.join();

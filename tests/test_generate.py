@@ -49,3 +49,22 @@ def test_generate_works_for_gpt_mop():
     params = model.init(jax.random.PRNGKey(0), prompt)
     out = generate(model, params, prompt, max_new_tokens=5)
     assert out.shape == (1, 8)
+
+
+def test_whisper_transcribe_greedy():
+    from mop_tpu.models import WhisperConfig, create_whisper_mop
+    from mop_tpu.models.generate import whisper_transcribe
+
+    cfg = WhisperConfig(n_layer_enc=1, n_layer_dec=1, n_head=2, n_embd=32,
+                        n_mels=16, n_audio_ctx=16, n_text_ctx=8, dropout=0.0,
+                        bias=False, n_views=2, n_kernels=1, kernel_size=3,
+                        vocab_size=20)
+    model = create_whisper_mop(cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 16))
+    params = model.init(jax.random.PRNGKey(1), mel, jnp.zeros((2, 4), jnp.int32))
+    out = whisper_transcribe(model, params, mel, bos_token=19, max_tokens=6)
+    assert out.shape == (2, 6)
+    assert bool(jnp.all((out >= 0) & (out < 20)))
+    # deterministic
+    out2 = whisper_transcribe(model, params, mel, bos_token=19, max_tokens=6)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
