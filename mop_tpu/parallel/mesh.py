@@ -31,6 +31,13 @@ def make_mesh(
     """
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"make_mesh: requested n_devices={n_devices} but only "
+                f"{len(devs)} devices are available "
+                f"({[str(d) for d in devs]}). A silent truncation here would "
+                f"fake multi-chip validation on fewer chips."
+            )
         devs = devs[:n_devices]
     n = len(devs)
     assert n % model_parallel == 0, (n, model_parallel)

@@ -75,6 +75,15 @@ def test_eval_step_sharded_counts():
     assert 0.0 <= float(correct) <= batch - 3
 
 
+def test_make_mesh_raises_on_device_shortfall():
+    """Requesting more devices than exist must raise, never silently truncate
+    (a truncated mesh fakes multi-chip validation on fewer chips)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_devices=16"):
+        make_mesh(n_devices=16)  # host has 8 virtual CPU devices
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from mop_tpu.training import load_checkpoint, save_checkpoint
 
