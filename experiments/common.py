@@ -371,16 +371,16 @@ class ModelRun:
     def predict_correct(self, xb, yb):
         if not hasattr(self, "_pred_fn"):
             from mop_tpu.ops.preprocess import cifar_eval_transform
-            from mop_tpu.parallel import cast_floats
 
             model = self.model
             mean, std = self._mean_std
 
+            # fp32 on purpose: McNemar per-sample stats must not pick up
+            # bf16 argmax flips on borderline samples (torch ref is fp32).
             @jax.jit
             def pred(params, xb, yb):
-                x = cifar_eval_transform(xb, mean, std).astype(jnp.bfloat16)
-                logits = model.apply(cast_floats(params, jnp.bfloat16), x,
-                                     train=False)
+                x = cifar_eval_transform(xb, mean, std)
+                logits = model.apply(params, x, train=False)
                 return jnp.argmax(logits, -1) == yb
 
             self._pred_fn = pred

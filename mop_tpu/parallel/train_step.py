@@ -98,8 +98,13 @@ def make_classifier_train_step(
     )
 
 
-def make_classifier_eval_step(model, mesh, mean, std, compute_dtype=jnp.bfloat16):
-    """Jitted eval step: returns (#correct, #valid) under a padding mask."""
+def make_classifier_eval_step(model, mesh, mean, std, compute_dtype=None):
+    """Jitted eval step: returns (#correct, #valid) under a padding mask.
+
+    Defaults to fp32 (``compute_dtype=None``): eval/McNemar statistics are
+    accuracy-critical and cheap, and bf16 argmax flips on borderline samples
+    would contaminate per-sample parity stats vs the fp32 torch reference.
+    """
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
 

@@ -68,9 +68,10 @@ class Trainer:
             augment=self.augment, grad_clip=self.grad_clip,
             compute_dtype=self.compute_dtype,
         )
+        # Eval always fp32: accuracy stats must not pick up bf16 argmax flips.
         self._eval_step = make_classifier_eval_step(
             self.model, self.mesh, self.mean, self.std,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=None,
         )
         return opt_state
 
