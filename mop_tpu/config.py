@@ -29,6 +29,10 @@ class _Config:
         # only the edgewise-lowrank kernel wins (22.1 vs 36.3ms, 1.65x).
         self.fused_multihop = _env_flag("MOP_TPU_FUSED_MULTIHOP", False)
         self.fused_quartet = _env_flag("MOP_TPU_FUSED_QUARTET", False)
+        # Fused edgewise backward (in-kernel VJP) at train time. Default set
+        # by measurement on v5e (see benchmarks/edgewise_train_kernel.md).
+        self.fused_edgewise_train = _env_flag(
+            "MOP_TPU_FUSED_EDGEWISE_TRAIN", True)
         # Routed (sorted, capacity-bounded) MoE instead of compute-all-experts.
         self.routed_moe = _env_flag("MOP_TPU_ROUTED_MOE", True)
 
@@ -50,3 +54,7 @@ def use_fused_multihop() -> bool:
 
 def use_fused_quartet() -> bool:
     return config.fused_quartet
+
+
+def use_fused_edgewise_train() -> bool:
+    return config.fused_edgewise_train

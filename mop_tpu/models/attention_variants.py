@@ -26,7 +26,11 @@ from flax import linen as nn
 
 from ..ops import attention as A
 from ..ops import fused as F
-from ..config import use_fused_attention, use_fused_multihop
+from ..config import (
+    use_fused_attention,
+    use_fused_edgewise_train,
+    use_fused_multihop,
+)
 from .layers import (
     Conv,
     Conv1d,
@@ -357,11 +361,16 @@ class EdgewiseMSA(nn.Module):
             self.param("chain_value_logit", lambda k, s: jnp.asarray(-2.0), ())
         )
 
-        if (use_fused_attention() and not train and attn_mask is None
+        if (use_fused_attention() and attn_mask is None
                 and self.gate_mode == "lowrank"
-                and not self.use_lens_bank and not self.use_lens_bank_qk):
-            # Fully fused E-mode kernel (inference): every score map, chain,
-            # pooled gate factor, mix, softmax, and value product in VMEM.
+                and not self.use_lens_bank and not self.use_lens_bank_qk
+                and (not train
+                     or (use_fused_edgewise_train() and self.attn_drop == 0.0))):
+            # Fully fused E-mode kernel: every score map, chain, pooled gate
+            # factor, mix, softmax, and value product in VMEM. Training runs
+            # through the fused backward kernel (in-kernel VJP; residuals and
+            # cotangents never touch HBM). Requires attn_drop == 0 at train
+            # time (the fused path has no attention-dropout site).
             wrow, brow, wcol, bcol = head.lowrank_params()
             y = F.fused_edgewise_lowrank_attention(
                 jnp.stack(qs, axis=2), jnp.stack(ks, axis=2),

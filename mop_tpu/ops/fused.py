@@ -376,9 +376,15 @@ def fused_multihop_attention(
 # the XLA path.
 
 
-def _edgewise_kernel(q_ref, k_ref, v_ref, wrow_ref, brow_ref, wcol_ref,
-                     bcol_ref, w_ref, o_ref, *, scale, beta_not, n_views,
-                     gate_rank):
+def _edgewise_math(q, k, v, wrow, brow, wcol, bcol, w, *, scale, beta_not,
+                   n_views, gate_rank):
+    """The full E-mode lowrank pipeline on per-program VALUES.
+
+    q/k/v: (V, N, dk) fp32. Returns y: (N, dk) fp32. Shared by the forward
+    kernel and the fused backward kernel (which differentiates this function
+    with ``jax.vjp`` *inside* the kernel body, so every N x N residual and
+    cotangent lives only in VMEM).
+    """
     f32 = jnp.float32
     V = n_views
     r = gate_rank
@@ -393,7 +399,7 @@ def _edgewise_kernel(q_ref, k_ref, v_ref, wrow_ref, brow_ref, wcol_ref,
 
     s_list, a_list = [], []
     for i in range(V):
-        s = dot_nt(q_ref[0, i].astype(f32) * scale, k_ref[0, i].astype(f32))
+        s = dot_nt(q[i] * scale, k[i])
         s_list.append(s)
         a_list.append(jax.nn.softmax(s, axis=-1))
 
@@ -424,8 +430,8 @@ def _edgewise_kernel(q_ref, k_ref, v_ref, wrow_ref, brow_ref, wcol_ref,
         [mean_i(s) for s in s_list] + [mean_j(s) for s in s_list]
         + [mean_i(log_cf), mean_i(log_cb)], axis=1)  # (N, C)
 
-    a_fac = dot(row_feat, wrow_ref[:].astype(f32)) + brow_ref[:].astype(f32)
-    b_fac = dot(col_feat, wcol_ref[:].astype(f32)) + bcol_ref[:].astype(f32)
+    a_fac = dot(row_feat, wrow) + brow
+    b_fac = dot(col_feat, wcol) + bcol
 
     s1 = s_list[0]
     s_sum = s1
@@ -450,45 +456,89 @@ def _edgewise_kernel(q_ref, k_ref, v_ref, wrow_ref, brow_ref, wcol_ref,
     smix = smix + gate(3) * log_cf
     att = jax.nn.softmax(smix, axis=-1)
 
-    transport = v_ref[0, V - 1].astype(f32)
+    transport = v[V - 1]
     for i in range(V - 1, 0, -1):
         transport = dot(a_list[i], transport)
-    y = dot(att, v_ref[0, 0].astype(f32)) + w_ref[0, 0] * dot(a_list[0], transport)
+    return dot(att, v[0]) + w * dot(a_list[0], transport)
+
+
+def _edgewise_kernel(q_ref, k_ref, v_ref, wrow_ref, brow_ref, wcol_ref,
+                     bcol_ref, w_ref, o_ref, *, scale, beta_not, n_views,
+                     gate_rank):
+    f32 = jnp.float32
+    y = _edgewise_math(
+        q_ref[0].astype(f32), k_ref[0].astype(f32), v_ref[0].astype(f32),
+        wrow_ref[:].astype(f32), brow_ref[:].astype(f32),
+        wcol_ref[:].astype(f32), bcol_ref[:].astype(f32), w_ref[0, 0],
+        scale=scale, beta_not=beta_not, n_views=n_views, gate_rank=gate_rank,
+    )
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-def fused_edgewise_lowrank_attention(
-    qs: Array, ks: Array, vs: Array,
-    wrow: Array, brow: Array, wcol: Array, bcol: Array,
-    beta_not: float, chain_w: Array,
-    force: Optional[bool] = None,
-) -> Array:
-    """Fully fused E-mode lowrank attention.
+def _edgewise_bwd_kernel(q_ref, k_ref, v_ref, wrow_ref, brow_ref, wcol_ref,
+                         bcol_ref, w_ref, do_ref,
+                         dq_ref, dk_ref, dv_ref, dwrow_ref, dbrow_ref,
+                         dwcol_ref, dbcol_ref, dw_ref, *, scale, beta_not,
+                         n_views, gate_rank):
+    """Fused backward: recompute the forward in VMEM, differentiate in-kernel.
 
-    qs/ks/vs: (B, H, V, N, dk) per-view tensors (already per-view scaled when
-    share_qkv). wrow/wcol: (C, 4r) gate-head kernels with C = 2V+2;
-    brow/bcol: (4r,). Returns (B, H, N, dk). Falls back off-TPU / large N.
+    The reference trains through this exact math with every intermediate
+    N x N map round-tripping HBM (``attention_variants.py:453-564``); here the
+    residuals AND cotangents of the whole score algebra never leave VMEM —
+    HBM traffic is inputs + dy in, input-shaped grads out. Weight grads are
+    written per-program and reduced by XLA outside (tiny: (C, 4r)).
     """
-    b, h, nv, n, dk = qs.shape
-    gate_rank = wrow.shape[1] // 4
-    vmem_ok = n <= 256 and dk <= 128 and nv <= 8
-    use = force if force is not None else (_on_tpu() and vmem_ok)
-    if not use:
-        return None  # caller composes the reference path
+    import jax.experimental.pallas as pl
+
+    f32 = jnp.float32
+    f = functools.partial(
+        _edgewise_math, scale=scale, beta_not=beta_not,
+        n_views=n_views, gate_rank=gate_rank,
+    )
+    _, vjp = jax.vjp(
+        f,
+        q_ref[0].astype(f32), k_ref[0].astype(f32), v_ref[0].astype(f32),
+        wrow_ref[:].astype(f32), brow_ref[:].astype(f32),
+        wcol_ref[:].astype(f32), bcol_ref[:].astype(f32), w_ref[0, 0],
+    )
+    dq, dk, dv, dwrow, dbrow, dwcol, dbcol, dw = vjp(do_ref[0].astype(f32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dwrow_ref[0] = dwrow
+    dbrow_ref[0, 0] = dbrow
+    dwcol_ref[0] = dwcol
+    dbcol_ref[0, 0] = dbcol
+    dw_ref[pl.program_id(0)] = dw
+
+
+def _edgewise_specs(n, dk, nv, wrow, brow):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    flat = lambda t: t.reshape(b * h, nv, n, dk)
-    kernel = functools.partial(
-        _edgewise_kernel, scale=1.0 / np.sqrt(dk), beta_not=float(beta_not),
-        n_views=int(nv), gate_rank=int(gate_rank),
-    )
     spec = pl.BlockSpec((1, nv, n, dk), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec(wrow.shape, lambda i: tuple([0] * wrow.ndim),
                          memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec(brow.shape, lambda i: (0,), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return spec, wspec, bspec, sspec
+
+
+def _edgewise_fwd_call(qs, ks, vs, wrow, brow, wcol, bcol, chain_w, *,
+                       beta_not):
+    import jax.experimental.pallas as pl
+
+    b, h, nv, n, dk = qs.shape
+    gate_rank = wrow.shape[1] // 4
+    flat = lambda t: t.reshape(b * h, nv, n, dk)
+    kernel = functools.partial(
+        _edgewise_kernel, scale=1.0 / np.sqrt(dk), beta_not=float(beta_not),
+        n_views=int(nv), gate_rank=int(gate_rank),
+    )
+    spec, wspec, bspec, sspec = _edgewise_specs(n, dk, nv, wrow, brow)
+    from jax.experimental.pallas import tpu as pltpu
+
     out = pl.pallas_call(
         kernel,
         grid=(b * h,),
@@ -499,6 +549,115 @@ def fused_edgewise_lowrank_attention(
     )(flat(qs), flat(ks), flat(vs), wrow, brow, wcol, bcol,
       jnp.asarray(chain_w, jnp.float32).reshape(1, 1))
     return out.reshape(b, h, n, dk)
+
+
+def _interpret_mode():
+    """Current force-TPU-interpret state, captured so the backward kernel
+    (traced AFTER any ``force_tpu_interpret_mode`` context has exited) runs
+    in the same mode as the forward."""
+    from jax._src import config as jax_config
+
+    v = jax_config.pallas_tpu_interpret_mode_context_manager.value
+    return v if v is not None else False
+
+
+def _edgewise_bwd_call(qs, ks, vs, wrow, brow, wcol, bcol, chain_w, dy, *,
+                       beta_not, interpret=False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, nv, n, dk = qs.shape
+    bh = b * h
+    gate_rank = wrow.shape[1] // 4
+    flat = lambda t: t.reshape(bh, nv, n, dk)
+    kernel = functools.partial(
+        _edgewise_bwd_kernel, scale=1.0 / np.sqrt(dk),
+        beta_not=float(beta_not), n_views=int(nv), gate_rank=int(gate_rank),
+    )
+    spec, wspec, bspec, sspec = _edgewise_specs(n, dk, nv, wrow, brow)
+    ospec = pl.BlockSpec((1, n, dk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    # Per-program weight grads (summed over programs by XLA after the call —
+    # tiny (C, 4r) blocks, so the reduction is negligible).
+    dwspec = pl.BlockSpec((1,) + wrow.shape, lambda i: (i,) + (0,) * wrow.ndim,
+                          memory_space=pltpu.VMEM)
+    # Bias grads get a singleton middle axis so the block's trailing two dims
+    # equal the array's (TPU tiling constraint for (bh, 4r) blocks of size 1).
+    dbspec = pl.BlockSpec((1, 1) + brow.shape, lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    # Whole-array SMEM block (size-1 blocks violate TPU tiling); each program
+    # writes its own element via program_id.
+    dsspec = pl.BlockSpec((bh,), lambda i: (0,), memory_space=pltpu.SMEM)
+    f32 = jnp.float32
+    dq, dk_, dv, dwrow, dbrow, dwcol, dbcol, dw = pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[spec, spec, spec, wspec, bspec, wspec, bspec, sspec, ospec],
+        out_specs=[spec, spec, spec, dwspec, dbspec, dwspec, dbspec, dsspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nv, n, dk), qs.dtype),
+            jax.ShapeDtypeStruct((bh, nv, n, dk), ks.dtype),
+            jax.ShapeDtypeStruct((bh, nv, n, dk), vs.dtype),
+            jax.ShapeDtypeStruct((bh,) + wrow.shape, f32),
+            jax.ShapeDtypeStruct((bh, 1) + brow.shape, f32),
+            jax.ShapeDtypeStruct((bh,) + wcol.shape, f32),
+            jax.ShapeDtypeStruct((bh, 1) + bcol.shape, f32),
+            jax.ShapeDtypeStruct((bh,), f32),
+        ],
+        interpret=interpret,
+    )(flat(qs), flat(ks), flat(vs), wrow, brow, wcol, bcol,
+      jnp.asarray(chain_w, jnp.float32).reshape(1, 1),
+      dy.reshape(bh, n, dk))
+    unflat = lambda t: t.reshape(b, h, nv, n, dk)
+    return (
+        unflat(dq), unflat(dk_), unflat(dv),
+        jnp.sum(dwrow, axis=0).astype(wrow.dtype),
+        jnp.sum(dbrow, axis=(0, 1)).astype(brow.dtype),
+        jnp.sum(dwcol, axis=0).astype(wcol.dtype),
+        jnp.sum(dbcol, axis=(0, 1)).astype(bcol.dtype),
+        jnp.sum(dw).astype(jnp.result_type(chain_w)).reshape(jnp.shape(chain_w)),
+    )
+
+
+def fused_edgewise_lowrank_attention(
+    qs: Array, ks: Array, vs: Array,
+    wrow: Array, brow: Array, wcol: Array, bcol: Array,
+    beta_not: float, chain_w: Array,
+    force: Optional[bool] = None,
+) -> Array:
+    """Fully fused E-mode lowrank attention, differentiable end-to-end.
+
+    qs/ks/vs: (B, H, V, N, dk) per-view tensors (already per-view scaled when
+    share_qkv). wrow/wcol: (C, 4r) gate-head kernels with C = 2V+2;
+    brow/bcol: (4r,). Returns (B, H, N, dk). Falls back off-TPU / large N.
+
+    Training runs through a FUSED backward kernel: the per-program forward is
+    recomputed in VMEM and differentiated in-kernel, so neither residuals nor
+    cotangents of the N x N score algebra ever touch HBM (the reference
+    round-trips 6+ maps per direction, ``attention_variants.py:453-564``).
+    """
+    b, h, nv, n, dk = qs.shape
+    vmem_ok = n <= 256 and dk <= 128 and nv <= 8
+    use = force if force is not None else (_on_tpu() and vmem_ok)
+    if not use:
+        return None  # caller composes the reference path
+
+    @jax.custom_vjp
+    def op(qs, ks, vs, wrow, brow, wcol, bcol, chain_w):
+        return _edgewise_fwd_call(qs, ks, vs, wrow, brow, wcol, bcol,
+                                  chain_w, beta_not=beta_not)
+
+    interp = _interpret_mode()
+
+    def fwd_rule(*args):
+        return op(*args), args
+
+    def bwd_rule(res, g):
+        return _edgewise_bwd_call(*res, g, beta_not=beta_not,
+                                  interpret=interp)
+
+    op.defvjp(fwd_rule, bwd_rule)
+    return op(qs, ks, vs, wrow, brow, wcol, bcol, chain_w)
 
 
 # ----------------------- fused quartet attention kernel -----------------------

@@ -203,6 +203,50 @@ def test_fused_edgewise_unshared_qkv(monkeypatch):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_fused_edgewise_grads_match_reference(monkeypatch):
+    """Training grads via the fused backward kernel (in-kernel VJP, interpret
+    mode) must match XLA autodiff over the composed reference path — for every
+    param of the EdgewiseMSA module, plus the input."""
+    from mop_tpu import config as mcfg
+    from mop_tpu.models import EdgewiseMSA
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    m = EdgewiseMSA(dim=32, heads=4, n_views=3, share_qkv=True,
+                    gate_mode="lowrank", gate_rank=2, gate_init="mix5",
+                    beta_not=0.5, attn_drop=0.0, proj_drop=0.0)
+    p = m.init(jax.random.PRNGKey(1), x)
+    dy = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 32))
+
+    def loss_fused(p, x):
+        with pltpu.force_tpu_interpret_mode():
+            y = m.apply(p, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)})
+        return (y * dy).sum()
+
+    def loss_ref(p, x):
+        y = m.apply(p, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)})
+        return (y * dy).sum()
+
+    old_fa, old_tr = mcfg.config.fused_attention, mcfg.config.fused_edgewise_train
+    try:
+        mcfg.config.fused_attention = True
+        mcfg.config.fused_edgewise_train = True
+        monkeypatch.setattr(F, "_on_tpu", lambda: True)
+        g1 = jax.grad(loss_fused, argnums=(0, 1))(p, x)
+        mcfg.config.fused_attention = False
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(p, x)
+    finally:
+        mcfg.config.fused_attention = old_fa
+        mcfg.config.fused_edgewise_train = old_tr
+
+    flat1, tree1 = jax.tree_util.tree_flatten_with_path(g1)
+    flat2, _ = jax.tree_util.tree_flatten_with_path(g2)
+    assert len(flat1) == len(flat2)
+    for (path, a), (_, b) in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_fused_quartet_matches_reference():
     rng = jax.random.PRNGKey(0)
     b, h, n, dk = 1, 2, 32, 16
