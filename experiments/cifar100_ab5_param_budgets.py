@@ -83,7 +83,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ew_views", type=int, default=5)
     ap.add_argument("--ew_mlp_ratio", type=float, default=4.0)
     ap.add_argument("--ew_share_qkv", action="store_true")
-    ap.add_argument("--ew_gate_mode", type=str, default="dense",
+    # Default flipped from the reference's "dense": on TPU the lowrank head
+    # is the config where the fused kernel wins at BOTH train and eval
+    # (measured min-of-3, benchmarks/edgewise_train_kernel*.md); dense still
+    # available and fused at eval.
+    ap.add_argument("--ew_gate_mode", type=str, default="lowrank",
                     choices=["dense", "lowrank"])
     ap.add_argument("--ew_gate_rank", type=int, default=4)
     ap.add_argument("--ew_gate_init", type=str, default="neutral",
@@ -328,6 +332,35 @@ def run(args, csv_prefix: str = "cifar100_ab5") -> None:
             ["model", "test_acc"],
             [[k, f"{a:.6f}"] for k, a in test_acc_report],
         )
+
+        # Significance stats vs A (reference summary.json format:
+        # results/cifar10/cifar100_ab_2025-08-17/summary.json — McNemar
+        # counts/chi2 + bootstrap CI on the accuracy delta).
+        if "A" in runs and len(runs) > 1:
+            import json as _json
+
+            with mesh:
+                per_sample = {k: r.per_sample_correct(test_batches())
+                              for k, r in runs.items()}
+            summary = {
+                "seed": int(args.seeds[-1]),
+                "target": int(target),
+                "params": {k: int(r.n_params) for k, r in runs.items()},
+                "test_acc": {k: float(a) for k, a in test_acc_report},
+                "vs_A": {},
+            }
+            for k in runs:
+                if k == "A":
+                    continue
+                summary["vs_A"][k] = {
+                    **C.mcnemar(per_sample["A"], per_sample[k]),
+                    **C.bootstrap_delta(per_sample["A"], per_sample[k]),
+                }
+            spath = os.path.join(
+                args.out, f"{csv_prefix}_target_{int(target)}_summary.json")
+            with open(spath, "w") as f:
+                _json.dump(summary, f, indent=2)
+            print(f"wrote {spath}")
         C.save_csv(
             os.path.join(args.out, f"{csv_prefix}_target_{int(target)}_val_summary.csv"),
             ["model", "mean_val", "std_val"],

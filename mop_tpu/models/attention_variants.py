@@ -271,6 +271,21 @@ class EdgewiseGateHead(nn.Module):
         return (self.row_proj_kernel, self.row_proj_bias,
                 self.col_proj_kernel, self.col_proj_bias)
 
+    def dense_params(self):
+        """(w1, b1, w2, b2, wk3, bk3) — the 1x1 convs as (C, hidden) /
+        (hidden, 4) matmul kernels (+ the 3x3 mid conv if use_k3), consumed
+        by the fused dense-gate Pallas kernel."""
+        assert self.gate_mode == "dense"
+        w1 = self.conv1.variables["params"]["kernel"][0, 0]
+        b1 = self.conv1.variables["params"]["bias"]
+        w2 = self.conv2_kernel[0, 0]
+        b2 = self.conv2_bias
+        if self.use_k3:
+            wk3 = self.mid3.variables["params"]["kernel"]
+            bk3 = self.mid3.variables["params"]["bias"]
+            return w1, b1, w2, b2, wk3, bk3
+        return w1, b1, w2, b2, None, None
+
     def __call__(self, feat: Array) -> Array:
         if self.gate_mode == "dense":
             x = self.conv1(feat)
@@ -361,21 +376,39 @@ class EdgewiseMSA(nn.Module):
             self.param("chain_value_logit", lambda k, s: jnp.asarray(-2.0), ())
         )
 
-        if (use_fused_attention() and attn_mask is None
-                and self.gate_mode == "lowrank"
-                and not self.use_lens_bank and not self.use_lens_bank_qk
-                and (not train
-                     or (use_fused_edgewise_train() and self.attn_drop == 0.0))):
-            # Fully fused E-mode kernel: every score map, chain, pooled gate
-            # factor, mix, softmax, and value product in VMEM. Training runs
-            # through the fused backward kernel (in-kernel VJP; residuals and
-            # cotangents never touch HBM). Requires attn_drop == 0 at train
-            # time (the fused path has no attention-dropout site).
+        # Fully fused E-mode kernels: every score map, chain, gate head, mix,
+        # softmax, and value product in VMEM. Training runs through the fused
+        # backward kernel (in-kernel VJP; residuals and cotangents never
+        # touch HBM). Requires attn_drop == 0 at train time (the fused path
+        # has no attention-dropout site). Skipped during init so the dense
+        # head's conv submodules still create their params.
+        fused_ok = (
+            use_fused_attention() and attn_mask is None
+            and not self.use_lens_bank and not self.use_lens_bank_qk
+            and not self.is_initializing()
+            and (not train
+                 or (use_fused_edgewise_train() and self.attn_drop == 0.0)))
+        if fused_ok and self.gate_mode == "lowrank":
             wrow, brow, wcol, bcol = head.lowrank_params()
             y = F.fused_edgewise_lowrank_attention(
                 jnp.stack(qs, axis=2), jnp.stack(ks, axis=2),
                 jnp.stack(vs, axis=2), wrow, brow, wcol, bcol,
                 beta_not=self.beta_not, chain_w=w,
+            )
+            if y is not None:
+                y = Linear(d, use_bias=False, name="proj")(_merge_heads(y))
+                return nn.Dropout(self.proj_drop, deterministic=not train)(y)
+        # Dense head: fused at EVAL only. Measured min-of-3 on v5e at the 5M
+        # config (benchmarks/edgewise_train_kernel_dense.md): eval fwd 30.4 vs
+        # 37.3 ms (fused 1.23x) but train step 118.0 vs 67.7 ms (XLA 1.7x) —
+        # the scalar-weighted gate-head sums are VPU-bound and lose to XLA's
+        # MXU-batched convs once the backward doubles them.
+        if fused_ok and self.gate_mode == "dense" and not train:
+            w1, b1, w2, b2, wk3, bk3 = head.dense_params()
+            y = F.fused_edgewise_dense_attention(
+                jnp.stack(qs, axis=2), jnp.stack(ks, axis=2),
+                jnp.stack(vs, axis=2), w1, b1, w2, b2,
+                beta_not=self.beta_not, chain_w=w, wk3=wk3, bk3=bk3,
             )
             if y is not None:
                 y = Linear(d, use_bias=False, name="proj")(_merge_heads(y))
@@ -429,7 +462,9 @@ class EdgewiseMSA(nn.Module):
         in_ch = 2 * num_s + 2
         if self.use_lens_bank:
             # Depthwise multi-dilation conv over stacked score maps (:427-442).
-            s_stack = jnp.stack(s_imgs, axis=-1)  # (BH, N, N, V)
+            # Cast to the compute dtype: scores are fp32-accumulated, but
+            # lax.conv requires input/kernel dtypes to match (bf16 training).
+            s_stack = jnp.stack(s_imgs, axis=-1).astype(x.dtype)  # (BH, N, N, V)
             for li, dil in enumerate(lens_dil):
                 lensed = Conv(
                     num_s,
@@ -443,7 +478,9 @@ class EdgewiseMSA(nn.Module):
                 feat_list.extend(lensed[..., c] for c in range(num_s))
             in_ch += num_s * len(lens_dil)
 
-        feat = jnp.stack(feat_list, axis=-1)  # (BH, N, N, C)
+        # Cast to the compute dtype: the dense head's convs require
+        # input/kernel dtypes to match (fp32 scores vs bf16 params).
+        feat = jnp.stack(feat_list, axis=-1).astype(x.dtype)  # (BH, N, N, C)
         assert head.in_ch == in_ch, (head.in_ch, in_ch)
         gates = head(feat)
         g_and, g_or, g_not, g_chain = (

@@ -45,12 +45,13 @@ def _on_tpu() -> bool:
 
 
 def _supported(n: int, dk: int) -> bool:
-    # Measured on v5e (min-of-3 at N in {64, 512, 1024, 1504}, causal and
-    # not): XLA's fused softmax attention matches or beats this kernel for
-    # every MoP-scale shape - its value here is MEMORY (no N^2 score map in
-    # HBM), which only binds at much longer sequences. Auto-dispatch therefore
-    # engages at N >= 2048 only; pass force=True to use it explicitly.
-    return n >= 2048 and dk <= 256
+    # Measured on v5e, min-of-3 bf16 (benchmarks/flash_dispatch.md,
+    # tools/bench_flash.py): XLA matches or beats this kernel at every
+    # model shape (GPT 512: 0.98x; Whisper 1504: 0.70x; 1024: 0.93x;
+    # 2048: 0.95x) and flash wins clearly only at N >= 4096 (1.75x).
+    # Auto-dispatch engages there; pass force=True below that when the
+    # N^2 score map's HBM footprint is the binding constraint.
+    return n >= 4096 and dk <= 256
 
 
 def _choose_blocks(n: int):
@@ -79,10 +80,15 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_q,
                       block_k, n_kv_padded, kv_len):
     """One (batch*head, q-block) program: stream K/V blocks, keep running
     max/denominator (online softmax), accumulate O in fp32. ``kv_len`` is the
-    true (unpadded) key count; padded keys are masked out."""
+    true (unpadded) key count; padded keys are masked out.
+
+    Matmuls take the INPUT dtype (bf16 at train time) with fp32 accumulation
+    (``preferred_element_type``) — upcasting operands to f32 first would run
+    the MXU at a fraction of peak. Softmax statistics stay fp32.
+    """
     import jax.experimental.pallas as pl
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, dk)
+    q = q_ref[0]  # (block_q, dk), input dtype
     q_idx = pl.program_id(1)
 
     m = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
@@ -94,11 +100,11 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_q,
 
     def body(i, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
+        ) * scale  # (block_q, block_k) fp32
         cols = i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         if causal:
             rows = q_idx * block_q + jax.lax.broadcasted_iota(
@@ -112,8 +118,10 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_q,
         p = jnp.exp(s - m_safe)
         alpha = jnp.exp(jnp.where(jnp.isfinite(m), m - m_safe, -jnp.inf))
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # P @ V in the value dtype (full MXU rate), fp32 accumulation.
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l, acc
 
@@ -433,6 +441,88 @@ def _edgewise_math(q, k, v, wrow, brow, wcol, bcol, w, *, scale, beta_not,
     a_fac = dot(row_feat, wrow) + brow
     b_fac = dot(col_feat, wcol) + bcol
 
+    def gate(c):
+        # G_c = sigmoid(a_c @ b_c^T) over the rank block of channel c.
+        ac = a_fac[:, c * r:(c + 1) * r]
+        bc = b_fac[:, c * r:(c + 1) * r]
+        return jax.nn.sigmoid(dot_nt(ac, bc))
+
+    return _edgewise_output(s_list, a_list, gate(0), gate(1), gate(2),
+                            gate(3), log_cf, v, w, beta_not, V)
+
+
+def _edgewise_dense_math(q, k, v, *ws, scale, beta_not, n_views):
+    """The full E-mode DENSE-gate pipeline on per-program VALUES — the
+    reference's default head (``attention_variants.py:250-272`` inside the
+    :453-564 pipeline). The per-edge feature stack (N, N, C), the 1x1 MLP
+    head, and every score map live only in VMEM; the composed XLA path
+    materializes the (BH, N, N, C) stack in HBM.
+
+    ws: (w1 (C, hidden), b1, w2 (hidden, 4), b2, chain_w scalar).
+    """
+    f32 = jnp.float32
+    V = n_views
+    w1, b1, w2, b2, w = ws
+
+    def dot_nt(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    s_list, a_list = [], []
+    for i in range(V):
+        s = dot_nt(q[i] * scale, k[i])
+        s_list.append(s)
+        a_list.append(jax.nn.softmax(s, axis=-1))
+    c_fwd = a_list[0]
+    for i in range(1, V):
+        c_fwd = dot(c_fwd, a_list[i])
+    c_bwd = a_list[-1]
+    for i in range(V - 2, -1, -1):
+        c_bwd = dot(c_bwd, a_list[i])
+    log_cf = jnp.log(c_fwd + 1e-6)
+    log_cb = jnp.log(c_bwd + 1e-6)
+
+    # Per-edge feature stack, channel order [S_i, S_i^T, logC_fwd, logC_bwd],
+    # kept as a LIST of (N, N) maps. A (N*N, C) matrix would lane-pad tiny C
+    # to 128 (measured: 41 MB scoped VMEM at N=64) and a (C, N, N) -> (C, N*N)
+    # collapse is an unsupported Mosaic shape cast — so the 1x1 convs become
+    # scalar-weighted map sums (pure VPU; the contractions are tiny anyway).
+    feats = s_list + [s.T for s in s_list] + [log_cf, log_cb]
+    C = len(feats)
+    hidden = w1.shape[1]
+    n = s_list[0].shape[0]
+    g_acc = [jnp.broadcast_to(b2[c], (n, n)) for c in range(4)]
+    for hh in range(hidden):
+        xh = b1[hh]
+        for c in range(C):
+            xh = xh + feats[c] * w1[c, hh]
+        xh = _gelu_tanh(xh)
+        for c4 in range(4):
+            g_acc[c4] = g_acc[c4] + xh * w2[hh, c4]
+    g = [jax.nn.sigmoid(gc) for gc in g_acc]
+
+    return _edgewise_output(s_list, a_list, g[0], g[1], g[2],
+                            g[3], log_cf, v, w, beta_not, V)
+
+
+def _gelu_tanh(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+def _edgewise_output(s_list, a_list, g_and, g_or, g_not, g_chain, log_cf, v,
+                     w, beta_not, V):
+    """Gated logit mix + final softmax + chained value transport (shared by
+    the lowrank and dense gate heads)."""
+    f32 = jnp.float32
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
     s1 = s_list[0]
     s_sum = s1
     for i in range(1, V):
@@ -442,18 +532,11 @@ def _edgewise_math(q, k, v, wrow, brow, wcol, bcol, w, *, scale, beta_not,
         m = jnp.maximum(m, s_list[i])
     lse = m + jnp.log(sum(jnp.exp(s - m) for s in s_list))
     mean_others = (s_sum - s1) / max(1, V - 1)
-
-    def gate(c):
-        # G_c = sigmoid(a_c @ b_c^T) over the rank block of channel c.
-        ac = a_fac[:, c * r:(c + 1) * r]
-        bc = b_fac[:, c * r:(c + 1) * r]
-        return jax.nn.sigmoid(dot_nt(ac, bc))
-
     smix = s1
-    smix = smix + gate(0) * (s_sum - s1)
-    smix = smix + gate(1) * (lse - s1)
-    smix = smix - gate(2) * (beta_not * mean_others)
-    smix = smix + gate(3) * log_cf
+    smix = smix + g_and * (s_sum - s1)
+    smix = smix + g_or * (lse - s1)
+    smix = smix - g_not * (beta_not * mean_others)
+    smix = smix + g_chain * log_cf
     att = jax.nn.softmax(smix, axis=-1)
 
     transport = v[V - 1]
@@ -462,93 +545,91 @@ def _edgewise_math(q, k, v, wrow, brow, wcol, bcol, w, *, scale, beta_not,
     return dot(att, v[0]) + w * dot(a_list[0], transport)
 
 
-def _edgewise_kernel(q_ref, k_ref, v_ref, wrow_ref, brow_ref, wcol_ref,
-                     bcol_ref, w_ref, o_ref, *, scale, beta_not, n_views,
-                     gate_rank):
+# --- generic per-(batch*head) fwd/bwd plumbing over an arbitrary weight list ---
+
+
+def _edgewise_generic_fwd_kernel(*refs, math, n_weights):
     f32 = jnp.float32
-    y = _edgewise_math(
-        q_ref[0].astype(f32), k_ref[0].astype(f32), v_ref[0].astype(f32),
-        wrow_ref[:].astype(f32), brow_ref[:].astype(f32),
-        wcol_ref[:].astype(f32), bcol_ref[:].astype(f32), w_ref[0, 0],
-        scale=scale, beta_not=beta_not, n_views=n_views, gate_rank=gate_rank,
-    )
+    q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+    w_refs = refs[3:3 + n_weights]
+    s_ref = refs[3 + n_weights]
+    o_ref = refs[4 + n_weights]
+    ws = [r[:].astype(f32) for r in w_refs]
+    y = math(q_ref[0].astype(f32), k_ref[0].astype(f32),
+             v_ref[0].astype(f32), *ws, s_ref[0, 0])
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-def _edgewise_bwd_kernel(q_ref, k_ref, v_ref, wrow_ref, brow_ref, wcol_ref,
-                         bcol_ref, w_ref, do_ref,
-                         dq_ref, dk_ref, dv_ref, dwrow_ref, dbrow_ref,
-                         dwcol_ref, dbcol_ref, dw_ref, *, scale, beta_not,
-                         n_views, gate_rank):
-    """Fused backward: recompute the forward in VMEM, differentiate in-kernel.
+def _edgewise_generic_bwd_kernel(*refs, math, n_weights):
+    """Fused backward: recompute the forward in VMEM, differentiate in-kernel
+    (``jax.vjp`` inside the kernel body).
 
-    The reference trains through this exact math with every intermediate
-    N x N map round-tripping HBM (``attention_variants.py:453-564``); here the
-    residuals AND cotangents of the whole score algebra never leave VMEM —
-    HBM traffic is inputs + dy in, input-shaped grads out. Weight grads are
-    written per-program and reduced by XLA outside (tiny: (C, 4r)).
+    The reference trains through this math with every intermediate N x N map
+    round-tripping HBM (``attention_variants.py:453-564``); here residuals AND
+    cotangents of the whole score algebra never leave VMEM — HBM traffic is
+    inputs + dy in, input-shaped grads out. Weight grads are written
+    per-program and reduced by XLA outside (tiny blocks).
     """
     import jax.experimental.pallas as pl
 
     f32 = jnp.float32
-    f = functools.partial(
-        _edgewise_math, scale=scale, beta_not=beta_not,
-        n_views=n_views, gate_rank=gate_rank,
-    )
-    _, vjp = jax.vjp(
-        f,
-        q_ref[0].astype(f32), k_ref[0].astype(f32), v_ref[0].astype(f32),
-        wrow_ref[:].astype(f32), brow_ref[:].astype(f32),
-        wcol_ref[:].astype(f32), bcol_ref[:].astype(f32), w_ref[0, 0],
-    )
-    dq, dk, dv, dwrow, dbrow, dwcol, dbcol, dw = vjp(do_ref[0].astype(f32))
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-    dwrow_ref[0] = dwrow
-    dbrow_ref[0, 0] = dbrow
-    dwcol_ref[0] = dwcol
-    dbcol_ref[0, 0] = dbcol
-    dw_ref[pl.program_id(0)] = dw
+    q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+    w_refs = refs[3:3 + n_weights]
+    s_ref = refs[3 + n_weights]
+    do_ref = refs[4 + n_weights]
+    dq_ref, dk_ref, dv_ref = refs[5 + n_weights:8 + n_weights]
+    dw_refs = refs[8 + n_weights:8 + 2 * n_weights]
+    ds_ref = refs[8 + 2 * n_weights]
+
+    ws = [r[:].astype(f32) for r in w_refs]
+    _, vjp = jax.vjp(math, q_ref[0].astype(f32), k_ref[0].astype(f32),
+                     v_ref[0].astype(f32), *ws, s_ref[0, 0])
+    grads = vjp(do_ref[0].astype(f32))
+    dq_ref[0] = grads[0].astype(dq_ref.dtype)
+    dk_ref[0] = grads[1].astype(dk_ref.dtype)
+    dv_ref[0] = grads[2].astype(dv_ref.dtype)
+    for r, g in zip(dw_refs, grads[3:3 + n_weights]):
+        if g.ndim == 1:  # bias: block is (1, 1) + shape
+            r[0, 0] = g
+        else:
+            r[0] = g
+    ds_ref[pl.program_id(0)] = grads[3 + n_weights]
 
 
-def _edgewise_specs(n, dk, nv, wrow, brow):
+def _edgewise_io_specs(n, dk, nv, weights, bh):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     spec = pl.BlockSpec((1, nv, n, dk), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec(wrow.shape, lambda i: tuple([0] * wrow.ndim),
-                         memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec(brow.shape, lambda i: (0,), memory_space=pltpu.VMEM)
+    # Whole-array weight blocks, replicated across programs.
+    wspecs = [
+        pl.BlockSpec(a.shape, (lambda nd: lambda i: (0,) * nd)(a.ndim),
+                     memory_space=pltpu.VMEM)
+        for a in weights
+    ]
     sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    return spec, wspec, bspec, sspec
-
-
-def _edgewise_fwd_call(qs, ks, vs, wrow, brow, wcol, bcol, chain_w, *,
-                       beta_not):
-    import jax.experimental.pallas as pl
-
-    b, h, nv, n, dk = qs.shape
-    gate_rank = wrow.shape[1] // 4
-    flat = lambda t: t.reshape(b * h, nv, n, dk)
-    kernel = functools.partial(
-        _edgewise_kernel, scale=1.0 / np.sqrt(dk), beta_not=float(beta_not),
-        n_views=int(nv), gate_rank=int(gate_rank),
-    )
-    spec, wspec, bspec, sspec = _edgewise_specs(n, dk, nv, wrow, brow)
-    from jax.experimental.pallas import tpu as pltpu
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(b * h,),
-        in_specs=[spec, spec, spec, wspec, bspec, wspec, bspec, sspec],
-        out_specs=pl.BlockSpec((1, n, dk), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n, dk), qs.dtype),
-    )(flat(qs), flat(ks), flat(vs), wrow, brow, wcol, bcol,
-      jnp.asarray(chain_w, jnp.float32).reshape(1, 1))
-    return out.reshape(b, h, n, dk)
+    ospec = pl.BlockSpec((1, n, dk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    # Per-program weight-grad outputs. 1-D biases get a singleton middle axis
+    # so the block's trailing two dims equal the array's (TPU tiling rule).
+    dwspecs, dwshapes = [], []
+    for a in weights:
+        if a.ndim == 1:
+            dwspecs.append(pl.BlockSpec((1, 1) + a.shape, lambda i: (i, 0, 0),
+                                        memory_space=pltpu.VMEM))
+            dwshapes.append(jax.ShapeDtypeStruct((bh, 1) + a.shape,
+                                                 jnp.float32))
+        else:
+            dwspecs.append(pl.BlockSpec(
+                (1,) + a.shape,
+                (lambda nd: lambda i: (i,) + (0,) * nd)(a.ndim),
+                memory_space=pltpu.VMEM))
+            dwshapes.append(jax.ShapeDtypeStruct((bh,) + a.shape, jnp.float32))
+    # Whole-array SMEM block for the scalar grad (size-1 blocks violate TPU
+    # tiling); each program writes its own element via program_id.
+    dsspec = pl.BlockSpec((bh,), lambda i: (0,), memory_space=pltpu.SMEM)
+    return spec, wspecs, sspec, ospec, dwspecs, dwshapes, dsspec
 
 
 def _interpret_mode():
@@ -561,62 +642,75 @@ def _interpret_mode():
     return v if v is not None else False
 
 
-def _edgewise_bwd_call(qs, ks, vs, wrow, brow, wcol, bcol, chain_w, dy, *,
-                       beta_not, interpret=False):
+def _edgewise_custom_op(qs, ks, vs, weights, chain_w, math):
+    """custom_vjp wrapper: fused forward kernel + fused in-kernel-VJP
+    backward over (B, H, V, N, dk) inputs and a flat weight list."""
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     b, h, nv, n, dk = qs.shape
     bh = b * h
-    gate_rank = wrow.shape[1] // 4
+    nw = len(weights)
     flat = lambda t: t.reshape(bh, nv, n, dk)
-    kernel = functools.partial(
-        _edgewise_bwd_kernel, scale=1.0 / np.sqrt(dk),
-        beta_not=float(beta_not), n_views=int(nv), gate_rank=int(gate_rank),
-    )
-    spec, wspec, bspec, sspec = _edgewise_specs(n, dk, nv, wrow, brow)
-    ospec = pl.BlockSpec((1, n, dk), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-    # Per-program weight grads (summed over programs by XLA after the call —
-    # tiny (C, 4r) blocks, so the reduction is negligible).
-    dwspec = pl.BlockSpec((1,) + wrow.shape, lambda i: (i,) + (0,) * wrow.ndim,
-                          memory_space=pltpu.VMEM)
-    # Bias grads get a singleton middle axis so the block's trailing two dims
-    # equal the array's (TPU tiling constraint for (bh, 4r) blocks of size 1).
-    dbspec = pl.BlockSpec((1, 1) + brow.shape, lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    # Whole-array SMEM block (size-1 blocks violate TPU tiling); each program
-    # writes its own element via program_id.
-    dsspec = pl.BlockSpec((bh,), lambda i: (0,), memory_space=pltpu.SMEM)
-    f32 = jnp.float32
-    dq, dk_, dv, dwrow, dbrow, dwcol, dbcol, dw = pl.pallas_call(
-        kernel,
-        grid=(bh,),
-        in_specs=[spec, spec, spec, wspec, bspec, wspec, bspec, sspec, ospec],
-        out_specs=[spec, spec, spec, dwspec, dbspec, dwspec, dbspec, dsspec],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, nv, n, dk), qs.dtype),
-            jax.ShapeDtypeStruct((bh, nv, n, dk), ks.dtype),
-            jax.ShapeDtypeStruct((bh, nv, n, dk), vs.dtype),
-            jax.ShapeDtypeStruct((bh,) + wrow.shape, f32),
-            jax.ShapeDtypeStruct((bh, 1) + brow.shape, f32),
-            jax.ShapeDtypeStruct((bh,) + wcol.shape, f32),
-            jax.ShapeDtypeStruct((bh, 1) + bcol.shape, f32),
-            jax.ShapeDtypeStruct((bh,), f32),
-        ],
-        interpret=interpret,
-    )(flat(qs), flat(ks), flat(vs), wrow, brow, wcol, bcol,
-      jnp.asarray(chain_w, jnp.float32).reshape(1, 1),
-      dy.reshape(bh, n, dk))
-    unflat = lambda t: t.reshape(b, h, nv, n, dk)
-    return (
-        unflat(dq), unflat(dk_), unflat(dv),
-        jnp.sum(dwrow, axis=0).astype(wrow.dtype),
-        jnp.sum(dbrow, axis=(0, 1)).astype(brow.dtype),
-        jnp.sum(dwcol, axis=0).astype(wcol.dtype),
-        jnp.sum(dbcol, axis=(0, 1)).astype(bcol.dtype),
-        jnp.sum(dw).astype(jnp.result_type(chain_w)).reshape(jnp.shape(chain_w)),
-    )
+    spec, wspecs, sspec, ospec, dwspecs, dwshapes, dsspec = _edgewise_io_specs(
+        n, dk, nv, weights, bh)
+    interp = _interpret_mode()
+
+    def fwd_call(qs, ks, vs, chain_w, *weights):
+        kernel = functools.partial(_edgewise_generic_fwd_kernel, math=math,
+                                   n_weights=nw)
+        out = pl.pallas_call(
+            kernel,
+            grid=(bh,),
+            in_specs=[spec, spec, spec, *wspecs, sspec],
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((bh, n, dk), qs.dtype),
+            interpret=interp,
+        )(flat(qs), flat(ks), flat(vs), *weights,
+          jnp.asarray(chain_w, jnp.float32).reshape(1, 1))
+        return out.reshape(b, h, n, dk)
+
+    def bwd_call(qs, ks, vs, chain_w, weights, dy):
+        kernel = functools.partial(_edgewise_generic_bwd_kernel, math=math,
+                                   n_weights=nw)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(bh,),
+            in_specs=[spec, spec, spec, *wspecs, sspec, ospec],
+            out_specs=[spec, spec, spec, *dwspecs, dsspec],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, nv, n, dk), qs.dtype),
+                jax.ShapeDtypeStruct((bh, nv, n, dk), ks.dtype),
+                jax.ShapeDtypeStruct((bh, nv, n, dk), vs.dtype),
+                *dwshapes,
+                jax.ShapeDtypeStruct((bh,), jnp.float32),
+            ],
+            interpret=interp,
+        )(flat(qs), flat(ks), flat(vs), *weights,
+          jnp.asarray(chain_w, jnp.float32).reshape(1, 1),
+          dy.reshape(bh, n, dk))
+        unflat = lambda t: t.reshape(b, h, nv, n, dk)
+        dws = []
+        for a, g in zip(weights, outs[3:3 + nw]):
+            axes = (0, 1) if a.ndim == 1 else (0,)
+            dws.append(jnp.sum(g, axis=axes).astype(a.dtype))
+        dw_scalar = jnp.sum(outs[3 + nw]).astype(
+            jnp.result_type(chain_w)).reshape(jnp.shape(chain_w))
+        return (unflat(outs[0]), unflat(outs[1]), unflat(outs[2]),
+                dw_scalar, *dws)
+
+    @jax.custom_vjp
+    def op(qs, ks, vs, chain_w, *weights):
+        return fwd_call(qs, ks, vs, chain_w, *weights)
+
+    def fwd_rule(*args):
+        return op(*args), args
+
+    def bwd_rule(res, g):
+        qs, ks, vs, chain_w, *weights = res
+        return bwd_call(qs, ks, vs, chain_w, weights, g)
+
+    op.defvjp(fwd_rule, bwd_rule)
+    return op(qs, ks, vs, chain_w, *weights)
 
 
 def fused_edgewise_lowrank_attention(
@@ -635,29 +729,55 @@ def fused_edgewise_lowrank_attention(
     recomputed in VMEM and differentiated in-kernel, so neither residuals nor
     cotangents of the N x N score algebra ever touch HBM (the reference
     round-trips 6+ maps per direction, ``attention_variants.py:453-564``).
+    Measured 1.24x over XLA autodiff on the full 5M E-mode train step
+    (benchmarks/edgewise_train_kernel.md).
     """
     b, h, nv, n, dk = qs.shape
+    gate_rank = wrow.shape[1] // 4
     vmem_ok = n <= 256 and dk <= 128 and nv <= 8
     use = force if force is not None else (_on_tpu() and vmem_ok)
     if not use:
         return None  # caller composes the reference path
+    math = functools.partial(
+        _edgewise_math, scale=1.0 / np.sqrt(dk), beta_not=float(beta_not),
+        n_views=int(nv), gate_rank=int(gate_rank))
+    return _edgewise_custom_op(qs, ks, vs, (wrow, brow, wcol, bcol),
+                               chain_w, math)
 
-    @jax.custom_vjp
-    def op(qs, ks, vs, wrow, brow, wcol, bcol, chain_w):
-        return _edgewise_fwd_call(qs, ks, vs, wrow, brow, wcol, bcol,
-                                  chain_w, beta_not=beta_not)
 
-    interp = _interpret_mode()
+def fused_edgewise_dense_attention(
+    qs: Array, ks: Array, vs: Array,
+    w1: Array, b1: Array, w2: Array, b2: Array,
+    beta_not: float, chain_w: Array,
+    wk3: Optional[Array] = None, bk3: Optional[Array] = None,
+    force: Optional[bool] = None,
+) -> Array:
+    """Fully fused E-mode DENSE-gate attention (the ab5 default config),
+    differentiable end-to-end.
 
-    def fwd_rule(*args):
-        return op(*args), args
-
-    def bwd_rule(res, g):
-        return _edgewise_bwd_call(*res, g, beta_not=beta_not,
-                                  interpret=interp)
-
-    op.defvjp(fwd_rule, bwd_rule)
-    return op(qs, ks, vs, wrow, brow, wcol, bcol, chain_w)
+    w1/b1: the 1x1 input conv as a (C, hidden) matmul; w2/b2: the 1x1 output
+    head (hidden, 4); wk3/bk3 (optional): the 3x3 mid conv (3, 3, hidden,
+    hidden), applied as 9 shifted matmuls. The (N, N, C) per-edge feature
+    stack lives only in VMEM — the composed XLA path writes it to HBM.
+    Matches reference ``attention_variants.py:250-272`` + :453-564.
+    """
+    b, h, nv, n, dk = qs.shape
+    if wk3 is not None:
+        # use_k3: the 3x3 stencil over the hidden maps needs 9*hidden^2
+        # scalar-weighted shifted adds in-kernel (no MXU formulation fits
+        # Mosaic's layout rules) — measured hopeless vs XLA's batched conv.
+        # The composed path keeps it.
+        return None
+    # Tighter N bound than lowrank: the hidden (N, N) activation maps add
+    # VMEM pressure on top of the score algebra.
+    vmem_ok = n <= 128 and dk <= 128 and nv <= 8
+    use = force if force is not None else (_on_tpu() and vmem_ok)
+    if not use:
+        return None  # caller composes the reference path
+    math = functools.partial(
+        _edgewise_dense_math, scale=1.0 / np.sqrt(dk),
+        beta_not=float(beta_not), n_views=int(nv))
+    return _edgewise_custom_op(qs, ks, vs, (w1, b1, w2, b2), chain_w, math)
 
 
 # ----------------------- fused quartet attention kernel -----------------------

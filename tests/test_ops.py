@@ -84,6 +84,47 @@ def test_routed_moe_drops_overflow_to_zero():
     assert nonzero_rows == 2
 
 
+@pytest.mark.parametrize("model_parallel", [8, 4])
+def test_expert_parallel_moe_matches_dense(model_parallel):
+    """Experts partitioned over the mesh 'model' axis, tokens all_to_all'd:
+    must equal the dense compute-all-experts path when capacity suffices."""
+    from mop_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_devices=8, model_parallel=model_parallel)
+    rng = jax.random.PRNGKey(0)
+    t, d, e, hdim = 64, 16, 8, 32
+    x = jax.random.normal(rng, (t, d))
+    gate_w = jax.random.normal(jax.random.fold_in(rng, 1), (d, e)) * 0.1
+    gate_b = jnp.zeros((e,))
+    w1 = jax.random.normal(jax.random.fold_in(rng, 2), (e, d, hdim)) * 0.1
+    w2 = jax.random.normal(jax.random.fold_in(rng, 3), (e, hdim, d)) * 0.1
+    dense = moe.dense_top1_mlp(x, gate_w, gate_b, w1, w2, jax.nn.gelu)
+    with mesh:
+        ep = moe.expert_parallel_top1_mlp(
+            x, gate_w, gate_b, w1, w2, jax.nn.gelu, mesh,
+            capacity_factor=float(e))
+    np.testing.assert_allclose(np.asarray(ep), np.asarray(dense), atol=1e-5)
+
+
+def test_expert_parallel_moe_drops_overflow():
+    from mop_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_devices=8, model_parallel=8)
+    t, d, e, hdim = 64, 16, 8, 32
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (t, d))
+    gate_w = jax.random.normal(jax.random.fold_in(rng, 1), (d, e)) * 0.1
+    gate_b = jnp.zeros((e,))
+    w1 = jnp.ones((e, d, hdim)) * 0.1
+    w2 = jnp.ones((e, hdim, d)) * 0.1
+    with mesh:
+        out = moe.expert_parallel_top1_mlp(
+            x, gate_w, gate_b, w1, w2, jax.nn.relu, mesh,
+            capacity_factor=0.25)
+    nz = int(jnp.sum(jnp.any(out != 0, axis=-1)))
+    assert 0 < nz < t  # some tokens dropped, some kept
+
+
 def test_log_mel_shapes_and_range():
     rng = jax.random.PRNGKey(0)
     audio = jax.random.normal(rng, (2, 16000)) * 0.1  # 1s at 16kHz
@@ -241,6 +282,57 @@ def test_fused_edgewise_grads_match_reference(monkeypatch):
     flat1, tree1 = jax.tree_util.tree_flatten_with_path(g1)
     flat2, _ = jax.tree_util.tree_flatten_with_path(g2)
     assert len(flat1) == len(flat2)
+    for (path, a), (_, b) in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize("use_k3", [False, True])
+def test_fused_edgewise_dense_fwd_and_grads(monkeypatch, use_k3):
+    """Dense-gate fused kernel (eval dispatch — measured to win fwd-only,
+    lose at train; see benchmarks/edgewise_train_kernel_dense.md): forward
+    AND grads THROUGH the eval forward via the in-kernel VJP must match the
+    composed XLA path. use_k3=True exercises the documented fallback (the
+    3x3 stencil stays on the XLA path) — same equality must hold."""
+    from mop_tpu import config as mcfg
+    from mop_tpu.models import EdgewiseMSA
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    m = EdgewiseMSA(dim=32, heads=4, n_views=3, share_qkv=True,
+                    gate_mode="dense", gate_init="and", use_k3=use_k3,
+                    beta_not=0.5, attn_drop=0.0, proj_drop=0.0)
+    p = m.init(jax.random.PRNGKey(1), x)
+    dy = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+
+    def loss_fused(p, x):
+        with pltpu.force_tpu_interpret_mode():
+            y = m.apply(p, x, train=False)
+        return (y * dy).sum()
+
+    def loss_ref(p, x):
+        y = m.apply(p, x, train=False)
+        return (y * dy).sum()
+
+    old_fa, old_tr = mcfg.config.fused_attention, mcfg.config.fused_edgewise_train
+    try:
+        mcfg.config.fused_attention = True
+        mcfg.config.fused_edgewise_train = True
+        monkeypatch.setattr(F, "_on_tpu", lambda: True)
+        with pltpu.force_tpu_interpret_mode():
+            y1 = m.apply(p, x)
+        g1 = jax.grad(loss_fused, argnums=(0, 1))(p, x)
+        mcfg.config.fused_attention = False
+        y2 = m.apply(p, x)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(p, x)
+    finally:
+        mcfg.config.fused_attention = old_fa
+        mcfg.config.fused_edgewise_train = old_tr
+
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=2e-4, atol=2e-5)
+    flat1, _ = jax.tree_util.tree_flatten_with_path(g1)
+    flat2, _ = jax.tree_util.tree_flatten_with_path(g2)
     for (path, a), (_, b) in zip(flat1, flat2):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3,

@@ -1,0 +1,84 @@
+"""Trajectory-equivalence vs the torch reference (golden-fixture style).
+
+tools/trajectory_parity.py --mode small captured: torch-initialized weights
+and 30 per-step fp32 losses for A (ViT_Baseline) and B (ViT_MoP), trained
+with AdamW + cosine on deterministic synthetic batches. Here we transplant
+the SAME weights, replay the SAME batches in fp32, and assert the loss
+trajectory agrees step-by-step — the strongest zero-egress evidence that
+model math + optimizer match the reference end-to-end (retires the
+"40-step accuracy gap is seed noise" question: any systematic modeling
+difference diverges within a few steps).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+# Tolerance grows with step: fp32 reduction-order drift compounds through
+# the optimizer state. Measured headroom is ~10x below these bounds.
+RTOL_EARLY, RTOL_LATE, SPLIT = 2e-4, 5e-3, 10
+
+
+def _run(name):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mop_tpu import config as mcfg
+    from mop_tpu.models import ViT_Baseline, ViT_MoP
+    from mop_tpu.utils.torch_port import port_torch_state_dict
+    from tools.trajectory_parity import CONFIGS, LR, WD, make_batches
+
+    cfg = CONFIGS["small"]
+    data = np.load(os.path.join(GOLDEN, f"trajectory_{name}.npz"))
+    torch_sd = {k[3:]: data[k] for k in data.files if k.startswith("w__")}
+    golden_losses = data["out__losses"]
+
+    x, y = make_batches(cfg["steps"], cfg["batch"])
+    if name == "A":
+        model = ViT_Baseline(dim=cfg["dim"], depth=cfg["depth"],
+                             heads=cfg["heads"], n_classes=10, drop_path=0.0)
+    else:
+        model = ViT_MoP(dim=cfg["dim"], depth=cfg["depth"], heads=cfg["heads"],
+                        n_classes=10, n_views=cfg["views"],
+                        n_kernels=cfg["kernels"], drop_path=0.0)
+
+    old = mcfg.config.fused_attention
+    mcfg.config.fused_attention = False
+    try:
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros(x.shape[1:]))
+        params = port_torch_state_dict(torch_sd, params)
+        tx = optax.adamw(optax.cosine_decay_schedule(LR, cfg["steps"]),
+                         weight_decay=WD)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step_fn(params, opt, xb, yb):
+            def lf(p):
+                logits = model.apply(p, xb, train=False)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, yb).mean()
+            loss, g = jax.value_and_grad(lf)(params)
+            u, opt2 = tx.update(g, opt, params)
+            return optax.apply_updates(params, u), opt2, loss
+
+        losses = []
+        for s in range(cfg["steps"]):
+            params, opt, loss = step_fn(
+                params, opt, jnp.asarray(x[s]),
+                jnp.asarray(y[s].astype(np.int32)))
+            losses.append(float(loss))
+    finally:
+        mcfg.config.fused_attention = old
+    return np.asarray(losses), golden_losses
+
+
+@pytest.mark.parametrize("name", ["A", "B"])
+def test_lockstep_loss_trajectory_matches_torch(name):
+    ours, golden = _run(name)
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours[:SPLIT], golden[:SPLIT], rtol=RTOL_EARLY)
+    np.testing.assert_allclose(ours[SPLIT:], golden[SPLIT:], rtol=RTOL_LATE)

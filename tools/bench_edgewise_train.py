@@ -84,6 +84,9 @@ def main():
     ap.add_argument("--scan", type=int, default=10)
     ap.add_argument("--windows", type=int, default=3)
     ap.add_argument("--gate_init", type=str, default="mix5")
+    ap.add_argument("--gate_mode", type=str, default="lowrank",
+                    choices=("lowrank", "dense"))
+    ap.add_argument("--use_k3", action="store_true")
     ap.add_argument("--n_views", type=int, default=2)
     args = ap.parse_args()
 
@@ -94,14 +97,16 @@ def main():
     from mop_tpu.models import ViTEdgewise
     from mop_tpu.parallel import make_mesh
 
-    xkwargs = dict(n_views=args.n_views, share_qkv=True, gate_mode="lowrank",
-                   gate_rank=4, gate_init=args.gate_init, beta_not=0.5)
+    xkwargs = dict(n_views=args.n_views, share_qkv=True,
+                   gate_mode=args.gate_mode, gate_rank=4,
+                   gate_init=args.gate_init, beta_not=0.5,
+                   use_k3=args.use_k3)
     cfg, n_params = find_config_for_target(
         ViTEdgewise, n_classes=100, target_params=args.target,
         dims=(128, 160, 192, 224, 256), depths=(6, 8), heads_list=(4,),
         extra_kwargs=xkwargs)
     print(f"config: {cfg} params={n_params:,} views={args.n_views} "
-          f"gate=lowrank:{args.gate_init}", file=sys.stderr)
+          f"gate={args.gate_mode}:{args.gate_init}", file=sys.stderr)
     model = ViTEdgewise(n_classes=100, **cfg, **xkwargs)
     mesh = make_mesh()
     n_chips = len(list(mesh.devices.flat))
@@ -123,7 +128,7 @@ def main():
     speedup = results["xla"]["ms_per_step"] / results["fused"]["ms_per_step"]
     summary = {
         "config": cfg, "params": n_params, "batch": batch,
-        "gate": f"lowrank:{args.gate_init}", "n_views": args.n_views,
+        "gate": f"{args.gate_mode}:{args.gate_init}", "n_views": args.n_views,
         "platform": jax.devices()[0].platform,
         "xla_ms": results["xla"]["ms_per_step"],
         "fused_ms": results["fused"]["ms_per_step"],
@@ -132,12 +137,13 @@ def main():
     }
     print(json.dumps(summary))
 
-    md = os.path.join(REPO, "benchmarks", "edgewise_train_kernel.md")
+    suffix = "" if args.gate_mode == "lowrank" else f"_{args.gate_mode}"
+    md = os.path.join(REPO, "benchmarks", f"edgewise_train_kernel{suffix}.md")
     with open(md, "w") as f:
         f.write(
-            "# Edgewise-lowrank fused TRAIN kernel measurement\n\n"
+            f"# Edgewise-{args.gate_mode} fused TRAIN kernel measurement\n\n"
             f"Model: ViTEdgewise {cfg} ({n_params:,} params), "
-            f"views={args.n_views}, gate=lowrank:{args.gate_init}, "
+            f"views={args.n_views}, gate={args.gate_mode}:{args.gate_init}, "
             f"batch={batch}, scan={args.scan}, "
             f"platform={jax.devices()[0].platform}.\n\n"
             "Full train step (on-device augment, bf16 fwd/bwd, AdamW), "
