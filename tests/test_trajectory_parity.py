@@ -82,3 +82,55 @@ def test_lockstep_loss_trajectory_matches_torch(name):
     assert ours.shape == golden.shape
     np.testing.assert_allclose(ours[:SPLIT], golden[:SPLIT], rtol=RTOL_EARLY)
     np.testing.assert_allclose(ours[SPLIT:], golden[SPLIT:], rtol=RTOL_LATE)
+
+
+def _load_golden(prefix, name):
+    data = np.load(os.path.join(GOLDEN, f"{prefix}_{name}.npz"))
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("w__")}
+    return sd, data["out__losses"]
+
+
+def _with_exact_math(fn):
+    """Run fn with fused kernels off (exact composed fp32 math), restoring."""
+    from mop_tpu import config as mcfg
+
+    old = (mcfg.config.fused_attention, mcfg.config.fused_quartet)
+    try:
+        return fn()
+    finally:
+        mcfg.config.fused_attention, mcfg.config.fused_quartet = old
+
+
+@pytest.mark.parametrize("name", ["base", "quartet", "mop"])
+def test_gpt_lockstep_trajectory_matches_torch(name):
+    from tools.trajectory_parity import (GPT_CONFIGS, gpt_jax_model,
+                                         make_token_batches, train_jax_lm)
+
+    cfg = GPT_CONFIGS["small"]
+    sd, golden = _load_golden("trajectory_gpt", name)
+    xs, ys = make_token_batches(cfg)
+    ours = _with_exact_math(
+        lambda: train_jax_lm(gpt_jax_model(cfg, name), sd, xs, ys))
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours[:SPLIT], golden[:SPLIT], rtol=RTOL_EARLY)
+    np.testing.assert_allclose(ours[SPLIT:], golden[SPLIT:], rtol=RTOL_LATE)
+    assert golden[-1] < golden[0] - 0.2  # the task is actually learned
+
+
+@pytest.mark.parametrize("name", ["base", "mop"])
+def test_whisper_lockstep_trajectory_matches_torch(name):
+    from tools.trajectory_parity import (WHISPER_CONFIGS,
+                                         make_whisper_batches,
+                                         train_jax_whisper,
+                                         whisper_jax_model)
+
+    cfg = WHISPER_CONFIGS["small"]
+    sd, golden = _load_golden("trajectory_whisper", name)
+    mels, idss, ys = make_whisper_batches(cfg)
+    ours = _with_exact_math(
+        lambda: train_jax_whisper(whisper_jax_model(cfg, name), sd,
+                                  mels, idss, ys))
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours[:SPLIT], golden[:SPLIT], rtol=RTOL_EARLY)
+    np.testing.assert_allclose(ours[SPLIT:], golden[SPLIT:], rtol=RTOL_LATE)
+    assert golden[-1] < golden[0] - 0.1
