@@ -9,6 +9,14 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .tp import (
+    TP_RULES_DEFAULT,
+    make_tp_classifier_train_step,
+    make_tp_lm_train_step,
+    tp_init_opt_state,
+    tp_param_shardings,
+    tp_shard_params,
+)
 from .train_step import (
     cast_floats,
     make_classifier_eval_step,
@@ -32,4 +40,10 @@ __all__ = [
     "make_imagenet_train_step",
     "make_scanned_classifier_train_step",
     "make_lm_train_step",
+    "TP_RULES_DEFAULT",
+    "tp_param_shardings",
+    "tp_shard_params",
+    "tp_init_opt_state",
+    "make_tp_classifier_train_step",
+    "make_tp_lm_train_step",
 ]
