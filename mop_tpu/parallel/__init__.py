@@ -9,6 +9,13 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .pp import (
+    make_pp_lm_train_step,
+    merge_gpt_params,
+    place_pp_params,
+    pp_init_opt_state,
+    split_gpt_params,
+)
 from .tp import (
     TP_RULES_DEFAULT,
     make_tp_classifier_train_step,
@@ -46,4 +53,9 @@ __all__ = [
     "tp_init_opt_state",
     "make_tp_classifier_train_step",
     "make_tp_lm_train_step",
+    "split_gpt_params",
+    "merge_gpt_params",
+    "place_pp_params",
+    "pp_init_opt_state",
+    "make_pp_lm_train_step",
 ]

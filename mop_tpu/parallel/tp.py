@@ -151,9 +151,19 @@ def make_tp_lm_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     compute_dtype=jnp.bfloat16,
+    sequence_parallel: bool = False,
 ):
-    """dp x tp train step for the GPT family (idx/targets over ``data``)."""
-    bsh = batch_sharding(mesh)
+    """dp x tp train step for the GPT family (idx/targets over ``data``).
+
+    ``sequence_parallel=True`` additionally shards the TOKEN axis of the
+    inputs over the model axis (P("data", "model")). GSPMD propagates: the
+    embedding lookup, LayerNorms, MoP 1-D gates and MLPs stay token-sharded
+    (each shard holds T/tp tokens' activations), and the attention score
+    matmuls gather/scatter exactly where full-sequence context is needed —
+    the Megatron-SP pattern, derived from one input constraint instead of
+    hand-placed collectives."""
+    spec = P(DATA_AXIS, MODEL_AXIS) if sequence_parallel else P(DATA_AXIS)
+    in_sh = NamedSharding(mesh, spec)
 
     def loss_fn(params, idx, targets, rng):
         p = cast_floats(params, compute_dtype) if compute_dtype is not None else params
@@ -162,7 +172,8 @@ def make_tp_lm_train_step(
         return loss.astype(jnp.float32)
 
     def step(params, opt_state, idx, targets, rng):
-        idx = jax.lax.with_sharding_constraint(idx, bsh)
+        idx = jax.lax.with_sharding_constraint(idx, in_sh)
+        targets = jax.lax.with_sharding_constraint(targets, in_sh)
         loss, grads = jax.value_and_grad(loss_fn)(params, idx, targets, rng)
         grads = cast_floats(grads, jnp.float32)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -112,7 +112,8 @@ def test_tp_training_matches_replicated_fp32(tp):
 
 
 @requires_8
-def test_tp_gpt_training_matches_replicated_fp32():
+@pytest.mark.parametrize("sp", [False, True])
+def test_tp_gpt_training_matches_replicated_fp32(sp):
     cfg = TransformerConfig(n_layer=2, n_head=4, n_embd=64, dropout=0.0,
                             block_size=16)
     model = create_gpt_mop(vocab_size=64, config=cfg, n_views=3, n_kernels=2)
@@ -123,20 +124,21 @@ def test_tp_gpt_training_matches_replicated_fp32():
         np.asarray, model.init(rng, jnp.asarray(idx)))
     tx = optax.adamw(1e-3)
 
-    def run(tp):
+    def run(tp, sp_flag=False):
         mesh = make_mesh(n_devices=8, model_parallel=tp)
         with mesh:
             p = tp_shard_params(params, mesh) if tp > 1 else replicate(
                 params, mesh)
             o = tp_init_opt_state(tx, p)
             ib, tb = shard_batch((idx, tgt), mesh)
-            step = make_tp_lm_train_step(model, tx, mesh, compute_dtype=None)
+            step = make_tp_lm_train_step(model, tx, mesh, compute_dtype=None,
+                                         sequence_parallel=sp_flag)
             for i in range(3):
                 p, o, m = step(p, o, ib, tb, jax.random.fold_in(rng, i))
         return float(m["loss"]), p
 
     loss_dp, p_dp = run(1)
-    loss_tp, p_tp = run(2)
+    loss_tp, p_tp = run(2, sp)
     np.testing.assert_allclose(loss_tp, loss_dp, rtol=1e-5)
     # atol 5e-4 = half an Adam step of lr=1e-3: near-zero weights whose tiny
     # gradients flip sign under a different reduction order move that much.
