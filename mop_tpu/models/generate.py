@@ -33,6 +33,13 @@ def generate(
     Greedy when ``temperature == 0`` or no rng given. The context is a fixed
     (B, block_size) ring: static shapes throughout, so the whole loop jits as
     one ``lax.scan``. Returns (B, T0 + max_new_tokens).
+
+    Design note (why no KV cache): the reference's attention standardizes
+    each score row over ALL columns BEFORE the causal mask
+    (``quartet_attn_patch.py:95-98``), so a row's statistics depend on the
+    not-yet-generated positions' keys, which themselves shift whenever a new
+    token lands. Any incremental cache is therefore approximate by
+    construction; this full-window scan is the exact semantics.
     """
     block = model.config.block_size
     b, t0 = prompt.shape
