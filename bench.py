@@ -71,9 +71,10 @@ def measure_ours() -> tuple[float, int]:
         0, 256, (K, batch, 3, 32, 32), dtype=np.uint8)
     yk = np.random.RandomState(1).randint(0, NCLASSES, (K, batch)).astype(np.int32)
 
-    params = model.init(
-        {"params": rng, "dropout": rng}, jnp.zeros((batch, 3, 32, 32)), train=True
-    )
+    from mop_tpu.utils import jitted_init
+    params = jitted_init(
+        model, {"params": rng, "dropout": rng}, jnp.zeros((batch, 3, 32, 32)),
+        train=True)
     tx = optax.adamw(3e-3, weight_decay=0.05)
     opt_state = tx.init(params)
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import optax
 
 from mop_tpu.data import BatchIterator, eval_batches, load_cifar, train_val_split
+from mop_tpu.utils import jitted_init
 from mop_tpu.ops.preprocess import (
     CIFAR10_MEAN,
     CIFAR10_STD,
@@ -318,6 +319,44 @@ def make_opt(lr: float, steps: int, warmup_frac: float, weight_decay: float):
     )
 
 
+# Jitted steps cached across seeds: flax module dataclasses hash by field
+# values, so identical model configs share one compiled executable. Without
+# this every seed builds fresh closures -> fresh jit identities -> a full
+# recompile + executable load (~40-55 s each through the axon tunnel) per
+# model per seed.
+_STEP_CACHE: Dict = {}
+
+
+def _cached_steps(model, lr, steps, warmup_frac, weight_decay, mesh, mean,
+                  std, augment, grad_clip):
+    try:
+        key = (model, lr, steps, warmup_frac, weight_decay, id(mesh),
+               tuple(np.asarray(mean).ravel()), tuple(np.asarray(std).ravel()),
+               augment, grad_clip)
+        hash(key)
+    except TypeError:
+        # Model with unhashable fields (e.g. list-valued lens dilations):
+        # build fresh, uncached.
+        tx = make_opt(lr, steps, warmup_frac, weight_decay)
+        return (
+            tx,
+            make_classifier_train_step(
+                model, tx, mesh, mean, std, augment=augment,
+                grad_clip=grad_clip),
+            make_classifier_eval_step(model, mesh, mean, std),
+        )
+    if key not in _STEP_CACHE:
+        tx = make_opt(lr, steps, warmup_frac, weight_decay)
+        _STEP_CACHE[key] = (
+            tx,
+            make_classifier_train_step(
+                model, tx, mesh, mean, std, augment=augment,
+                grad_clip=grad_clip),
+            make_classifier_eval_step(model, mesh, mean, std),
+        )
+    return _STEP_CACHE[key]
+
+
 class ModelRun:
     """One model in a lockstep comparison: def + params + opt + steps."""
 
@@ -327,15 +366,17 @@ class ModelRun:
         self.model = model
         rng = jax.random.PRNGKey(seed)
         x0 = jnp.zeros((2, 3, 32, 32), jnp.float32)
-        params = model.init({"params": rng, "dropout": rng}, x0, train=True)
+        # Jitted init: eager init pays per-op tunnel latency (~45 s for the
+        # 5M ViT on the axon backend vs ~5 s jitted; mop_tpu/utils/init.py).
+        params = jitted_init(model, {"params": rng, "dropout": rng}, x0,
+                             train=True)
         self.n_params = count_parameters(params)
-        tx = make_opt(lr, steps, warmup_frac, weight_decay)
+        tx, self.train_step, self.eval_step = _cached_steps(
+            model, lr, mesh=mesh, mean=mean, std=std, steps=steps,
+            warmup_frac=warmup_frac, weight_decay=weight_decay,
+            augment=augment, grad_clip=grad_clip)
         self.params = replicate(params, mesh)
         self.opt_state = replicate(tx.init(params), mesh)
-        self.train_step = make_classifier_train_step(
-            model, tx, mesh, mean, std, augment=augment, grad_clip=grad_clip
-        )
-        self.eval_step = make_classifier_eval_step(model, mesh, mean, std)
         self.rng = rng
         self._mean_std = (mean, std)
         self.last_loss = float("nan")

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from experiments import common as C
+from mop_tpu.utils import jitted_init
 from mop_tpu.data.cifar import BatchIterator, eval_batches
 from mop_tpu.data.imagenet import (
     has_imagefolder,
@@ -212,7 +213,7 @@ def main():
             for key in model_keys:
                 model = make_model(key)
                 x0 = jnp.zeros((2, 3, args.img_size, args.img_size))
-                p = model.init({"params": rng, "dropout": rng}, x0, train=True)
+                p = jitted_init(model, {"params": rng, "dropout": rng}, x0, train=True)
                 tx = C.make_opt(lr_current, args.steps, args.warmup_frac,
                                 args.weight_decay)
                 params_by_key[key] = (replicate(p, mesh), replicate(tx.init(p), mesh))

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from experiments import common as C
+from mop_tpu.utils import jitted_init
 from mop_tpu.data.voc import has_real_voc, load_voc_boxes, synthetic_voc
 from mop_tpu.models.vit_localizer import ViTLocalizer, bbox_iou, smooth_l1
 from mop_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, normalize, to_float
@@ -102,7 +103,7 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((2, 3, args.img_size, args.img_size))
-    params = model.init({"params": rng, "dropout": rng}, x0, train=True)
+    params = jitted_init(model, {"params": rng, "dropout": rng}, x0, train=True)
     n_batches = max(1, len(tx_img) // args.batch)
     total_steps = args.epochs * n_batches
     tx = C.make_opt(args.lr, total_steps, args.warmup_frac, args.weight_decay)

@@ -25,6 +25,7 @@ from ..parallel import (
     replicate,
     shard_batch,
 )
+from ..utils import jitted_init
 from .utils import cosine_lr, count_params
 
 
@@ -57,7 +58,7 @@ class Trainer:
 
     def init(self, rng, sample_shape=(2, 3, 32, 32)):
         x = jnp.zeros(sample_shape, jnp.float32)
-        params = self.model.init({"params": rng, "dropout": rng}, x, train=True)
+        params = jitted_init(self.model, {"params": rng, "dropout": rng}, x, train=True)
         return replicate(params, self.mesh)
 
     def setup_optimizer(self, tx: optax.GradientTransformation, params):

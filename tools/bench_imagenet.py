@@ -71,8 +71,9 @@ def main():
         0, 256, (b, 3, args.img, args.img), dtype=np.uint8)
     y = np.random.RandomState(1).randint(
         0, args.n_classes, (b,)).astype(np.int32)
-    params = model.init({"params": rng, "dropout": rng},
-                        jnp.zeros((2, 3, args.img, args.img)), train=True)
+    from mop_tpu.utils import jitted_init
+    params = jitted_init(model, {"params": rng, "dropout": rng},
+                         jnp.zeros((2, 3, args.img, args.img)), train=True)
     n_params = sum(v.size for v in jax.tree_util.tree_leaves(params))
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)

@@ -70,7 +70,8 @@ def bench_gpt_ours():
     idx = np.random.RandomState(0).randint(
         0, c["vocab"], (b, c["block_size"])).astype(np.int32)
     tgt = np.roll(idx, -1, axis=-1)
-    params = model.init(rng, jnp.asarray(idx[:2]))
+    from mop_tpu.utils import jitted_init
+    params = jitted_init(model, rng, jnp.asarray(idx[:2]))
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     tx = optax.adamw(3e-4, weight_decay=0.1)
     opt = tx.init(params)
@@ -126,7 +127,8 @@ def bench_whisper_ours():
     mel = rs.randn(b, c["t_audio"], c["n_mels"]).astype(np.float32)
     ids = rs.randint(0, c["vocab"], (b, c["t_text"])).astype(np.int32)
     tgt = np.roll(ids, -1, axis=-1)
-    params = model.init(rng, jnp.asarray(mel[:2]), jnp.asarray(ids[:2]))
+    from mop_tpu.utils import jitted_init
+    params = jitted_init(model, rng, jnp.asarray(mel[:2]), jnp.asarray(ids[:2]))
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     tx = optax.adamw(3e-4, weight_decay=0.1)
 
