@@ -40,6 +40,28 @@ class _Config:
 config = _Config()
 
 
+def _setup_compilation_cache() -> None:
+    """Opt-in persistent XLA compilation cache (MOP_TPU_COMPILE_CACHE=<dir>).
+
+    Caches compiled executables across processes, cutting the ~13 s XLA
+    compile of the 5M train step on repeat runs (the per-process executable
+    load through the tunnel is not cacheable). Set to a directory path to
+    enable; unset/empty disables. Safe to call before backend init."""
+    cache_dir = os.environ.get("MOP_TPU_COMPILE_CACHE", "")
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - best effort
+        pass
+
+
+_setup_compilation_cache()
+
+
 def use_fused_attention() -> bool:
     return config.fused_attention
 
