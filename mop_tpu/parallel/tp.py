@@ -77,7 +77,10 @@ def tp_param_shardings(params, mesh: Mesh, rules: Optional[Sequence] = None):
         spec = _spec_for(path, leaf.shape, rules)
         if spec != P():
             axis = 0 if spec[0] == MODEL_AXIS else len(spec) - 1
-            if leaf.ndim < 2 or leaf.shape[axis] % m != 0:
+            # Matmul kernels only: a name-matched conv kernel (e.g. the
+            # PatchEmbed 'proj', HWIO 4-D) must not get its spatial dims
+            # split. Non-dividing dims also fall back to replication.
+            if leaf.ndim != 2 or leaf.shape[axis] % m != 0:
                 spec = P()
         return NamedSharding(mesh, spec)
 
