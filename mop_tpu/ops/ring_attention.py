@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 Array = jax.Array
 
 
-def _ring_body(q, k, v, scale, axis_name: str, causal: bool, n_local: int):
+def _ring_body(q, k, v, scale, axis_name: str, causal: bool):
     """Per-shard ring loop. q/k/v: (B, H, Nl, dk) local blocks."""
     s_size = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
@@ -89,8 +89,7 @@ def ring_attention(
     s_size = mesh.shape[axis]
     assert n % s_size == 0, (n, s_size)
     sc = (1.0 / jnp.sqrt(dk)) if scale is None else scale
-    body = partial(_ring_body, scale=sc, axis_name=axis, causal=causal,
-                   n_local=n // s_size)
+    body = partial(_ring_body, scale=sc, axis_name=axis, causal=causal)
     spec = P(None, None, axis, None)
     return jax.shard_map(
         body,

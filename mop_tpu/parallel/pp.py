@@ -111,6 +111,10 @@ def make_pp_lm_train_step(
     S = mesh.shape[MODEL_AXIS]
     M = n_microbatches
     assert cfg.n_layer % S == 0, (cfg.n_layer, S)
+    assert cfg.dropout == 0.0, (
+        "pipeline stages run deterministically (no per-stage dropout rngs "
+        "are threaded through the schedule); use cfg.dropout=0.0"
+    )
     l_per = cfg.n_layer // S
 
     def stage_fn(stage_params, x):

@@ -106,6 +106,40 @@ def test_expert_parallel_moe_matches_dense(model_parallel):
     np.testing.assert_allclose(np.asarray(ep), np.asarray(dense), atol=1e-5)
 
 
+def test_expert_parallel_moe_grads_match_dense():
+    """Training THROUGH the expert-parallel path: grads wrt x/w1/w2 must
+    equal the dense compute-all-experts path (the all_to_all pair and the
+    capacity scatter/gather all have exact transposes)."""
+    from mop_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_devices=8, model_parallel=8)
+    rng = jax.random.PRNGKey(0)
+    t, d, e, hdim = 64, 16, 8, 32
+    x = jax.random.normal(rng, (t, d))
+    gate_w = jax.random.normal(jax.random.fold_in(rng, 1), (d, e)) * 0.1
+    gate_b = jnp.zeros((e,))
+    w1 = jax.random.normal(jax.random.fold_in(rng, 2), (e, d, hdim)) * 0.1
+    w2 = jax.random.normal(jax.random.fold_in(rng, 3), (e, hdim, d)) * 0.1
+    w = jnp.cos(jnp.arange(d, dtype=jnp.float32))
+
+    def loss_ep(x, w1, w2):
+        with mesh:
+            out = moe.expert_parallel_top1_mlp(
+                x, gate_w, gate_b, w1, w2, jax.nn.gelu, mesh,
+                capacity_factor=float(e))
+        return jnp.sum(out * w)
+
+    def loss_dense(x, w1, w2):
+        return jnp.sum(moe.dense_top1_mlp(
+            x, gate_w, gate_b, w1, w2, jax.nn.gelu) * w)
+
+    g_ep = jax.grad(loss_ep, argnums=(0, 1, 2))(x, w1, w2)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(x, w1, w2)
+    for a, b in zip(g_ep, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_expert_parallel_moe_drops_overflow():
     from mop_tpu.parallel import make_mesh
 
