@@ -388,12 +388,17 @@ def _edgewise_math(q, k, v, wrow, brow, wcol, bcol, w, *, scale, beta_not,
                    n_views, gate_rank):
     """The full E-mode lowrank pipeline on per-program VALUES.
 
-    q/k/v: (V, N, dk) fp32. Returns y: (N, dk) fp32. Shared by the forward
-    kernel and the fused backward kernel (which differentiates this function
-    with ``jax.vjp`` *inside* the kernel body, so every N x N residual and
-    cotangent lives only in VMEM).
+    q/k/v: (V, N, dk) in the COMPUTE dtype (bf16 at train time, fp32 in the
+    numerics tests). Matmuls take the input dtype with fp32 accumulation —
+    upcasting operands to fp32 first would run the MXU at a fraction of peak
+    (same rule as the flash kernel); softmax statistics, the gate head, and
+    the logit algebra stay fp32. Returns y: (N, dk) fp32. Shared by the
+    forward kernel and the fused backward kernel (which differentiates this
+    function with ``jax.vjp`` *inside* the kernel body, so every N x N
+    residual and cotangent lives only in VMEM).
     """
     f32 = jnp.float32
+    cdt = q.dtype  # MXU operand dtype
     V = n_views
     r = gate_rank
 
@@ -407,16 +412,20 @@ def _edgewise_math(q, k, v, wrow, brow, wcol, bcol, w, *, scale, beta_not,
 
     s_list, a_list = [], []
     for i in range(V):
-        s = dot_nt(q[i] * scale, k[i])
+        s = dot_nt(q[i] * jnp.asarray(scale, cdt), k[i])
         s_list.append(s)
         a_list.append(jax.nn.softmax(s, axis=-1))
 
-    c_fwd = a_list[0]
-    for i in range(1, V):
-        c_fwd = dot(c_fwd, a_list[i])
-    c_bwd = a_list[-1]
-    for i in range(V - 2, -1, -1):
-        c_bwd = dot(c_bwd, a_list[i])
+    ac_list = [a.astype(cdt) for a in a_list]
+    if V == 1:
+        c_fwd = c_bwd = a_list[0]
+    else:
+        c_fwd = dot(ac_list[0], ac_list[1])
+        for i in range(2, V):
+            c_fwd = dot(c_fwd.astype(cdt), ac_list[i])
+        c_bwd = dot(ac_list[-1], ac_list[-2])
+        for i in range(V - 3, -1, -1):
+            c_bwd = dot(c_bwd.astype(cdt), ac_list[i])
     log_cf = jnp.log(c_fwd + 1e-6)
     log_cb = jnp.log(c_bwd + 1e-6)
 
@@ -461,6 +470,7 @@ def _edgewise_dense_math(q, k, v, *ws, scale, beta_not, n_views):
     ws: (w1 (C, hidden), b1, w2 (hidden, 4), b2, chain_w scalar).
     """
     f32 = jnp.float32
+    cdt = q.dtype
     V = n_views
     w1, b1, w2, b2, w = ws
 
@@ -474,15 +484,19 @@ def _edgewise_dense_math(q, k, v, *ws, scale, beta_not, n_views):
 
     s_list, a_list = [], []
     for i in range(V):
-        s = dot_nt(q[i] * scale, k[i])
+        s = dot_nt(q[i] * jnp.asarray(scale, cdt), k[i])
         s_list.append(s)
         a_list.append(jax.nn.softmax(s, axis=-1))
-    c_fwd = a_list[0]
-    for i in range(1, V):
-        c_fwd = dot(c_fwd, a_list[i])
-    c_bwd = a_list[-1]
-    for i in range(V - 2, -1, -1):
-        c_bwd = dot(c_bwd, a_list[i])
+    ac_list = [a.astype(cdt) for a in a_list]
+    if V == 1:
+        c_fwd = c_bwd = a_list[0]
+    else:
+        c_fwd = dot(ac_list[0], ac_list[1])
+        for i in range(2, V):
+            c_fwd = dot(c_fwd.astype(cdt), ac_list[i])
+        c_bwd = dot(ac_list[-1], ac_list[-2])
+        for i in range(V - 3, -1, -1):
+            c_bwd = dot(c_bwd.astype(cdt), ac_list[i])
     log_cf = jnp.log(c_fwd + 1e-6)
     log_cb = jnp.log(c_bwd + 1e-6)
 
@@ -516,8 +530,10 @@ def _gelu_tanh(x):
 def _edgewise_output(s_list, a_list, g_and, g_or, g_not, g_chain, log_cf, v,
                      w, beta_not, V):
     """Gated logit mix + final softmax + chained value transport (shared by
-    the lowrank and dense gate heads)."""
+    the lowrank and dense gate heads). Logit algebra in fp32; the value
+    matmuls take the compute dtype (bf16 at train) with fp32 accumulation."""
     f32 = jnp.float32
+    cdt = v.dtype
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -541,8 +557,9 @@ def _edgewise_output(s_list, a_list, g_and, g_or, g_not, g_chain, log_cf, v,
 
     transport = v[V - 1]
     for i in range(V - 1, 0, -1):
-        transport = dot(a_list[i], transport)
-    return dot(att, v[0]) + w * dot(a_list[0], transport)
+        transport = dot(a_list[i].astype(cdt), transport.astype(cdt))
+    return (dot(att.astype(cdt), v[0])
+            + w * dot(a_list[0].astype(cdt), transport.astype(cdt)))
 
 
 # --- generic per-(batch*head) fwd/bwd plumbing over an arbitrary weight list ---
@@ -554,9 +571,10 @@ def _edgewise_generic_fwd_kernel(*refs, math, n_weights):
     w_refs = refs[3:3 + n_weights]
     s_ref = refs[3 + n_weights]
     o_ref = refs[4 + n_weights]
+    # Weights/stats in fp32; q/k/v stay in their input dtype so the MXU runs
+    # bf16 matmuls at train time (math casts per-site).
     ws = [r[:].astype(f32) for r in w_refs]
-    y = math(q_ref[0].astype(f32), k_ref[0].astype(f32),
-             v_ref[0].astype(f32), *ws, s_ref[0, 0])
+    y = math(q_ref[0], k_ref[0], v_ref[0], *ws, s_ref[0, 0])
     o_ref[0] = y.astype(o_ref.dtype)
 
 
@@ -582,8 +600,7 @@ def _edgewise_generic_bwd_kernel(*refs, math, n_weights):
     ds_ref = refs[8 + 2 * n_weights]
 
     ws = [r[:].astype(f32) for r in w_refs]
-    _, vjp = jax.vjp(math, q_ref[0].astype(f32), k_ref[0].astype(f32),
-                     v_ref[0].astype(f32), *ws, s_ref[0, 0])
+    _, vjp = jax.vjp(math, q_ref[0], k_ref[0], v_ref[0], *ws, s_ref[0, 0])
     grads = vjp(do_ref[0].astype(f32))
     dq_ref[0] = grads[0].astype(dq_ref.dtype)
     dk_ref[0] = grads[1].astype(dk_ref.dtype)

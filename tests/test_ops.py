@@ -322,6 +322,39 @@ def test_fused_edgewise_grads_match_reference(monkeypatch):
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_fused_edgewise_bf16_operands_close_to_fp32(monkeypatch):
+    """The kernel's MXU matmuls take the input dtype (bf16 at train) with
+    fp32 accumulation; softmax/gate/logit algebra stays fp32. bf16-input
+    results must track the fp32 path within bf16 resolution."""
+    from mop_tpu.ops import fused as F2
+
+    rng = jax.random.PRNGKey(0)
+    b, h, v_, n, dk = 1, 2, 3, 16, 8
+    r = 2
+    qs = jax.random.normal(rng, (b, h, v_, n, dk))
+    ks = jax.random.normal(jax.random.fold_in(rng, 1), (b, h, v_, n, dk))
+    vs = jax.random.normal(jax.random.fold_in(rng, 2), (b, h, v_, n, dk))
+    c = 2 * v_ + 2
+    wrow = jax.random.normal(jax.random.fold_in(rng, 3), (c, 4 * r)) * 0.3
+    brow = jnp.zeros((4 * r,))
+    wcol = jax.random.normal(jax.random.fold_in(rng, 4), (c, 4 * r)) * 0.3
+    bcol = jnp.zeros((4 * r,))
+
+    def run(dtype):
+        with pltpu.force_tpu_interpret_mode():
+            return F2.fused_edgewise_lowrank_attention(
+                qs.astype(dtype), ks.astype(dtype), vs.astype(dtype),
+                wrow, brow, wcol, bcol, beta_not=0.5,
+                chain_w=jnp.asarray(0.3), force=True)
+
+    monkeypatch.setattr(F2, "_on_tpu", lambda: True)
+    y32 = run(jnp.float32)
+    y16 = run(jnp.bfloat16)
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y16, np.float32), np.asarray(y32),
+                               atol=0.05, rtol=0.05)
+
+
 @pytest.mark.parametrize("use_k3", [False, True])
 def test_fused_edgewise_dense_fwd_and_grads(monkeypatch, use_k3):
     """Dense-gate fused kernel (eval dispatch — measured to win fwd-only,
