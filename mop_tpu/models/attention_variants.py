@@ -398,11 +398,12 @@ class EdgewiseMSA(nn.Module):
             if y is not None:
                 y = Linear(d, use_bias=False, name="proj")(_merge_heads(y))
                 return nn.Dropout(self.proj_drop, deterministic=not train)(y)
-        # Dense head: fused at EVAL only. Measured min-of-3 on v5e at the 5M
-        # config (benchmarks/edgewise_train_kernel_dense.md): eval fwd 30.4 vs
-        # 37.3 ms (fused 1.23x) but train step 118.0 vs 67.7 ms (XLA 1.7x) —
-        # the scalar-weighted gate-head sums are VPU-bound and lose to XLA's
-        # MXU-batched convs once the backward doubles them.
+        # Dense head: fused at EVAL only. Re-measured after the bf16-MXU-
+        # operand change (min-of-3 on v5e at the 5M config,
+        # benchmarks/edgewise_train_kernel_dense.md): train step 113.2 vs
+        # 67.2 ms — XLA still wins 1.68x because the scalar-weighted
+        # gate-head sums are VPU-bound (matmul dtype was never the dense
+        # kernel's bottleneck) and the backward doubles them.
         if fused_ok and self.gate_mode == "dense" and not train:
             w1, b1, w2, b2, wk3, bk3 = head.dense_params()
             y = F.fused_edgewise_dense_attention(

@@ -251,11 +251,15 @@ def flash_attention(
 
 def _multihop_kernel(q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref, w_ref,
                      o_ref, *, scale, gates, beta_not, hops):
+    # MXU matmuls take the input dtype (bf16 at bf16 compute) with fp32
+    # accumulation — upcasting operands first runs the MXU far below peak.
+    # Softmax statistics and the logit algebra stay fp32.
     f32 = jnp.float32
-    q1 = q1_ref[0].astype(f32) * scale
-    k1 = k1_ref[0].astype(f32)
-    q2 = q2_ref[0].astype(f32) * scale
-    k2 = k2_ref[0].astype(f32)
+    cdt = q1_ref.dtype
+    q1 = q1_ref[0] * jnp.asarray(scale, cdt)
+    k1 = k1_ref[0]
+    q2 = q2_ref[0] * jnp.asarray(scale, cdt)
+    k2 = k2_ref[0]
 
     def dot_nt(a, b):  # a @ b.T
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
@@ -269,9 +273,11 @@ def _multihop_kernel(q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref, w_ref,
     s2 = dot_nt(q2, k2)
     a1 = jax.nn.softmax(s1, axis=-1)
     a2 = jax.nn.softmax(s2, axis=-1)
-    c_fwd = dot(a1, a2)
+    a1c = a1.astype(cdt)
+    a2c = a2.astype(cdt)
+    c_fwd = dot(a1c, a2c)
     for _ in range(max(0, hops - 2)):
-        c_fwd = dot(c_fwd, a2)
+        c_fwd = dot(c_fwd.astype(cdt), a2c)
     smix = gates.get("base", 1.0) * s1
     smix = smix + gates.get("and_", 1.0) * s2
     smix = smix + gates.get("or_", 0.0) * (jnp.logaddexp(s1, s2) - s1)
@@ -279,12 +285,12 @@ def _multihop_kernel(q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref, w_ref,
     smix = smix + gates.get("chain", 0.0) * jnp.log(c_fwd + 1e-6)
     a = jax.nn.softmax(smix, axis=-1)
 
-    v1 = v1_ref[0].astype(f32)
-    v2 = v2_ref[0].astype(f32)
+    v1 = v1_ref[0]
+    v2 = v2_ref[0]
     transport = v2
     for _ in range(max(0, hops - 1)):
-        transport = dot(a2, transport)
-    y = dot(a, v1) + w_ref[0, 0] * dot(a1, transport)
+        transport = dot(a2c, transport.astype(cdt))
+    y = dot(a.astype(cdt), v1) + w_ref[0, 0] * dot(a1c, transport.astype(cdt))
     o_ref[0] = y.astype(o_ref.dtype)
 
 
@@ -823,8 +829,12 @@ def _quartet_kernel(q_ref, k_ref, v_ref, q2_ref, k2_ref, mix_ref, o_ref, *,
         var = jnp.sum(jnp.square(s - mu), axis=-1, keepdims=True) / max(1, n - 1)
         return (s - mu) / (jnp.sqrt(var) + eps)
 
-    s1 = standardize(dot_nt(q_ref[0].astype(f32) * scale, k_ref[0].astype(f32)))
-    s2 = standardize(dot_nt(q2_ref[0].astype(f32) * scale, k2_ref[0].astype(f32)))
+    # Dots take the input dtype (bf16 at bf16 compute) with fp32 accumulation;
+    # standardization/softmax statistics stay fp32.
+    cdt = q_ref.dtype
+    sc = jnp.asarray(scale, cdt)
+    s1 = standardize(dot_nt(q_ref[0] * sc, k_ref[0]))
+    s2 = standardize(dot_nt(q2_ref[0] * sc, k2_ref[0]))
     m = mix_ref[0, 0]
     qscale = mix_ref[0, 1]
     scores = (1.0 - m) * s1 + m * (s1 * s2) * qscale
@@ -832,7 +842,7 @@ def _quartet_kernel(q_ref, k_ref, v_ref, q2_ref, k2_ref, mix_ref, o_ref, *,
     cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(rows >= cols, scores, -jnp.inf)
     att = jax.nn.softmax(scores, axis=-1)
-    o_ref[0] = dot(att, v_ref[0].astype(f32)).astype(o_ref.dtype)
+    o_ref[0] = dot(att.astype(cdt), v_ref[0]).astype(o_ref.dtype)
 
 
 def fused_quartet_attention(
