@@ -23,12 +23,16 @@ class _Config:
     def __init__(self):
         # Fused Pallas flash attention for single-view attention paths.
         self.fused_attention = _env_flag("MOP_TPU_FUSED_ATTENTION", True)
-        # Fused multi-hop/two-hop and quartet kernels: opt-in. Model-level
-        # min-of-3 on v5e shows XLA autofusion beats the per-(B,H) whole-matrix
-        # kernel for these (ViTMultiHop eval fwd 5.2ms XLA vs 11.2ms fused);
-        # only the edgewise-lowrank kernel wins (22.1 vs 36.3ms, 1.65x).
+        # Fused multi-hop kernel: opt-in. Model-level min-of-3 on v5e (after
+        # the bf16-MXU-operand change): ViTMultiHop eval fwd 7.36 ms XLA vs
+        # 12.56 ms fused — XLA autofusion still wins this shape
+        # (benchmarks/quartet_multihop_dispatch.md).
         self.fused_multihop = _env_flag("MOP_TPU_FUSED_MULTIHOP", False)
-        self.fused_quartet = _env_flag("MOP_TPU_FUSED_QUARTET", False)
+        # Fused quartet kernel: ON by default since bf16 MXU operands — GPT
+        # quartet LM eval fwd (n_embd=384, T=256, batch 64): 10.15 ms XLA vs
+        # 8.61 ms fused = 1.18x (same doc). Inference dispatch only; training
+        # uses XLA autodiff over the reference composition.
+        self.fused_quartet = _env_flag("MOP_TPU_FUSED_QUARTET", True)
         # Fused edgewise backward (in-kernel VJP) at train time. Default set
         # by measurement on v5e (see benchmarks/edgewise_train_kernel.md).
         self.fused_edgewise_train = _env_flag(
