@@ -322,6 +322,70 @@ def test_fused_edgewise_grads_match_reference(monkeypatch):
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.parametrize("n,dk,v_,r", [
+    (8, 4, 2, 1), (32, 16, 4, 4), (64, 8, 5, 2), (128, 32, 3, 4),
+])
+def test_fused_edgewise_shape_sweep_matches_composed(monkeypatch, n, dk, v_, r):
+    """Interpret-mode sweep across the dispatch envelope (N, dk, views,
+    rank): kernel forward must match the composed XLA math everywhere."""
+    from mop_tpu.ops import attention as A2
+    from mop_tpu.ops import fused as F2
+
+    rng = jax.random.PRNGKey(n * 1000 + dk)
+    b, h = 1, 2
+    qs = jax.random.normal(rng, (b, h, v_, n, dk))
+    ks = jax.random.normal(jax.random.fold_in(rng, 1), (b, h, v_, n, dk))
+    vs = jax.random.normal(jax.random.fold_in(rng, 2), (b, h, v_, n, dk))
+    c = 2 * v_ + 2
+    wrow = jax.random.normal(jax.random.fold_in(rng, 3), (c, 4 * r)) * 0.3
+    brow = jnp.linspace(-0.5, 0.5, 4 * r)
+    wcol = jax.random.normal(jax.random.fold_in(rng, 4), (c, 4 * r)) * 0.3
+    bcol = jnp.linspace(0.5, -0.5, 4 * r)
+    beta_not, chain_w = 0.7, jnp.asarray(0.4)
+
+    monkeypatch.setattr(F2, "_on_tpu", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        y_fused = F2.fused_edgewise_lowrank_attention(
+            qs, ks, vs, wrow, brow, wcol, bcol, beta_not=beta_not,
+            chain_w=chain_w, force=True)
+
+    # Composed reference: same math via ops.attention primitives.
+    s_list = [A2.scaled_scores(qs[:, :, i], ks[:, :, i]) for i in range(v_)]
+    a_list = [jax.nn.softmax(s, -1) for s in s_list]
+    c_fwd = A2.chain_product(a_list)
+    log_cf = jnp.log(c_fwd + 1e-6)
+    log_cb = jnp.log(A2.chain_product(a_list[::-1]) + 1e-6)
+    rowf = jnp.concatenate(
+        [jnp.mean(s, -1, keepdims=True) for s in s_list]
+        + [jnp.mean(s, -2, keepdims=True).swapaxes(-1, -2) for s in s_list]
+        + [jnp.mean(log_cf, -1, keepdims=True),
+           jnp.mean(log_cb, -1, keepdims=True)], -1)
+    colf = jnp.concatenate(
+        [jnp.mean(s, -2, keepdims=True).swapaxes(-1, -2) for s in s_list]
+        + [jnp.mean(s, -1, keepdims=True) for s in s_list]
+        + [jnp.mean(log_cf, -2, keepdims=True).swapaxes(-1, -2),
+           jnp.mean(log_cb, -2, keepdims=True).swapaxes(-1, -2)], -1)
+    a_fac = rowf @ wrow + brow
+    b_fac = colf @ wcol + bcol
+    gates = [jax.nn.sigmoid(jnp.einsum(
+        "...nr,...mr->...nm", a_fac[..., i * r:(i + 1) * r],
+        b_fac[..., i * r:(i + 1) * r])) for i in range(4)]
+    s1 = s_list[0]
+    s_sum = sum(s_list)
+    lse = A2.lse_stack(s_list)
+    mean_others = (s_sum - s1) / max(1, v_ - 1)
+    smix = (s1 + gates[0] * (s_sum - s1) + gates[1] * (lse - s1)
+            - gates[2] * beta_not * mean_others + gates[3] * log_cf)
+    att = jax.nn.softmax(smix, -1)
+    transport = vs[:, :, v_ - 1]
+    for i in range(v_ - 1, 0, -1):
+        transport = jnp.einsum("...nm,...md->...nd", a_list[i], transport)
+    y_ref = (jnp.einsum("...nm,...md->...nd", att, vs[:, :, 0])
+             + chain_w * jnp.einsum("...nm,...md->...nd", a_list[0], transport))
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_fused_edgewise_bf16_operands_close_to_fp32(monkeypatch):
     """The kernel's MXU matmuls take the input dtype (bf16 at train) with
     fp32 accumulation; softmax/gate/logit algebra stays fp32. bf16-input
