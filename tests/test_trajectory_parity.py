@@ -117,6 +117,25 @@ def test_gpt_lockstep_trajectory_matches_torch(name):
     assert golden[-1] < golden[0] - 0.2  # the task is actually learned
 
 
+@pytest.mark.parametrize("name", ["C", "D", "E_lowrank", "E_dense"])
+def test_msa_variant_lockstep_trajectory_matches_torch(name):
+    """The attention-variant MODULES themselves (CrossView / MultiHop /
+    Edgewise lowrank+dense) trained lockstep vs the torch reference library
+    classes — pins the raw C/D/E training math (grads through the score
+    algebra, gate heads, chain products) plus AdamW, independent of any
+    surrounding ViT."""
+    from tools.trajectory_parity import (MSA_CONFIG, make_msa_batches,
+                                         msa_jax_model, train_jax_msa)
+
+    sd, golden = _load_golden("trajectory_msa", name)
+    xs, ys = make_msa_batches(MSA_CONFIG)
+    ours = _with_exact_math(
+        lambda: train_jax_msa(msa_jax_model(MSA_CONFIG, name), sd, xs, ys))
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours[:SPLIT], golden[:SPLIT], rtol=RTOL_EARLY)
+    np.testing.assert_allclose(ours[SPLIT:], golden[SPLIT:], rtol=RTOL_LATE)
+
+
 @pytest.mark.parametrize("name", ["base", "mop"])
 def test_whisper_lockstep_trajectory_matches_torch(name):
     from tools.trajectory_parity import (WHISPER_CONFIGS,

@@ -18,6 +18,9 @@ Families:
   --family vit      (default) A = ViT_Baseline, B = ViT_MoP
   --family gpt      base / quartet / mop (TinyTransformerLM + GPT_MoP)
   --family whisper  base (zeroed alphas) / mop (WhisperMoP)
+  --family msa      the attention-variant modules themselves: C (CrossView),
+                    D (MultiHop), E lowrank + E dense — trained lockstep on a
+                    regression task, pinning the raw variant math + grads
 """
 
 from __future__ import annotations
@@ -368,6 +371,120 @@ def train_jax_whisper(model, torch_sd, mels, idss, ys):
     return np.asarray(losses, np.float64)
 
 
+# ------------------------- MSA variant modules -------------------------
+
+MSA_CONFIG = dict(dim=32, heads=4, batch=8, n_tokens=16, steps=30)
+
+MSA_KWARGS = {
+    # fixed anchor: argmax_row_sum tie-breaks on float noise cross-framework
+    "C": dict(use_transpose_cues=True, t1=0.1, t2=0.2,
+              enable_per_key_prior=True, prior_weight=0.3,
+              anchor_mode="fixed", fixed_k_star=1),
+    "D": dict(beta_not=0.5,
+              gates=dict(base=1.0, and_=0.7, or_=0.3, not_=0.2, chain=0.4),
+              hops=2),
+    "E_lowrank": dict(n_views=3, share_qkv=True, gate_mode="lowrank",
+                      gate_rank=2, gate_init="mix5", beta_not=0.5),
+    "E_dense": dict(n_views=3, use_k3=True, gate_mode="dense",
+                    gate_init="and", beta_not=0.5),
+}
+
+
+def make_msa_batches(cfg, seed=0):
+    rs = np.random.RandomState(seed)
+    s, b, n, d = cfg["steps"], cfg["batch"], cfg["n_tokens"], cfg["dim"]
+    x = rs.randn(s, b, n, d).astype(np.float32) * 0.5
+    # Learnable target: a mild fixed linear map plus the token-mean (an
+    # attention module reaches both easily, so the loss actually falls and
+    # the lockstep comparison exercises real learning dynamics).
+    w = (np.eye(d) * 0.3 + rs.randn(d, d) * 0.05).astype(np.float32)
+    y = x @ w + 0.2 * x.mean(axis=2, keepdims=True)
+    return x, y
+
+
+def _msa_gate_kwargs(name, kw):
+    """The reference's MultiHop gate dict uses keys base/and_/or_/not_/chain
+    on BOTH sides (same naming), so kwargs pass through unchanged."""
+    return dict(kw)
+
+
+def msa_torch_models(cfg, seed=0):
+    import torch
+
+    sys.path.insert(0, REF)
+    from mop.models.attention_variants import (CrossViewMixerMSA, EdgewiseMSA,
+                                               MultiHopMSA)
+
+    classes = {"C": CrossViewMixerMSA, "D": MultiHopMSA,
+               "E_lowrank": EdgewiseMSA, "E_dense": EdgewiseMSA}
+    out = {}
+    for name, cls in classes.items():
+        torch.manual_seed(seed)
+        out[name] = cls(dim=cfg["dim"], heads=cfg["heads"],
+                        **_msa_gate_kwargs(name, MSA_KWARGS[name]))
+    return out
+
+
+def msa_jax_model(cfg, name):
+    from mop_tpu.models import CrossViewMixerMSA, EdgewiseMSA, MultiHopMSA
+
+    classes = {"C": CrossViewMixerMSA, "D": MultiHopMSA,
+               "E_lowrank": EdgewiseMSA, "E_dense": EdgewiseMSA}
+    return classes[name](dim=cfg["dim"], heads=cfg["heads"],
+                         **_msa_gate_kwargs(name, MSA_KWARGS[name]))
+
+
+def train_torch_msa(model, xs, ys):
+    import torch
+
+    model.train()
+    opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=WD)
+    sch = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=xs.shape[0])
+    losses = []
+    for s in range(xs.shape[0]):
+        opt.zero_grad(set_to_none=True)
+        out = model(torch.from_numpy(xs[s]))
+        loss = torch.nn.functional.mse_loss(out, torch.from_numpy(ys[s]))
+        loss.backward()
+        opt.step()
+        sch.step()
+        losses.append(float(loss.item()))
+    return np.asarray(losses, np.float64)
+
+
+def train_jax_msa(model, torch_sd, xs, ys):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mop_tpu import config as mcfg
+    from mop_tpu.utils.torch_port import port_torch_state_dict
+
+    mcfg.config.fused_attention = False
+    steps = xs.shape[0]
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(xs[0]))
+    params = port_torch_state_dict(torch_sd, params)
+    tx = optax.adamw(optax.cosine_decay_schedule(LR, steps), weight_decay=WD)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt, xb, yb):
+        def lf(p):
+            out = model.apply(p, xb, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(0)})
+            return jnp.mean(jnp.square(out - yb))
+        loss, g = jax.value_and_grad(lf)(params)
+        u, opt2 = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt2, loss
+
+    losses = []
+    for s in range(steps):
+        params, opt, loss = step_fn(params, opt, jnp.asarray(xs[s]),
+                                    jnp.asarray(ys[s]))
+        losses.append(float(loss))
+    return np.asarray(losses, np.float64)
+
+
 # ------------------------------- driver -------------------------------
 
 
@@ -380,7 +497,7 @@ def _snapshot_sd(tm):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("5m", "small"), default="5m")
-    ap.add_argument("--family", choices=("vit", "gpt", "whisper"),
+    ap.add_argument("--family", choices=("vit", "gpt", "whisper", "msa"),
                     default="vit")
     args = ap.parse_args()
 
@@ -404,7 +521,7 @@ def main():
         run_jax = lambda name, sd: train_jax_lm(  # noqa: E731
             gpt_jax_model(cfg, name), sd, xs, ys)
         golden_prefix, csv_suffix = "trajectory_gpt", "_gpt"
-    else:
+    elif args.family == "whisper":
         cfg = WHISPER_CONFIGS[args.mode]
         mels, idss, ys = make_whisper_batches(cfg)
         tms = whisper_torch_models(cfg)
@@ -412,6 +529,14 @@ def main():
         run_jax = lambda name, sd: train_jax_whisper(  # noqa: E731
             whisper_jax_model(cfg, name), sd, mels, idss, ys)
         golden_prefix, csv_suffix = "trajectory_whisper", "_whisper"
+    else:
+        cfg = MSA_CONFIG  # one size; --mode only picks golden vs csv output
+        xs, ys = make_msa_batches(cfg)
+        tms = msa_torch_models(cfg)
+        run_torch = lambda tm: train_torch_msa(tm, xs, ys)  # noqa: E731
+        run_jax = lambda name, sd: train_jax_msa(  # noqa: E731
+            msa_jax_model(cfg, name), sd, xs, ys)
+        golden_prefix, csv_suffix = "trajectory_msa", "_msa"
 
     if args.mode == "small":
         os.makedirs(os.path.join(REPO, "tests", "golden"), exist_ok=True)
