@@ -28,20 +28,11 @@ TIMED_STEPS = 100
 SCAN_STEPS = 10  # device-side lax.scan steps per dispatch
 TIMED_WINDOWS = 3  # report the best window (axon tunnel jitter is up to 2x)
 
-# Peak dense bf16 TFLOPS per chip, by jax device_kind (public specs).
-PEAK_BF16_FLOPS = {
-    "TPU v5 lite": 197e12,  # v5e
-    "TPU v4": 275e12,
-    "TPU v5": 459e12,       # v5p
-    "TPU v6 lite": 918e12,  # v6e / Trillium
-}
-
-
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_ours() -> tuple[float, int]:
+def measure_ours() -> tuple[float, int, float | None]:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -106,10 +97,11 @@ def measure_ours() -> tuple[float, int]:
             window_dts.append(time.perf_counter() - t0)
         dt = min(window_dts)
 
-        # Model FLOPs from XLA's own cost analysis of the compiled dispatch,
+        # Model FLOPs from XLA's cost analysis of the ALREADY-jitted step,
         # for the MFU line. XLA counts the lax.scan body ONCE (trip count not
         # multiplied — verified: scanned == single-step flops), so the figure
-        # is already per-step.
+        # is already per-step. jit caches by trace signature, so this lower()
+        # reuses the compiled executable instead of recompiling.
         flops_per_step = None
         try:
             comp = step.lower(params, opt_state, xkb, ykb, rng).compile()
@@ -119,10 +111,12 @@ def measure_ours() -> tuple[float, int]:
         except Exception as e:  # noqa: BLE001
             log(f"cost_analysis unavailable: {e}")
 
+    from mop_tpu.utils.profiling import chip_peak_bf16_flops
+
     TIMED = n_super * K
     imgs_per_sec = batch * TIMED / dt
     mfu = None
-    peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+    peak = chip_peak_bf16_flops()
     if flops_per_step and peak:
         sec_per_step = dt / TIMED
         mfu = flops_per_step / sec_per_step / (peak * n_chips)

@@ -658,11 +658,16 @@ def _edgewise_io_specs(n, dk, nv, weights, bh):
 def _interpret_mode():
     """Current force-TPU-interpret state, captured so the backward kernel
     (traced AFTER any ``force_tpu_interpret_mode`` context has exited) runs
-    in the same mode as the forward."""
-    from jax._src import config as jax_config
+    in the same mode as the forward. Best-effort over a private jax config
+    attribute: if a jax upgrade moves it, default to compiled mode rather
+    than crashing the (default-on) fused dispatch path."""
+    try:
+        from jax._src import config as jax_config
 
-    v = jax_config.pallas_tpu_interpret_mode_context_manager.value
-    return v if v is not None else False
+        v = jax_config.pallas_tpu_interpret_mode_context_manager.value
+        return v if v is not None else False
+    except Exception:  # pragma: no cover - jax-version dependent
+        return False
 
 
 def _edgewise_custom_op(qs, ks, vs, weights, chain_w, math):

@@ -49,13 +49,12 @@ TP_RULES_DEFAULT: List[Tuple[str, P]] = [
 ]
 
 
-def _spec_for(path: str, shape, rules) -> P:
+def _spec_for(path: str, rules) -> P:
+    """First matching rule's spec; eligibility (ndim/divisibility) is decided
+    by the caller so the demotion logic lives in exactly one place."""
     for pat, spec in rules:
         if re.search(pat, path):
-            # Only shard if the split axis divides; otherwise replicate.
-            axis = 0 if spec[0] == MODEL_AXIS else len(spec) - 1
-            if len(shape) > axis:
-                return spec
+            return spec
     return P()
 
 
@@ -74,7 +73,7 @@ def tp_param_shardings(params, mesh: Mesh, rules: Optional[Sequence] = None):
         path = "/".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in path_entries
         )
-        spec = _spec_for(path, leaf.shape, rules)
+        spec = _spec_for(path, rules)
         if spec != P():
             axis = 0 if spec[0] == MODEL_AXIS else len(spec) - 1
             # Matmul kernels only: a name-matched conv kernel (e.g. the

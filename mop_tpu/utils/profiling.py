@@ -11,6 +11,23 @@ from typing import Optional
 
 import jax
 
+# Peak dense bf16 TFLOPS per chip by jax device_kind (public specs) — the
+# single source for MFU lines in bench.py / tools/bench_imagenet.py.
+PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v4": 275e12,
+    "TPU v5": 459e12,       # v5p
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+}
+
+
+def chip_peak_bf16_flops() -> float | None:
+    """Peak bf16 FLOPS of device 0, or None for unknown chips."""
+    try:
+        return PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+    except Exception:  # pragma: no cover
+        return None
+
 
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/mop_tpu_trace"):

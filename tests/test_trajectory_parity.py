@@ -91,14 +91,24 @@ def _load_golden(prefix, name):
 
 
 def _with_exact_math(fn):
-    """Run fn with fused kernels off (exact composed fp32 math), restoring."""
+    """Run fn with fused kernels off (exact composed fp32 math), restoring.
+
+    Sets the flags itself rather than relying on the train_jax_* helpers'
+    side effects, so a future helper that forgets cannot silently run the
+    golden comparison through approximate kernels."""
     from mop_tpu import config as mcfg
 
-    old = (mcfg.config.fused_attention, mcfg.config.fused_quartet)
+    old = (mcfg.config.fused_attention, mcfg.config.fused_quartet,
+           mcfg.config.fused_multihop, mcfg.config.fused_edgewise_train)
+    mcfg.config.fused_attention = False
+    mcfg.config.fused_quartet = False
+    mcfg.config.fused_multihop = False
+    mcfg.config.fused_edgewise_train = False
     try:
         return fn()
     finally:
-        mcfg.config.fused_attention, mcfg.config.fused_quartet = old
+        (mcfg.config.fused_attention, mcfg.config.fused_quartet,
+         mcfg.config.fused_multihop, mcfg.config.fused_edgewise_train) = old
 
 
 @pytest.mark.parametrize("name", ["base", "quartet", "mop"])

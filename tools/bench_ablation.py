@@ -55,7 +55,8 @@ def bench(model, batch, mesh, tx, augment=True, compute_dtype="bf16",
         for w in range(windows):
             t0 = time.perf_counter()
             for i in range(10):
-                p, o, m = step(p, o, xb, yb, jax.random.fold_in(rng, 100 + i))
+                p, o, m = step(p, o, xb, yb,
+                               jax.random.fold_in(rng, 100 + w * 10 + i))
             float(m["loss"][-1])
             ts.append((time.perf_counter() - t0) / (10 * scan) * 1e3)
     return min(ts)

@@ -25,14 +25,6 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-PEAK_BF16_FLOPS = {
-    "TPU v5 lite": 197e12,
-    "TPU v4": 275e12,
-    "TPU v5": 459e12,
-    "TPU v6 lite": 918e12,
-}
-
-
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -108,8 +100,10 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"cost_analysis unavailable: {e}")
 
+    from mop_tpu.utils.profiling import chip_peak_bf16_flops
+
     imgs = b / best / n_chips
-    peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+    peak = chip_peak_bf16_flops()
     mfu = flops / best / (peak * n_chips) if (flops and peak) else None
     log(f"model {args.model} dim{args.dim} d{args.depth} p{args.patch} "
         f"{args.img}px ({n_params:,} params): {best * 1e3:.1f} ms/step "
