@@ -97,11 +97,12 @@ def measure_ours() -> tuple[float, int, float | None]:
             window_dts.append(time.perf_counter() - t0)
         dt = min(window_dts)
 
-        # Model FLOPs from XLA's cost analysis of the ALREADY-jitted step,
-        # for the MFU line. XLA counts the lax.scan body ONCE (trip count not
-        # multiplied — verified: scanned == single-step flops), so the figure
-        # is already per-step. jit caches by trace signature, so this lower()
-        # reuses the compiled executable instead of recompiling.
+        # Model FLOPs from XLA's cost analysis, for the MFU line. XLA counts
+        # the lax.scan body ONCE (trip count not multiplied — verified:
+        # scanned == single-step flops), so the figure is already per-step.
+        # NOTE: the AOT lower().compile() does not share the jit cache, so
+        # this costs one extra compile — AFTER timing, so the headline number
+        # is unaffected (set MOP_TPU_COMPILE_CACHE to amortize across runs).
         flops_per_step = None
         try:
             comp = step.lower(params, opt_state, xkb, ykb, rng).compile()
