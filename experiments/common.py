@@ -330,7 +330,12 @@ _STEP_CACHE: Dict = {}
 def _cached_steps(model, lr, steps, warmup_frac, weight_decay, mesh, mean,
                   std, augment, grad_clip):
     try:
-        key = (model, lr, steps, warmup_frac, weight_decay, id(mesh),
+        # Stable mesh identity (axis names/sizes + device ids) — id(mesh)
+        # can be reused by a new Mesh after GC, returning steps closed over
+        # a dead mesh.
+        mesh_key = (tuple(mesh.axis_names), tuple(mesh.shape.values()),
+                    tuple(d.id for d in mesh.devices.flat))
+        key = (model, lr, steps, warmup_frac, weight_decay, mesh_key,
                tuple(np.asarray(mean).ravel()), tuple(np.asarray(std).ravel()),
                augment, grad_clip)
         hash(key)

@@ -30,8 +30,8 @@ class _Config:
         self.fused_multihop = _env_flag("MOP_TPU_FUSED_MULTIHOP", False)
         # Fused quartet kernel: ON by default since bf16 MXU operands — GPT
         # quartet LM eval fwd (n_embd=384, T=256, batch 64): 10.15 ms XLA vs
-        # 8.61 ms fused = 1.18x (same doc). Inference dispatch only; training
-        # uses XLA autodiff over the reference composition.
+        # 8.61 ms fused = 1.18x (same doc). Grad-safe: custom VJP recomputes
+        # the backward via the reference composition (XLA autodiff).
         self.fused_quartet = _env_flag("MOP_TPU_FUSED_QUARTET", True)
         # Fused edgewise backward (in-kernel VJP) at train time. Default set
         # by measurement on v5e (see benchmarks/edgewise_train_kernel.md).

@@ -88,9 +88,12 @@ class CausalSelfAttention(nn.Module):
             )
             m = jax.nn.sigmoid(mixture)
             if (use_fused_quartet() and attention_mask is None
-                    and not train and not need_weights):
-                # Fused kernel (inference): standardize + dual-path product
-                # mix + causal softmax + value matmul in one Pallas program.
+                    and (not train or cfg.dropout == 0.0)
+                    and not need_weights):
+                # Fused kernel: standardize + dual-path product mix + causal
+                # softmax + value matmul in one Pallas program. Grad-safe
+                # (custom VJP recomputes via the reference composition), so
+                # it also serves dropout-free training (pipeline stages).
                 y = F.fused_quartet_attention(
                     q, k, v, q2, k2, m[0], qscale[0], eps=cfg.score_norm_eps)
                 y = y.transpose(0, 2, 1, 3).reshape(b, t, c)

@@ -850,36 +850,21 @@ def _quartet_kernel(q_ref, k_ref, v_ref, q2_ref, k2_ref, mix_ref, o_ref, *,
     o_ref[0] = dot(att.astype(cdt), v_ref[0]).astype(o_ref.dtype)
 
 
-def fused_quartet_attention(
-    q: Array, k: Array, v: Array, q2: Array, k2: Array,
-    mixture: Array, quartet_scale: Array, eps: float = 1e-5,
-    force: Optional[bool] = None,
-) -> Array:
-    """Fused causal Quartet attention over (B, H, N, dk).
+def _quartet_reference(q, k, v, q2, k2, mixture, quartet_scale, eps):
+    n = q.shape[-2]
+    s1 = ref.standardize_scores(ref.scaled_scores(q, k), eps)
+    s2 = ref.standardize_scores(ref.scaled_scores(q2, k2), eps)
+    scores = (1.0 - mixture) * s1 + mixture * (s1 * s2) * quartet_scale
+    scores = ref.apply_mask(scores, ref.causal_mask(n))
+    a = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("...nm,...md->...nd", a.astype(v.dtype), v)
 
-    ``mixture`` is the already-sigmoided scalar gate; ``quartet_scale`` the
-    learned scale. Falls back to the composed reference math off-TPU / large N.
-    Forward-only kernel (inference); training uses XLA autodiff on the
-    reference composition.
-    """
-    b, h, n, dk = q.shape
-    vmem_ok = n <= 512 and dk <= 128
-    use = force if force is not None else (_on_tpu() and vmem_ok)
 
-    def reference(q, k, v, q2, k2, mixture, quartet_scale):
-        s1 = ref.standardize_scores(ref.scaled_scores(q, k), eps)
-        s2 = ref.standardize_scores(ref.scaled_scores(q2, k2), eps)
-        scores = (1.0 - mixture) * s1 + mixture * (s1 * s2) * quartet_scale
-        scores = ref.apply_mask(scores, ref.causal_mask(n))
-        a = jax.nn.softmax(scores, axis=-1)
-        return jnp.einsum("...nm,...md->...nd", a.astype(v.dtype), v)
-
-    if not use:
-        return reference(q, k, v, q2, k2, mixture, quartet_scale)
-
+def _quartet_pallas(q, k, v, q2, k2, mixture, quartet_scale, eps, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    b, h, n, dk = q.shape
     flat = lambda t: t.reshape(b * h, n, dk)
     kernel = functools.partial(
         _quartet_kernel, scale=1.0 / np.sqrt(dk), eps=float(eps), n=n)
@@ -894,5 +879,56 @@ def fused_quartet_attention(
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b * h, n, dk), q.dtype),
+        interpret=interpret,
     )(flat(q), flat(k), flat(v), flat(q2), flat(k2), mix.reshape(1, 2))
     return out.reshape(b, h, n, dk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _quartet_op(q, k, v, q2, k2, mixture, quartet_scale, eps, interpret):
+    return _quartet_pallas(q, k, v, q2, k2, mixture, quartet_scale, eps,
+                           interpret)
+
+
+def _quartet_fwd_rule(q, k, v, q2, k2, mixture, quartet_scale, eps, interpret):
+    o = _quartet_pallas(q, k, v, q2, k2, mixture, quartet_scale, eps,
+                        interpret)
+    return o, (q, k, v, q2, k2, mixture, quartet_scale)
+
+
+def _quartet_bwd_rule(eps, interpret, res, dy):
+    """Backward by recompute through the reference composition (pure XLA) —
+    the same pattern as flash. Keeps the default-ON fused kernel grad-safe
+    wherever it is dispatched (pipeline stages, eval-mode grad loops)."""
+    f = lambda *a: _quartet_reference(*a, eps)
+    _, vjp = jax.vjp(f, *res)
+    return vjp(dy)
+
+
+_quartet_op.defvjp(_quartet_fwd_rule, _quartet_bwd_rule)
+
+
+def fused_quartet_attention(
+    q: Array, k: Array, v: Array, q2: Array, k2: Array,
+    mixture: Array, quartet_scale: Array, eps: float = 1e-5,
+    force: Optional[bool] = None,
+) -> Array:
+    """Fused causal Quartet attention over (B, H, N, dk).
+
+    ``mixture`` is the already-sigmoided scalar gate; ``quartet_scale`` the
+    learned scale. Falls back to the composed reference math off-TPU / large N.
+    Differentiable: the fused forward carries a custom VJP whose backward
+    recomputes via the reference composition (XLA), so ``jax.grad`` through
+    the default-ON dispatch is safe (e.g. eval-mode grad loops, pipeline
+    stages).
+    """
+    b, h, n, dk = q.shape
+    vmem_ok = n <= 512 and dk <= 128
+    use = force if force is not None else (_on_tpu() and vmem_ok)
+    mixture = jnp.asarray(mixture, jnp.float32).reshape(())
+    quartet_scale = jnp.asarray(quartet_scale, jnp.float32).reshape(())
+    if not use:
+        return _quartet_reference(q, k, v, q2, k2, mixture, quartet_scale,
+                                  eps)
+    return _quartet_op(q, k, v, q2, k2, mixture, quartet_scale, float(eps),
+                       _interpret_mode())

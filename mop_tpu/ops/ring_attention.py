@@ -87,7 +87,10 @@ def ring_attention(
     by the axis size. Returns (B, H, N, dk) sharded the same way."""
     b, h, n, dk = q.shape
     s_size = mesh.shape[axis]
-    assert n % s_size == 0, (n, s_size)
+    if n % s_size != 0:
+        raise ValueError(
+            f"ring_attention: sequence length {n} must divide by the "
+            f"'{axis}' mesh axis size {s_size}")
     sc = (1.0 / jnp.sqrt(dk)) if scale is None else scale
     body = partial(_ring_body, scale=sc, axis_name=axis, causal=causal)
     spec = P(None, None, axis, None)

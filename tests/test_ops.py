@@ -505,3 +505,26 @@ def test_quartet_lm_consistent_with_fused_flag(monkeypatch):
         mcfg.config.fused_quartet = old
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_quartet_grads_match_reference():
+    """The default-ON quartet kernel must be grad-safe (custom VJP that
+    recomputes via the reference composition) — ADVICE r2: jax.grad over an
+    eval-mode quartet forward used to crash at trace time on TPU."""
+    rng = jax.random.PRNGKey(0)
+    b, h, n, dk = 1, 2, 32, 16
+    mk = lambda i: jax.random.normal(jax.random.fold_in(rng, i), (b, h, n, dk))
+    q, k, v, q2, k2 = (mk(i) for i in range(5))
+    args = (q, k, v, q2, k2, jnp.asarray(0.3), jnp.asarray(1.2))
+
+    def loss(a, force):
+        o = F.fused_quartet_attention(*a, force=force)
+        return jnp.sum(o * jnp.cos(o))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(lambda a: loss(a, True))(args)
+    g_ref = jax.grad(lambda a: loss(a, False))(args)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
