@@ -95,6 +95,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ew_use_lens_bank_qk", action="store_true")
     ap.add_argument("--ew_lens_qk_dilations", type=int, nargs="+", default=None)
     ap.add_argument("--ew_lens_qk_causal", action="store_true")
+    # S-channel lens bank (depthwise conv over stacked score maps per
+    # dilation; reference attention_variants.py:427-442) — VERDICT r2 #8:
+    # previously model-only, CLI-unreachable.
+    ap.add_argument("--ew_use_lens_bank", action="store_true")
+    ap.add_argument("--ew_lens_kernel_size", type=int, default=3)
+    ap.add_argument("--ew_lens_dilations", type=int, nargs="+", default=None)
     ap.add_argument("--ew_variants", type=str, nargs="+", default=None,
                     help="Run multiple Edgewise variants; items like 'dense:and'")
     ap.add_argument("--debug_budget", action="store_true")
@@ -139,6 +145,10 @@ def fit_edgewise(args, target, base_cfg, base_p):
                         "lens_qk_dilations": tuple(args.ew_lens_qk_dilations)
                         if args.ew_lens_qk_dilations is not None else None,
                         "lens_qk_causal": bool(args.ew_lens_qk_causal),
+                        "use_lens_bank": bool(args.ew_use_lens_bank),
+                        "lens_kernel_size": int(args.ew_lens_kernel_size),
+                        "lens_dilations": tuple(args.ew_lens_dilations)
+                        if args.ew_lens_dilations is not None else None,
                     }
                     cfg, p, within = C.find_model_config_match_baseline(
                         ViTEdgewise, n_classes=100, target_params=int(target),
@@ -287,6 +297,10 @@ def run(args, csv_prefix: str = "cifar100_ab5") -> None:
                     lens_qk_dilations=tuple(args.ew_lens_qk_dilations)
                     if args.ew_lens_qk_dilations is not None else None,
                     lens_qk_causal=bool(args.ew_lens_qk_causal),
+                    use_lens_bank=bool(args.ew_use_lens_bank),
+                    lens_kernel_size=int(args.ew_lens_kernel_size),
+                    lens_dilations=tuple(args.ew_lens_dilations)
+                    if args.ew_lens_dilations is not None else None,
                 )
 
             runs = {}

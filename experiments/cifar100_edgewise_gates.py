@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--lens_qk_kernel_size", type=int, default=3)
     ap.add_argument("--lens_qk_dilations", type=int, nargs="+", default=[1, 2])
     ap.add_argument("--lens_qk_causal", action="store_true")
+    # S-channel lens bank (model superset; reference
+    # attention_variants.py:427-442): depthwise Conv2d over the stacked
+    # score maps per dilation.
+    ap.add_argument("--use_lens_bank", action="store_true")
+    ap.add_argument("--lens_kernel_size", type=int, default=3)
+    ap.add_argument("--lens_dilations", type=int, nargs="+", default=[1, 2])
     args = ap.parse_args()
 
     def factory():
@@ -46,6 +52,9 @@ def main():
             lens_qk_kernel_size=args.lens_qk_kernel_size,
             lens_qk_dilations=tuple(args.lens_qk_dilations),
             lens_qk_causal=args.lens_qk_causal,
+            use_lens_bank=args.use_lens_bank,
+            lens_kernel_size=args.lens_kernel_size,
+            lens_dilations=tuple(args.lens_dilations),
         )
 
     run_single_model_seeds(args, "cifar100", factory, "cifar100_edgewise_gates.csv")

@@ -76,7 +76,10 @@ def _maybe_extract_tar(root: str, name: str) -> None:
     }[name]
     if os.path.exists(path) and not os.path.exists(marker):
         with tarfile.open(path, "r:gz") as t:
-            t.extractall(root)
+            try:
+                t.extractall(root, filter="data")  # reject path escapes
+            except TypeError:  # pragma: no cover - Python < 3.12
+                t.extractall(root)
 
 
 def has_real_data(name: str, root: Optional[str] = None) -> bool:

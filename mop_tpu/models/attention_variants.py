@@ -540,6 +540,15 @@ class UnifiedMSA(nn.Module):
     gate_mode: str = "dense"
     gate_rank: int = 4
     gate_init: str = "neutral"
+    # E lens-bank superset (passed through, unlike the reference UnifiedMSA
+    # which drops them — ``attention_variants.py:609-622``; VERDICT r2 #8)
+    use_lens_bank: bool = False
+    lens_kernel_size: int = 3
+    lens_dilations: Optional[Tuple[int, ...]] = None
+    use_lens_bank_qk: bool = False
+    lens_qk_kernel_size: int = 3
+    lens_qk_dilations: Optional[Tuple[int, ...]] = None
+    lens_qk_causal: bool = False
 
     @nn.compact
     def __call__(
@@ -566,7 +575,14 @@ class UnifiedMSA(nn.Module):
                 self.dim, self.heads, self.attn_drop, self.proj_drop,
                 beta_not=self.beta_not, use_k3=self.use_k3, n_views=self.n_views,
                 share_qkv=self.share_qkv, gate_mode=self.gate_mode,
-                gate_rank=self.gate_rank, gate_init=self.gate_init, name="impl",
+                gate_rank=self.gate_rank, gate_init=self.gate_init,
+                use_lens_bank=self.use_lens_bank,
+                lens_kernel_size=self.lens_kernel_size,
+                lens_dilations=self.lens_dilations,
+                use_lens_bank_qk=self.use_lens_bank_qk,
+                lens_qk_kernel_size=self.lens_qk_kernel_size,
+                lens_qk_dilations=self.lens_qk_dilations,
+                lens_qk_causal=self.lens_qk_causal, name="impl",
             )
         else:
             raise ValueError(f"Unknown attention mode: {self.mode}")

@@ -58,3 +58,52 @@ def test_edgewise_lens_bank_effect_nontrivial():
     )
     y_yes = msa_yes.apply(msa_yes.init(jax.random.PRNGKey(1), x), x)
     assert not jnp.allclose(y_no, y_yes), "Lens bank had no effect on outputs"
+
+
+def test_unified_msa_passes_lens_kwargs():
+    """UnifiedMSA must forward the lens-bank superset to EdgewiseMSA
+    (VERDICT r2 #8 — the reference's UnifiedMSA silently drops them,
+    reference attention_variants.py:609-622). Lens params must exist in the
+    tree and change the output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mop_tpu.models import UnifiedMSA
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    base = dict(mode="E", dim=32, heads=4, n_views=2, share_qkv=True,
+                gate_mode="lowrank", gate_rank=2)
+    m0 = UnifiedMSA(**base)
+    m1 = UnifiedMSA(**base, use_lens_bank=True, lens_dilations=(1, 2),
+                    use_lens_bank_qk=True, lens_qk_dilations=(1, 2))
+    p0 = m0.init(jax.random.PRNGKey(1), x)
+    p1 = m1.init(jax.random.PRNGKey(1), x)
+    names = str(jax.tree_util.tree_structure(p1))
+    assert "lens" in names and "lens" not in str(
+        jax.tree_util.tree_structure(p0))
+    y0 = m0.apply(p0, x)
+    y1 = m1.apply(p1, x)
+    assert y1.shape == x.shape
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+
+def test_edgewise_cli_exposes_lens_flags():
+    """Both lens banks must be reachable from the edgewise and ab5 CLIs."""
+    import importlib
+
+    for mod_name, flags in [
+        ("experiments.cifar100_edgewise_gates",
+         ["--use_lens_bank", "--lens_dilations", "--use_lens_bank_qk"]),
+        ("experiments.cifar100_ab5_param_budgets",
+         ["--ew_use_lens_bank", "--ew_lens_dilations",
+          "--ew_use_lens_bank_qk"]),
+    ]:
+        mod = importlib.import_module(mod_name)
+        # argparse --help exits the process; scan the module source for the
+        # flag inventory instead.
+        import inspect
+
+        src = inspect.getsource(mod)
+        for fl in flags:
+            assert fl in src, f"{mod_name} missing {fl}"
