@@ -103,7 +103,8 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_q,
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         ) * scale  # (block_q, block_k) fp32
         cols = i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         if causal:
@@ -122,6 +123,7 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_q,
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         return m_new, l, acc
 
@@ -263,11 +265,13 @@ def _multihop_kernel(q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref, w_ref,
 
     def dot_nt(a, b):  # a @ b.T
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                                   precision=jax.lax.Precision.DEFAULT)
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                                   precision=jax.lax.Precision.DEFAULT)
 
     s1 = dot_nt(q1, k1)
     s2 = dot_nt(q2, k2)
@@ -410,11 +414,13 @@ def _edgewise_math(q, k, v, wrow, brow, wcol, bcol, w, *, scale, beta_not,
 
     def dot_nt(a, b):
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                                   precision=jax.lax.Precision.DEFAULT)
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                                   precision=jax.lax.Precision.DEFAULT)
 
     s_list, a_list = [], []
     for i in range(V):
@@ -482,11 +488,13 @@ def _edgewise_dense_math(q, k, v, *ws, scale, beta_not, n_views):
 
     def dot_nt(a, b):
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                                   precision=jax.lax.Precision.DEFAULT)
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                                   precision=jax.lax.Precision.DEFAULT)
 
     s_list, a_list = [], []
     for i in range(V):
@@ -543,7 +551,8 @@ def _edgewise_output(s_list, a_list, g_and, g_or, g_not, g_chain, log_cf, v,
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                                   precision=jax.lax.Precision.DEFAULT)
 
     s1 = s_list[0]
     s_sum = s1
@@ -823,11 +832,13 @@ def _quartet_kernel(q_ref, k_ref, v_ref, q2_ref, k2_ref, mix_ref, o_ref, *,
 
     def dot_nt(a, b):
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                                   precision=jax.lax.Precision.DEFAULT)
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                                   precision=jax.lax.Precision.DEFAULT)
 
     def standardize(s):
         mu = jnp.mean(s, axis=-1, keepdims=True)
