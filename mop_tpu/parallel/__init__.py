@@ -11,6 +11,7 @@ from .mesh import (
 )
 from .pp import (
     make_pp_lm_train_step,
+    make_pp_lm_train_step_1f1b,
     merge_gpt_params,
     place_pp_params,
     pp_init_opt_state,
@@ -58,4 +59,5 @@ __all__ = [
     "place_pp_params",
     "pp_init_opt_state",
     "make_pp_lm_train_step",
+    "make_pp_lm_train_step_1f1b",
 ]
