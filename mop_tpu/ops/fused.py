@@ -37,6 +37,21 @@ from . import attention as ref
 Array = jax.Array
 
 
+def _op_precision(x):
+    """Matmul precision for in-kernel dots, decoupled from the ambient
+    jax.default_matmul_precision (which Mosaic would otherwise inherit and
+    reject for bf16 operands): true fp32 contract for fp32 operands —
+    Mosaic's DEFAULT runs even f32 matmuls as single bf16 passes, which the
+    on-chip validation gate (tools/validate_tpu.py) measured at ~1e-3 fwd /
+    ~3e-2 grad error vs fp32 — and fast bf16 passes (fp32 accumulate) for
+    bf16 operands, the train-time compute dtype."""
+    import jax.numpy as _jnp
+
+    if x.dtype == _jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
@@ -104,7 +119,7 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_q,
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
+            precision=_op_precision(q),
         ) * scale  # (block_q, block_k) fp32
         cols = i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         if causal:
@@ -123,7 +138,7 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_q,
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
+            precision=_op_precision(v),
         )
         return m_new, l, acc
 
@@ -266,12 +281,12 @@ def _multihop_kernel(q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref, w_ref,
     def dot_nt(a, b):  # a @ b.T
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                    preferred_element_type=f32,
-                                   precision=jax.lax.Precision.DEFAULT)
+                                   precision=_op_precision(a))
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32,
-                                   precision=jax.lax.Precision.DEFAULT)
+                                   precision=_op_precision(a))
 
     s1 = dot_nt(q1, k1)
     s2 = dot_nt(q2, k2)
@@ -415,12 +430,12 @@ def _edgewise_math(q, k, v, wrow, brow, wcol, bcol, w, *, scale, beta_not,
     def dot_nt(a, b):
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                    preferred_element_type=f32,
-                                   precision=jax.lax.Precision.DEFAULT)
+                                   precision=_op_precision(a))
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32,
-                                   precision=jax.lax.Precision.DEFAULT)
+                                   precision=_op_precision(a))
 
     s_list, a_list = [], []
     for i in range(V):
@@ -489,12 +504,12 @@ def _edgewise_dense_math(q, k, v, *ws, scale, beta_not, n_views):
     def dot_nt(a, b):
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                    preferred_element_type=f32,
-                                   precision=jax.lax.Precision.DEFAULT)
+                                   precision=_op_precision(a))
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32,
-                                   precision=jax.lax.Precision.DEFAULT)
+                                   precision=_op_precision(a))
 
     s_list, a_list = [], []
     for i in range(V):
@@ -552,7 +567,7 @@ def _edgewise_output(s_list, a_list, g_and, g_or, g_not, g_chain, log_cf, v,
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32,
-                                   precision=jax.lax.Precision.DEFAULT)
+                                   precision=_op_precision(a))
 
     s1 = s_list[0]
     s_sum = s1
@@ -691,6 +706,11 @@ def _edgewise_custom_op(qs, ks, vs, weights, chain_w, math):
     spec, wspecs, sspec, ospec, dwspecs, dwshapes, dsspec = _edgewise_io_specs(
         n, dk, nv, weights, bh)
     interp = _interpret_mode()
+    # The envelope corner (views=8, N=256, dk=128) with fp32-operand
+    # (HIGHEST-precision) dots needs ~16.4MB of scoped VMEM — just over the
+    # 16MB default. Raise the cap; v5e has 128MB of VMEM per core.
+    from jax.experimental.pallas import tpu as pltpu
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
     def fwd_call(qs, ks, vs, chain_w, *weights):
         kernel = functools.partial(_edgewise_generic_fwd_kernel, math=math,
@@ -702,6 +722,7 @@ def _edgewise_custom_op(qs, ks, vs, weights, chain_w, math):
             out_specs=ospec,
             out_shape=jax.ShapeDtypeStruct((bh, n, dk), qs.dtype),
             interpret=interp,
+            compiler_params=cparams,
         )(flat(qs), flat(ks), flat(vs), *weights,
           jnp.asarray(chain_w, jnp.float32).reshape(1, 1))
         return out.reshape(b, h, n, dk)
@@ -722,6 +743,7 @@ def _edgewise_custom_op(qs, ks, vs, weights, chain_w, math):
                 jax.ShapeDtypeStruct((bh,), jnp.float32),
             ],
             interpret=interp,
+            compiler_params=cparams,
         )(flat(qs), flat(ks), flat(vs), *weights,
           jnp.asarray(chain_w, jnp.float32).reshape(1, 1),
           dy.reshape(bh, n, dk))
@@ -833,12 +855,12 @@ def _quartet_kernel(q_ref, k_ref, v_ref, q2_ref, k2_ref, mix_ref, o_ref, *,
     def dot_nt(a, b):
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                    preferred_element_type=f32,
-                                   precision=jax.lax.Precision.DEFAULT)
+                                   precision=_op_precision(a))
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32,
-                                   precision=jax.lax.Precision.DEFAULT)
+                                   precision=_op_precision(a))
 
     def standardize(s):
         mu = jnp.mean(s, axis=-1, keepdims=True)

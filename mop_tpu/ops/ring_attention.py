@@ -81,10 +81,17 @@ def ring_attention(
     axis: str = "model",
     causal: bool = False,
     scale: Optional[float] = None,
+    manual_only: bool = False,
 ) -> Array:
     """Context-parallel attention. q/k/v: GLOBAL (B, H, N, dk) arrays whose
     sequence axis is (or will be) sharded over ``mesh[axis]``; N must divide
-    by the axis size. Returns (B, H, N, dk) sharded the same way."""
+    by the axis size. Returns (B, H, N, dk) sharded the same way.
+
+    ``manual_only=True`` makes the shard_map manual over ONLY ``axis``
+    (jax.shard_map axis_names), leaving the remaining mesh axes to GSPMD —
+    this is how the ring composes inside a tensor-parallel block: heads stay
+    sharded over 'model' by the TP param shardings while the sequence ring
+    runs over a separate axis (tests/test_parallel_composed.py)."""
     b, h, n, dk = q.shape
     s_size = mesh.shape[axis]
     if n % s_size != 0:
@@ -94,10 +101,12 @@ def ring_attention(
     sc = (1.0 / jnp.sqrt(dk)) if scale is None else scale
     body = partial(_ring_body, scale=sc, axis_name=axis, causal=causal)
     spec = P(None, None, axis, None)
+    kw = dict(axis_names=frozenset({axis})) if manual_only else {}
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
         check_vma=False,
+        **kw,
     )(q, k, v)

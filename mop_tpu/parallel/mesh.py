@@ -17,6 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+STAGE_AXIS = "stage"
 
 
 def make_mesh(
@@ -43,6 +44,30 @@ def make_mesh(
     assert n % model_parallel == 0, (n, model_parallel)
     arr = np.asarray(devs).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_mesh3(
+    n_devices: Optional[int] = None,
+    tensor_parallel: int = 1,
+    pipeline_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """('data', 'model', 'stage') mesh for COMPOSED dp x tp x pp: tensor
+    parallelism (GSPMD over 'model') inside pipeline stages ('stage',
+    manual shard_map), with the batch sharded over 'data'."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"make_mesh3: requested n_devices={n_devices} but only "
+                f"{len(devs)} devices are available."
+            )
+        devs = devs[:n_devices]
+    n = len(devs)
+    mp = tensor_parallel * pipeline_parallel
+    assert n % mp == 0, (n, tensor_parallel, pipeline_parallel)
+    arr = np.asarray(devs).reshape(n // mp, tensor_parallel, pipeline_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, STAGE_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

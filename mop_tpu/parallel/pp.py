@@ -92,6 +92,46 @@ def place_pp_params(params, mesh: Mesh, n_layer: int):
     return stem, stacked, head
 
 
+def _gpipe_pipeline(stage_fn, S: int, M: int, axis: str):
+    """GPipe forward schedule over mesh axis ``axis`` (runs inside
+    shard_map; differentiable — jax.grad pipelines the reverse sweep)."""
+
+    def pipeline(stage_params, mbs):
+        # The local shard of the (L, ...) stack IS this stage's (l_per, ...)
+        # slice; mbs: (M, mb_local, T, D).
+        stage = jax.lax.axis_index(axis)
+        mb_shape = mbs.shape[1:]
+        outs0 = jnp.zeros((M,) + mb_shape, mbs.dtype)
+
+        def tick(carry, t):
+            recv, outs = carry
+            # Fill-phase safety: before tick t == stage, nothing real has
+            # arrived (ppermute delivers zeros) and running the stage on a
+            # constant input NaNs the score standardization — which would
+            # poison the backward pass even under zero cotangents. Feed real
+            # embeddings instead; the result is discarded.
+            safe = mbs[jnp.minimum(t, M - 1)]
+            inp = jnp.where(stage == 0, safe, jnp.where(t >= stage, recv, safe))
+            out = stage_fn(stage_params, inp)
+            send = jax.lax.ppermute(
+                out, axis, [(s, s + 1) for s in range(S - 1)])
+            # Stage S-1 finishes microbatch m = t-(S-1) at tick t. Early
+            # (t < S-1) writes clamp to slot 0 and are overwritten by the
+            # real slot-0 result at t = S-1.
+            m = jnp.maximum(t - (S - 1), 0)
+            outs = jax.lax.dynamic_update_index_in_dim(outs, out, m, 0)
+            return (send, outs), None
+
+        (_, outs), _ = jax.lax.scan(
+            tick, (jnp.zeros(mb_shape, mbs.dtype), outs0),
+            jnp.arange(M + S - 1))
+        # Broadcast the last stage's collected outputs to every stage.
+        mask = (stage == S - 1).astype(outs.dtype)
+        return jax.lax.psum(outs * mask, axis)
+
+    return pipeline
+
+
 def make_pp_lm_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -124,38 +164,7 @@ def make_pp_lm_train_step(
         h, _ = jax.lax.scan(body, x, stage_params)
         return h
 
-    def pipeline(stage_params, mbs):
-        # Inside shard_map. The local shard of the (L, ...) stack IS this
-        # stage's (l_per, ...) slice; mbs: (M, mb_local, T, D).
-        stage = jax.lax.axis_index(MODEL_AXIS)
-        mb_shape = mbs.shape[1:]
-        outs0 = jnp.zeros((M,) + mb_shape, mbs.dtype)
-
-        def tick(carry, t):
-            recv, outs = carry
-            # Fill-phase safety: before tick t == stage, nothing real has
-            # arrived (ppermute delivers zeros) and running the stage on a
-            # constant input NaNs the score standardization — which would
-            # poison the backward pass even under zero cotangents. Feed real
-            # embeddings instead; the result is discarded.
-            safe = mbs[jnp.minimum(t, M - 1)]
-            inp = jnp.where(stage == 0, safe, jnp.where(t >= stage, recv, safe))
-            out = stage_fn(stage_params, inp)
-            send = jax.lax.ppermute(
-                out, MODEL_AXIS, [(s, s + 1) for s in range(S - 1)])
-            # Stage S-1 finishes microbatch m = t-(S-1) at tick t. Early
-            # (t < S-1) writes clamp to slot 0 and are overwritten by the
-            # real slot-0 result at t = S-1.
-            m = jnp.maximum(t - (S - 1), 0)
-            outs = jax.lax.dynamic_update_index_in_dim(outs, out, m, 0)
-            return (send, outs), None
-
-        (_, outs), _ = jax.lax.scan(
-            tick, (jnp.zeros(mb_shape, mbs.dtype), outs0),
-            jnp.arange(M + S - 1))
-        # Broadcast the last stage's collected outputs to every stage.
-        mask = (stage == S - 1).astype(outs.dtype)
-        return jax.lax.psum(outs * mask, MODEL_AXIS)
+    pipeline = _gpipe_pipeline(stage_fn, S, M, MODEL_AXIS)
 
     pipelined = jax.shard_map(
         pipeline,
@@ -494,3 +503,124 @@ def reference_1f1b_composition(model, stem, stacked, head, idx, targets, rng,
     loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
         stem, stacked, head)
     return loss, grads
+
+
+# ---------------------- composed dp x tp x pp ----------------------
+#
+# Pipeline stages are MANUAL only over the 'stage' axis (jax.shard_map
+# axis_names); inside each stage the block math stays under GSPMD, so
+# tensor-parallel param shardings over 'model' (Megatron column/row rules,
+# tp.py) propagate and XLA inserts the TP collectives — while the batch
+# stays sharded over 'data'. One step composes all three meanings of
+# "parallel" on a ('data', 'model', 'stage') mesh (mesh.make_mesh3).
+
+
+def place_pp_tp_params(params, mesh: Mesh, n_layer: int):
+    """Split + device_put for the composed step: blocks sharded stage-major
+    over 'stage' AND tensor-sharded over 'model' via the Megatron rules."""
+    from .mesh import STAGE_AXIS
+    from .tp import TP_RULES_DEFAULT, _spec_for
+
+    stem, stacked, head = split_gpt_params(params, n_layer)
+    rep = NamedSharding(mesh, P())
+    m = mesh.shape[MODEL_AXIS]
+    flat = jax.tree_util.tree_flatten_with_path(stacked)[0]
+
+    def shard_one(path_entries, leaf):
+        path = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path_entries
+        )
+        spec = _spec_for(path, TP_RULES_DEFAULT)
+        # stacked leaves carry a leading (l_per-sharded) layer axis, so a
+        # matmul kernel is 3-D here; demote to stage-only sharding when the
+        # matched dim does not divide (same policy as tp_param_shardings).
+        if spec != P():
+            axis = 1 if spec[0] == MODEL_AXIS else leaf.ndim - 1
+            if leaf.ndim != 3 or leaf.shape[axis] % m != 0:
+                spec = P()
+        full = P(STAGE_AXIS, *spec)
+        return NamedSharding(mesh, full)
+
+    shardings = [shard_one(p, l) for p, l in flat]
+    s_stacked = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(stacked), shardings)
+    stem = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, rep), stem)
+    stacked = jax.tree_util.tree_map(jax.device_put, stacked, s_stacked)
+    head = jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), head)
+    return stem, stacked, head
+
+
+def make_pp_tp_lm_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    n_microbatches: int,
+    compute_dtype=None,
+):
+    """Composed dp x tp x pp GPipe train step on a make_mesh3 mesh.
+
+    Params must come from ``place_pp_tp_params``. Same signature/semantics
+    as ``make_pp_lm_train_step`` (dropout must be 0)."""
+    from .mesh import STAGE_AXIS
+
+    cfg = model.config
+    block = block_module_for(model)
+    S = mesh.shape[STAGE_AXIS]
+    M = n_microbatches
+    assert cfg.n_layer % S == 0, (cfg.n_layer, S)
+    assert cfg.dropout == 0.0, "use the 1F1B step for dropout"
+    l_per = cfg.n_layer // S
+
+    def stage_fn(stage_params, x):
+        def body(h, p):
+            return block.apply({"params": p}, h, train=False), None
+        h, _ = jax.lax.scan(body, x, stage_params)
+        return h
+
+    pipeline = _gpipe_pipeline(stage_fn, S, M, STAGE_AXIS)
+
+    pipelined = jax.shard_map(
+        pipeline,
+        mesh=mesh,
+        # Manual ONLY over 'stage': specs may not mention auto axes — the
+        # 'model' (TP) and 'data' (batch) shardings ride the argument
+        # shardings and GSPMD compiles the stage interior.
+        in_specs=(P(STAGE_AXIS), P()),
+        out_specs=P(),
+        axis_names=frozenset({STAGE_AXIS}),
+        check_vma=False,
+    )
+
+    def loss_fn(stem, stacked, head, idx, targets):
+        if compute_dtype is not None:
+            stem = cast_floats(stem, compute_dtype)
+            stacked = cast_floats(stacked, compute_dtype)
+            head = cast_floats(head, compute_dtype)
+        b, t = idx.shape
+        mb = b // M
+        x = stem["wte"]["embedding"][idx]
+        if "wpe" in stem:
+            x = x + stem["wpe"]["embedding"][jnp.arange(t)][None]
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        mbs = x.reshape(M, mb, t, x.shape[-1])
+        mbs = jax.lax.with_sharding_constraint(
+            mbs, NamedSharding(mesh, P(None, DATA_AXIS)))
+        outs = pipelined(stacked, mbs)
+        h = outs.reshape(b, t, x.shape[-1])
+        h = LayerNorm().apply({"params": head["ln_f"]}, h)
+        logits = h @ stem["wte"]["embedding"].T  # tied head
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, targets[..., None], -1))
+
+    def step(stem, stacked, head, opt_state, idx, targets):
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+            stem, stacked, head, idx, targets)
+        grads = cast_floats(grads, jnp.float32)
+        params = (stem, stacked, head)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        stem, stacked, head = optax.apply_updates(params, updates)
+        return stem, stacked, head, opt_state, {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0, 1, 2, 3))
