@@ -28,6 +28,7 @@ def run_single_model_seeds(args, dataset: str, model_factory, csv_name: str,
     synthetic = bool(getattr(args, "synthetic", False))
     train_iter_f, val_batches, _, mean, std, _ = C.get_loaders(
         dataset, args.batch, tiny=args.tiny, val_frac=0.0, synthetic=synthetic,
+        download=bool(getattr(args, "download", False)),
     )
 
     accs = []
@@ -77,4 +78,6 @@ def base_argparser(steps_default: int, eval_default: int, out_default: str,
     ap.add_argument("--out", type=str, default=out_default)
     ap.add_argument("--synthetic", action="store_true",
                     help="use deterministic synthetic data (zero-egress envs)")
+    ap.add_argument("--download", action="store_true",
+                    help="opt-in CIFAR download when absent (egress hosts)")
     return ap

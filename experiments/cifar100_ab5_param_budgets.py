@@ -7,8 +7,10 @@ D=MultiHop, E=Edgewise (with the views->mlp_ratio->use_k3 budget-fit fallback
 ladder, per-model LR overrides, ``--ew_variants`` multi-variant spawning, and
 the exact CSV/plot output contract ``cifar100_ab5_target_{N}*.csv/png``).
 
-Extra flag for this zero-egress environment: ``--synthetic`` (deterministic
-generated data when real CIFAR pickles are absent).
+Extra flags for this zero-egress environment: ``--synthetic`` (deterministic
+generated data when real CIFAR pickles are absent) and ``--download``
+(opt-in fetch of the standard pickles on egress-enabled hosts, making the
+CLI drop-in vs the reference's torchvision auto-download).
 """
 
 from __future__ import annotations
@@ -106,6 +108,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--debug_budget", action="store_true")
     ap.add_argument("--out", type=str, default="results/cifar100_ab5_param_budgets")
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--download", action="store_true",
+                    help="opt-in CIFAR download when absent (egress hosts)")
     ap.add_argument("--synthetic", action="store_true",
                     help="use deterministic synthetic data (zero-egress envs)")
     ap.add_argument("--ckpt_every", type=int, default=0,
@@ -186,7 +190,7 @@ def run(args, csv_prefix: str = "cifar100_ab5") -> None:
     train_iter_f, val_batches, test_batches, mean, std, _ = C.get_loaders(
         "cifar100", args.batch, tiny=args.tiny,
         val_frac=float(args.val_frac), val_seed=int(args.val_seed),
-        synthetic=args.synthetic,
+        synthetic=args.synthetic, download=bool(args.download),
     )
 
     def xview_extra():

@@ -67,6 +67,7 @@ def get_loaders(
     val_seed: int = 0,
     synthetic: bool = False,
     seed: int = 0,
+    download: bool = False,
 ):
     """Train iterator + val/test eval-batch factories (reference :107-162).
 
@@ -77,7 +78,8 @@ def get_loaders(
     mean, std = (CIFAR10_MEAN, CIFAR10_STD) if name == "cifar10" else (
         CIFAR100_MEAN, CIFAR100_STD)
     n_classes = 10 if name == "cifar10" else 100
-    tr_x, tr_y, te_x, te_y = load_cifar(name, synthetic=synthetic)
+    tr_x, tr_y, te_x, te_y = load_cifar(name, synthetic=synthetic,
+                                    download=download)
     if tiny:
         tr_x, tr_y = tr_x[:2000], tr_y[:2000]
         te_x, te_y = te_x[:1000], te_y[:1000]

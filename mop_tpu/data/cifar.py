@@ -82,6 +82,37 @@ def _maybe_extract_tar(root: str, name: str) -> None:
                 t.extractall(root)
 
 
+_CIFAR_URLS = {
+    "cifar10": "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz",
+    "cifar100": "https://www.cs.toronto.edu/~kriz/cifar-100-python.tar.gz",
+}
+
+
+def download_cifar(name: str, root: Optional[str] = None) -> bool:
+    """Opt-in download of the standard CIFAR pickles (the torchvision URLs,
+    reference ``cifar100_ab5_param_budgets.py:129-135``) into ``root``.
+
+    Returns True if the data is present afterwards. Never called
+    implicitly — zero-egress environments keep their behavior; pass
+    ``download=True`` to ``load_cifar`` (CLI: ``--download``) on
+    egress-enabled hosts to make the scripts drop-in."""
+    root = root or _default_root()
+    if has_real_data(name, root):
+        return True
+    os.makedirs(root, exist_ok=True)
+    url = _CIFAR_URLS[name]
+    dest = os.path.join(root, url.rsplit("/", 1)[1])
+    try:
+        import urllib.request
+
+        print(f"downloading {url} -> {dest}")
+        urllib.request.urlretrieve(url, dest)  # noqa: S310 - pinned https URL
+    except Exception as e:  # pragma: no cover - needs egress
+        print(f"download failed ({e}); falling back")
+        return has_real_data(name, root)
+    return has_real_data(name, root)
+
+
 def has_real_data(name: str, root: Optional[str] = None) -> bool:
     root = root or _default_root()
     try:
@@ -157,12 +188,16 @@ def load_cifar(
     synthetic_train: int = 10_000,
     synthetic_test: int = 2_000,
     seed: int = 0,
+    download: bool = False,
 ):
     """Return (train_x u8 NCHW, train_y, test_x, test_y).
 
-    Real data if present under root; else synthetic (when allowed).
+    Real data if present under root; else downloaded when ``download=True``
+    (egress-enabled hosts only); else synthetic (when allowed).
     """
     root = root or _default_root()
+    if download and not synthetic:
+        download_cifar(name, root)
     if not synthetic and has_real_data(name, root):
         return _parse_cifar10(root) if name == "cifar10" else _parse_cifar100(root)
     if synthetic or allow_synthetic:

@@ -27,7 +27,7 @@ from .components import (
     ViTEncoder,
     ViTEncoderMoE,
 )
-from .generate import generate
+from .generate import generate, generate_cached, whisper_transcribe
 from .gpt_comparison import (
     ComparisonConfig,
     GPTComparisonFramework,
@@ -100,6 +100,8 @@ __all__ = [
     "FuseExcInh1D",
     "MoPBlock",
     "generate",
+    "generate_cached",
+    "whisper_transcribe",
     # Whisper family
     "WhisperMoP",
     "create_whisper_mop",

@@ -16,6 +16,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .layers import gelu_tanh
+
 Array = jax.Array
 
 
@@ -114,3 +116,245 @@ def whisper_transcribe(
     tokens0 = jnp.zeros((b, win), jnp.int32).at[:, 0].set(bos_token)
     _, outs = jax.lax.scan(step, tokens0, jnp.arange(max_tokens))
     return outs.T  # (B, max_tokens)
+
+
+# ------------------------- cached (approximate) decode -------------------------
+#
+# The exact sampler above re-runs the full window per token (O(T^2 d) per
+# token) because the reference's attention standardizes each score row over
+# ALL columns BEFORE the causal mask (``quartet_attn_patch.py:95-98``) —
+# position i's activations depend on future keys, so no incremental cache
+# can be exact. ``generate_cached`` is the flag-gated approximation: per-
+# layer K/K2/V ring caches, row standardization over the VALID PREFIX only,
+# frozen cached keys. O(T d) per token. Divergence vs the exact sampler is
+# measured (not assumed) in benchmarks/decode.md; when the prompt fills the
+# whole block, the FIRST generated token matches the exact sampler bit-for-
+# bit (same column statistics), which the unit test pins.
+# TinyTransformerLM only (GPT_MoP's gate convs are also non-causal, which
+# would stack a second approximation).
+
+
+def _ln(x, p, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)) * p["scale"] + p["bias"]
+
+
+def _lin(x, p):
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def _standardize_rows(s, n_valid, eps):
+    """Unbiased row standardization over the first ``n_valid`` columns
+    (reference quartet_attn_patch.py:95-98 restricted to the live prefix)."""
+    cols = jnp.arange(s.shape[-1]) < n_valid
+    n = jnp.maximum(n_valid, 1)
+    mu = jnp.sum(jnp.where(cols, s, 0.0), -1, keepdims=True) / n
+    var = jnp.sum(jnp.where(cols, jnp.square(s - mu), 0.0), -1,
+                  keepdims=True) / jnp.maximum(n - 1, 1)
+    return (s - mu) / (jnp.sqrt(var) + eps)
+
+
+def init_decode_cache(config, batch: int, dtype=jnp.float32):
+    """Per-layer (k, k2, v) ring caches of shape (L, B, H, block, dk)."""
+    L, h = config.n_layer, config.n_head
+    dk = config.n_embd // h
+    shape = (L, batch, h, config.block_size, dk)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "k2": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "len": jnp.zeros((), jnp.int32),
+    }
+
+
+def _attn_step(p, cfg, x, cache_k, cache_k2, cache_v, n_valid):
+    """One-token attention against the cache. x: (B, 1, C). Returns
+    (out (B,1,C), new k/k2/v rows (B,H,1,dk))."""
+    b = x.shape[0]
+    h = cfg.n_head
+    c = cfg.n_embd
+    dk = c // h
+    split = lambda y: y.reshape(b, 1, h, dk).transpose(0, 2, 1, 3)
+    q = split(_lin(x, p["q_proj"]))
+    k = split(_lin(x, p["k_proj"]))
+    v = split(_lin(x, p["v_proj"]))
+    scale = 1.0 / jnp.sqrt(dk).astype(jnp.float32)
+
+    # write the new row at position n_valid - 1 (cache updated by caller);
+    # here we just compute scores against [cache ++ new row].
+    def with_new(cache, new):
+        onehot = (jnp.arange(cfg.block_size) == (n_valid - 1))
+        return jnp.where(onehot[None, None, :, None], new, cache)
+
+    k_all = with_new(cache_k, k)
+    v_all = with_new(cache_v, v)
+    qk = jnp.einsum("bhqd,bhkd->bhqk", q, k_all) * scale
+    eps = cfg.score_norm_eps
+    if cfg.use_quartet:
+        q2 = split(_lin(x, p["q2_proj"]))
+        k2 = split(_lin(x, p["k2_proj"]))
+        k2_all = with_new(cache_k2, k2)
+        q2k2 = jnp.einsum("bhqd,bhkd->bhqk", q2, k2_all) * scale
+        m = jax.nn.sigmoid(p["mixture"][0])
+        s1 = _standardize_rows(qk, n_valid, eps)
+        s2 = _standardize_rows(q2k2, n_valid, eps)
+        scores = (1.0 - m) * s1 + m * (s1 * s2) * p["quartet_scale"][0]
+    else:
+        # non-quartet path uses a hardcoded 1e-5 (quartet_attn_patch.py:104)
+        scores = _standardize_rows(qk, n_valid, 1e-5)
+        k2 = k  # placeholder
+    cols = jnp.arange(cfg.block_size) < n_valid
+    scores = jnp.where(cols[None, None, None, :], scores, -jnp.inf)
+    att = jax.nn.softmax(scores, axis=-1)
+    y = jnp.einsum("bhqk,bhkd->bhqd", att, v_all)
+    y = y.transpose(0, 2, 1, 3).reshape(b, 1, c)
+    return _lin(y, p["o_proj"]), k, k2, v
+
+
+def decode_step(model, params, cache, token):
+    """One cached decode step. token: (B,) int32 -> (logits (B, vocab),
+    new cache). Appends the token at position cache['len'] (caller must
+    ensure the window is not full)."""
+    cfg = model.config
+    p = params["params"]
+    b = token.shape[0]
+    n_valid = cache["len"] + 1
+    x = p["wte"]["embedding"][token][:, None, :]  # (B, 1, C)
+    if cfg.use_abs_pos_emb:
+        x = x + p["wpe"]["embedding"][cache["len"]][None, None, :]
+
+    new_cache = dict(cache)
+    for i in range(cfg.n_layer):
+        bp = p[f"blocks_{i}"]
+        h = _ln(x, bp["ln1"])
+        a, k_new, k2_new, v_new = _attn_step(
+            bp["attn"], cfg, h, cache["k"][i], cache["k2"][i],
+            cache["v"][i], n_valid)
+        x = x + a
+        hm = _ln(x, bp["ln2"])
+        x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
+        onehot = (jnp.arange(cfg.block_size) == cache["len"])
+        wr = lambda buf, new: buf.at[i].set(
+            jnp.where(onehot[None, None, :, None], new, buf[i]))
+        new_cache["k"] = wr(new_cache["k"], k_new)
+        new_cache["k2"] = wr(new_cache["k2"], k2_new)
+        new_cache["v"] = wr(new_cache["v"], v_new)
+
+    x = _ln(x, p["ln_f"])
+    logits = (x @ p["wte"]["embedding"].T)[:, 0, :]
+    new_cache["len"] = cache["len"] + 1
+    return logits, new_cache
+
+
+def prefill(model, params, prompt):
+    """Dense prefill: one full forward over the (B, T0) prompt with prefix
+    (T0-column) standardization semantics, capturing per-layer K/K2/V into
+    a fresh cache and returning (last-position logits, cache)."""
+    cfg = model.config
+    p = params["params"]
+    b, t0 = prompt.shape
+    cache = init_decode_cache(cfg, b)
+    x = p["wte"]["embedding"][prompt]
+    if cfg.use_abs_pos_emb:
+        x = x + p["wpe"]["embedding"][jnp.arange(t0)][None]
+    h_ = cfg.n_head
+    dk = cfg.n_embd // h_
+    split = lambda y: y.reshape(b, t0, h_, dk).transpose(0, 2, 1, 3)
+    scale = 1.0 / jnp.sqrt(dk).astype(jnp.float32)
+    causal = jnp.tril(jnp.ones((t0, t0), bool))
+    eps = cfg.score_norm_eps
+
+    def std(s, e=eps):  # unbiased row standardization over all t0 columns
+        mu = jnp.mean(s, -1, keepdims=True)
+        var = jnp.sum(jnp.square(s - mu), -1, keepdims=True) / max(1, t0 - 1)
+        return (s - mu) / (jnp.sqrt(var) + e)
+
+    for i in range(cfg.n_layer):
+        bp = p[f"blocks_{i}"]
+        hx = _ln(x, bp["ln1"])
+        ap = bp["attn"]
+        q, k, v = (split(_lin(hx, ap[n]))
+                   for n in ("q_proj", "k_proj", "v_proj"))
+        qk = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        if cfg.use_quartet:
+            q2 = split(_lin(hx, ap["q2_proj"]))
+            k2 = split(_lin(hx, ap["k2_proj"]))
+            q2k2 = jnp.einsum("bhqd,bhkd->bhqk", q2, k2) * scale
+            m = jax.nn.sigmoid(ap["mixture"][0])
+            scores = ((1.0 - m) * std(qk)
+                      + m * (std(qk) * std(q2k2)) * ap["quartet_scale"][0])
+        else:
+            k2 = k
+            scores = std(qk, 1e-5)  # non-quartet hardcodes 1e-5
+        scores = jnp.where(causal[None, None], scores, -jnp.inf)
+        att = jax.nn.softmax(scores, axis=-1)
+        y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        y = y.transpose(0, 2, 1, 3).reshape(b, t0, cfg.n_embd)
+        x = x + _lin(y, ap["o_proj"])
+        hm = _ln(x, bp["ln2"])
+        x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
+        pad = cfg.block_size - t0
+        put = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        cache["k"] = cache["k"].at[i].set(put(k))
+        cache["k2"] = cache["k2"].at[i].set(put(k2))
+        cache["v"] = cache["v"].at[i].set(put(v))
+
+    x = _ln(x, p["ln_f"])
+    logits = (x @ p["wte"]["embedding"].T)[:, -1, :]
+    cache["len"] = jnp.asarray(t0, jnp.int32)
+    return logits, cache
+
+
+def generate_cached(
+    model,
+    params,
+    prompt: Array,
+    max_new_tokens: int,
+    rng: Optional[Array] = None,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+) -> Array:
+    """KV-cached greedy/sampled decode for TinyTransformerLM (approximate —
+    see the module comment; measured divergence in benchmarks/decode.md).
+
+    Requires t0 + max_new_tokens <= block_size (no ring eviction: evicting
+    would invalidate the frozen prefix statistics silently)."""
+    cfg = model.config
+    b, t0 = prompt.shape
+    if t0 + max_new_tokens > cfg.block_size:
+        raise ValueError(
+            f"generate_cached: t0 + max_new_tokens = {t0 + max_new_tokens} "
+            f"exceeds block_size {cfg.block_size}")
+    greedy = rng is None or temperature == 0.0
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    logits0, cache = prefill(model, params, prompt.astype(jnp.int32))
+
+    def pick(logits, rng):
+        if greedy:
+            return jnp.argmax(logits, -1).astype(jnp.int32), rng
+        scaled = logits / jnp.maximum(temperature, 1e-6)
+        if top_k is not None:
+            kth = jnp.sort(scaled, -1)[:, -top_k][:, None]
+            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        rng, sub = jax.random.split(rng)
+        return jax.random.categorical(sub, scaled).astype(jnp.int32), rng
+
+    tok0, rng = pick(logits0, rng)
+
+    def step(carry, _):
+        tok, cache, rng = carry
+        logits, cache = decode_step(model, params, cache, tok)
+        nxt, rng = pick(logits, rng)
+        return (nxt, cache, rng), tok
+
+    (last, _, _), toks = jax.lax.scan(
+        step, (tok0, cache, rng), None, length=max_new_tokens - 1)
+    out = jnp.concatenate([toks.T, last[:, None]], axis=1)
+    return jnp.concatenate([prompt.astype(jnp.int32), out], axis=1)

@@ -256,3 +256,27 @@ def test_voc_limit(tmp_path):
     _write_voc(root, n=5)
     x, y = load_voc_boxes(root, split="train", img_size=32, limit=2)
     assert x.shape[0] == 2
+
+
+def test_download_flag_prefers_local_and_degrades_gracefully(tmp_path, monkeypatch):
+    """--download must (a) use pre-placed pickles without touching the
+    network, (b) fall back to synthetic when the fetch fails (zero-egress)."""
+    import mop_tpu.data.cifar as cif
+
+    root = str(tmp_path)
+    ex, _, _, _ = _write_cifar10(root)
+    called = []
+    monkeypatch.setattr(
+        "urllib.request.urlretrieve",
+        lambda *a, **k: called.append(a) or (_ for _ in ()).throw(
+            RuntimeError("no egress")))
+    x, _, _, _ = cif.load_cifar("cifar10", root=root, download=True)
+    np.testing.assert_array_equal(x, ex)
+    assert not called  # data present -> no network attempt
+
+    empty = str(tmp_path / "empty")
+    x2, _, _, _ = cif.load_cifar("cifar10", root=empty, download=True,
+                                 allow_synthetic=True, synthetic_train=64,
+                                 synthetic_test=16)
+    assert len(called) == 1  # attempted once, failed, fell back
+    assert x2.shape[0] == 64

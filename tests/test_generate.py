@@ -68,3 +68,56 @@ def test_whisper_transcribe_greedy():
     # deterministic
     out2 = whisper_transcribe(model, params, mel, bos_token=19, max_tokens=6)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_generate_cached_prefill_is_exact_on_prompt():
+    """The cached sampler's dense prefill must equal model.apply on the
+    prompt bit-for-bit (same prefix-standardization math) — the exactness
+    anchor for the approximate KV-cache mode."""
+    import numpy as np
+
+    from mop_tpu.models import TransformerConfig, create_gpt_quartet
+    from mop_tpu.models.generate import prefill
+
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=16)
+    model = create_gpt_quartet(50, cfg)
+    idx = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 0, 50)
+    params = model.init(jax.random.PRNGKey(1), idx)
+    lg, cache = prefill(model, params, idx)
+    dense, _ = model.apply(params, idx, train=False)
+    np.testing.assert_array_equal(np.asarray(lg), np.asarray(dense[:, -1]))
+    assert int(cache["len"]) == 8
+
+
+def test_generate_cached_shapes_and_determinism():
+    import numpy as np
+
+    from mop_tpu.models import (TransformerConfig, create_gpt_baseline,
+                                generate_cached)
+
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=16)
+    model = create_gpt_baseline(50, cfg)
+    idx = jax.random.randint(jax.random.PRNGKey(0), (2, 6), 0, 50)
+    params = model.init(jax.random.PRNGKey(1), idx)
+    a = generate_cached(model, params, idx, max_new_tokens=8)
+    b = generate_cached(model, params, idx, max_new_tokens=8)
+    assert a.shape == (2, 14)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(a[:, :6]), np.asarray(idx))
+
+
+def test_generate_cached_rejects_window_overflow():
+    import pytest
+
+    from mop_tpu.models import (TransformerConfig, create_gpt_baseline,
+                                generate_cached)
+
+    cfg = TransformerConfig(n_layer=1, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=8)
+    model = create_gpt_baseline(50, cfg)
+    idx = jax.random.randint(jax.random.PRNGKey(0), (1, 6), 0, 50)
+    params = model.init(jax.random.PRNGKey(1), idx)
+    with pytest.raises(ValueError, match="exceeds block_size"):
+        generate_cached(model, params, idx, max_new_tokens=4)
