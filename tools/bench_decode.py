@@ -42,6 +42,48 @@ def timed(fn, *args, windows=3):
     return out, best
 
 
+def generate_prefix_exact(model, params, prompt, max_new_tokens):
+    """The TRUE reference semantics: greedy decode applying the model to the
+    growing prefix (length t) each step — standardization over exactly the
+    t live columns. One jit compile per length (bench-only oracle)."""
+    toks = jnp.asarray(prompt, jnp.int32)
+    for _ in range(max_new_tokens):
+        logits, _ = jax.jit(
+            lambda p, t: model.apply(p, t, train=False))(params, toks)
+        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        toks = jnp.concatenate([toks, nxt[:, None]], axis=1)
+    return toks
+
+
+def train_briefly(model, params, rng, vocab, steps=150, batch=32, t=64):
+    """A few hundred steps on a noisy arithmetic-progression task so logit
+    margins are real — random-init argmax flips on 1e-3 noise, which would
+    make any sampler-agreement number meaningless."""
+    import optax
+
+    rs = np.random.RandomState(0)
+    start = rs.randint(0, vocab, (steps, batch, 1))
+    stride = rs.randint(1, 6, (steps, batch, 1))
+    ids = (start + stride * np.arange(t + 1)) % vocab
+    tx = optax.adamw(3e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, idx, tgt):
+        def lf(p):
+            _, loss = model.apply(p, idx, targets=tgt, train=False)
+            return loss
+        loss, g = jax.value_and_grad(lf)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, loss
+
+    for s in range(steps):
+        params, opt, loss = step(
+            params, opt, jnp.asarray(ids[s, :, :-1], jnp.int32),
+            jnp.asarray(ids[s, :, 1:], jnp.int32))
+    return params, float(loss)
+
+
 def main():
     from mop_tpu.models import (TransformerConfig, create_gpt_quartet,
                                 generate, generate_cached)
@@ -70,17 +112,40 @@ def main():
         out_c, dt_c = timed(cached_fn, params, prompt)
         tok_e = B * new / dt_e
         tok_c = B * new / dt_c
-        gen_e = np.asarray(out_e[:, T0:])
-        gen_c = np.asarray(out_c[:, T0:])
-        agree = float(np.mean(gen_e == gen_c))
-        first_mismatch = np.argmax(gen_e != gen_c, axis=1).astype(float)
-        first_mismatch[np.all(gen_e == gen_c, axis=1)] = new
-        rows.append((block, new, tok_e, tok_c, tok_c / tok_e, agree,
-                     float(np.median(first_mismatch))))
-        print(f"block={block}: exact {tok_e:,.0f} tok/s, cached "
-              f"{tok_c:,.0f} tok/s ({tok_c / tok_e:.1f}x), greedy agreement "
-              f"{agree:.1%}, median first divergence @{np.median(first_mismatch):.0f}",
-              flush=True)
+        rows.append((block, new, tok_e, tok_c, tok_c / tok_e))
+        print(f"block={block}: full-window {tok_e:,.0f} tok/s, cached "
+              f"{tok_c:,.0f} tok/s ({tok_c / tok_e:.1f}x)", flush=True)
+
+    # ---- divergence protocol: briefly-trained model, judged against the
+    # prefix-exact oracle (apply to the growing prefix each step — the true
+    # reference semantics). Both production samplers are approximations in
+    # different ways: generate() pads the window to `block` (stats include
+    # pad columns until the window fills), generate_cached() freezes
+    # prefix K/V.
+    cfg = TransformerConfig(n_layer=4, n_head=4, n_embd=128, dropout=0.0,
+                            block_size=128)
+    model = create_gpt_quartet(vocab, cfg)
+    rng = jax.random.PRNGKey(0)
+    from mop_tpu.utils import jitted_init
+
+    p0 = jitted_init(model, jax.random.PRNGKey(1),
+                     jnp.zeros((2, 64), jnp.int32))
+    params, final_loss = train_briefly(model, p0, rng, vocab)
+    t0d, newd = 96, 32
+    rs = np.random.RandomState(7)
+    start = rs.randint(0, vocab, (B, 1))
+    stride = rs.randint(1, 6, (B, 1))
+    promptd = jnp.asarray((start + stride * np.arange(t0d)) % vocab,
+                          jnp.int32)
+    oracle = np.asarray(
+        generate_prefix_exact(model, params, promptd, newd)[:, t0d:])
+    full = np.asarray(generate(model, params, promptd, newd)[:, t0d:])
+    cach = np.asarray(generate_cached(model, params, promptd, newd)[:, t0d:])
+    ag_full = float(np.mean(full == oracle))
+    ag_cach = float(np.mean(cach == oracle))
+    print(f"divergence vs prefix-exact oracle (trained model, loss "
+          f"{final_loss:.3f}, {newd} greedy tokens): full-window "
+          f"{ag_full:.1%}, cached {ag_cach:.1%}", flush=True)
 
     # Whisper transcription at reference scale (n_audio_ctx=1500).
     from mop_tpu.models import WhisperConfig, create_whisper_mop
@@ -110,40 +175,44 @@ def main():
                 "n_embd=384 L=6)\n\n")
         f.write(f"Platform `{platform}` ({jax.devices()[0].device_kind}); "
                 "min-of-3 windows, host-transfer barrier.\n\n")
-        f.write("| block T | new tokens | exact tok/s | cached tok/s | "
-                "speedup | greedy agreement | median 1st divergence |\n")
-        f.write("|---|---|---|---|---|---|---|\n")
-        for (blk, new, te, tc, sp, ag, fm) in rows:
-            f.write(f"| {blk} | {new} | {te:,.0f} | {tc:,.0f} | {sp:.1f}x | "
-                    f"{ag:.1%} | {fm:.0f} |\n")
+        f.write("| block T | new tokens | full-window tok/s | cached tok/s | "
+                "speedup |\n")
+        f.write("|---|---|---|---|---|\n")
+        for (blk, new, te, tc, sp) in rows:
+            f.write(f"| {blk} | {new} | {te:,.0f} | {tc:,.0f} | {sp:.1f}x "
+                    f"|\n")
         f.write(f"""
 Whisper-MoP transcription (B=4, 1500-frame mel, 64 greedy decode steps,
 n_embd=384, 4+4 layers): **{wtok:,.0f} tok/s** ({wframes:,.0f} audio
 frames/s consumed).
 
-## Semantics
+## Divergence vs the prefix-exact oracle
 
 The reference's attention standardizes each score row over ALL columns
 BEFORE the causal mask (`quartet_attn_patch.py:95-98`), so position i's
 activations depend on future keys — **no incremental KV cache can be
-exact**:
+exact**, and even the full-window sampler deviates while the window is
+part-padded. Protocol: train the quartet LM briefly (so argmax margins are
+real — final loss {final_loss:.3f}), decode {newd} greedy tokens from a
+{t0d}-token prompt, judge each production sampler against the oracle that
+re-applies the model to the *growing prefix* every step (one compile per
+length; bench-only):
 
-- `generate` (exact mode) re-runs the full (B, block) window every token:
-  cost grows O(T^2 d) per token, visible above as the exact-mode tokens/s
-  falling with block size. Once the sequence fills the block it is exactly
-  the reference's sliding-window semantics.
-- `generate_cached` freezes per-layer K/K2/V as tokens land and
-  standardizes each new row over the live prefix only: O(T d) per token.
-  Its dense prefill is bit-exact vs `model.apply` on the prompt
-  (tests/test_generate.py); divergence appears only as frozen cached keys
-  drift from what a full re-run would produce — the agreement column
-  measures exactly that (random-init weights; trained models, whose
-  logit margins are larger, agree longer).
+| sampler | cost/token | token agreement vs oracle |
+|---|---|---|
+| `generate` (full {cfg.block_size}-window) | O(T^2 d) | {ag_full:.1%} |
+| `generate_cached` (prefix KV cache) | O(T d) | {ag_cach:.1%} |
+
+`generate`'s window pads to `block`, so its row statistics include pad
+columns until the sequence fills the window (exact only from that point
+on); `generate_cached`'s prefill is bit-exact on the prompt
+(tests/test_generate.py) and each new row standardizes over the live
+prefix, with frozen cached K/V as its only approximation.
 
 `generate_cached` covers TinyTransformerLM (base + quartet). GPT_MoP's
 gate convs are also non-causal (k=3 same-padding over tokens,
 `gpt_mop.py:35-47`), which would stack a second approximation — it stays
-on the exact sampler.
+on the full-window sampler.
 """)
     print(f"wrote {out}")
 
