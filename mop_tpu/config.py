@@ -39,6 +39,13 @@ class _Config:
             "MOP_TPU_FUSED_EDGEWISE_TRAIN", True)
         # Routed (sorted, capacity-bounded) MoE instead of compute-all-experts.
         self.routed_moe = _env_flag("MOP_TPU_ROUTED_MOE", True)
+        # Explicit pallas-interpret override for the fused kernels'
+        # custom-VJP backward passes (traced AFTER any
+        # force_tpu_interpret_mode context has exited). None = auto-detect
+        # from jax's context manager (best-effort over a private attribute);
+        # True/False forces. Public escape hatch if a jax upgrade moves the
+        # private attribute.
+        self.pallas_interpret = None
 
 
 config = _Config()

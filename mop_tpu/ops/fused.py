@@ -326,12 +326,18 @@ def _multihop_forward(q1, k1, v1, q2, k2, v2, gates, beta_not, hops, chain_w):
                         memory_space=pltpu.VMEM)
     w_arr = jnp.asarray(chain_w, jnp.float32).reshape(1, 1)
     w_spec = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
+    from jax.experimental.pallas import tpu as pltpu
+
     return pl.pallas_call(
         kernel,
         grid=(bh,),
         in_specs=[spec] * 6 + [w_spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((bh, n, dk), q1.dtype),
+        # fp32 operands at N=512 need ~17MB scoped VMEM (HIGHEST-precision
+        # dots); the 16MB default is too tight. v5e has 128MB per core.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(q1, k1, v1, q2, k2, v2, w_arr)
 
 
@@ -682,9 +688,16 @@ def _edgewise_io_specs(n, dk, nv, weights, bh):
 def _interpret_mode():
     """Current force-TPU-interpret state, captured so the backward kernel
     (traced AFTER any ``force_tpu_interpret_mode`` context has exited) runs
-    in the same mode as the forward. Best-effort over a private jax config
-    attribute: if a jax upgrade moves it, default to compiled mode rather
-    than crashing the (default-on) fused dispatch path."""
+    in the same mode as the forward.
+
+    Resolution order: (1) the public override
+    ``mop_tpu.config.config.pallas_interpret`` (set it True in test
+    fixtures if a jax upgrade breaks auto-detection); (2) best-effort read
+    of jax's private context-manager attribute; (3) compiled mode."""
+    from ..config import config as _cfg
+
+    if _cfg.pallas_interpret is not None:
+        return bool(_cfg.pallas_interpret)
     try:
         from jax._src import config as jax_config
 

@@ -528,3 +528,20 @@ def test_fused_quartet_grads_match_reference():
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_interpret_mode_public_override(monkeypatch):
+    """config.pallas_interpret overrides the private-attribute autodetect
+    (the escape hatch if a jax upgrade moves it)."""
+    from mop_tpu import config as mcfg
+
+    assert F._interpret_mode() in (False, True)
+    monkeypatch.setattr(mcfg.config, "pallas_interpret", True)
+    assert F._interpret_mode() is True
+    monkeypatch.setattr(mcfg.config, "pallas_interpret", False)
+    assert F._interpret_mode() is False
+    monkeypatch.setattr(mcfg.config, "pallas_interpret", None)
+    with pltpu.force_tpu_interpret_mode():
+        # autodetect yields a truthy value (bool or InterpretParams —
+        # pallas_call accepts either for its `interpret` argument)
+        assert bool(F._interpret_mode())
