@@ -23,11 +23,11 @@ class _Config:
     def __init__(self):
         # Fused Pallas flash attention for single-view attention paths.
         self.fused_attention = _env_flag("MOP_TPU_FUSED_ATTENTION", True)
-        # Fused multi-hop kernel: opt-in. Model-level min-of-3 on v5e (after
-        # the bf16-MXU-operand change): ViTMultiHop eval fwd 7.36 ms XLA vs
-        # 12.56 ms fused — XLA autofusion still wins this shape
-        # (benchmarks/quartet_multihop_dispatch.md).
-        self.fused_multihop = _env_flag("MOP_TPU_FUSED_MULTIHOP", False)
+        # Fused multi-hop kernel: ON with shape-aware dispatch. Crossover
+        # measured on v5e (benchmarks/parked_kernels.md): the kernel engages
+        # only at N >= 256 where it wins 1.23-1.76x; XLA keeps N <= 128
+        # (CIFAR shapes), where it wins 1.2-1.3x.
+        self.fused_multihop = _env_flag("MOP_TPU_FUSED_MULTIHOP", True)
         # Fused quartet kernel: ON by default since bf16 MXU operands — GPT
         # quartet LM eval fwd (n_embd=384, T=256, batch 64): 10.15 ms XLA vs
         # 8.61 ms fused = 1.18x (same doc). Grad-safe: custom VJP recomputes

@@ -359,7 +359,11 @@ def fused_multihop_attention(
     """
     b, h, n, dk = q1.shape
     vmem_ok = n <= 512 and dk <= 128
-    use = force if force is not None else (_on_tpu() and vmem_ok)
+    # Crossover measured on v5e (benchmarks/parked_kernels.md, scan-
+    # amortized min-of-3, bf16): XLA wins at N <= 128 (0.77-0.81x), the
+    # kernel wins at N >= 256 (1.23x) and 512 (1.76x) where the composed
+    # path's N^2 map round-trips dominate. Auto-dispatch at the crossover.
+    use = force if force is not None else (_on_tpu() and vmem_ok and n >= 256)
 
     def reference(q1, k1, v1, q2, k2, v2, chain_w):
         s1 = ref.scaled_scores(q1, k1)

@@ -29,16 +29,33 @@ def _bf16(tree):
 HBM_GBPS = 819e9  # v5e chip HBM bandwidth
 
 
-def timed(fn, *args, windows=3):
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+K_SCAN = 10  # device-side iterations per dispatch (amortizes the ~200ms
+# axon-tunnel round-trip that otherwise dominates sub-10ms kernels)
+
+
+def timed(fn, p, x, windows=3):
+    """Best per-iteration seconds of a K_SCAN-iteration device-side scan of
+    ``fn(p, x_k)`` over K distinct inputs (loop-invariant bodies would be
+    hoisted out of the scan by XLA, so each iteration gets its own x)."""
+    xs = x[None] * (1.0 + 1e-3 * jnp.arange(
+        K_SCAN, dtype=jnp.float32)).astype(x.dtype)[:, None, None, None]
+
+    @jax.jit
+    def looped(p, xs):
+        def body(c, xk):
+            out = fn(p, xk)
+            return c + jnp.sum(
+                jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
+        return acc
+
+    float(looped(p, xs))  # warmup + barrier
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        float(looped(p, xs))
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best / K_SCAN
 
 
 def bench_multihop():
@@ -55,15 +72,15 @@ def bench_multihop():
         m = MultiHopMSA(dim=dim, heads=heads, hops=hops,
                         gates=dict(base=1.0, and_=1.0, or_=0.5, not_=0.25,
                                    chain=0.75))
-        x = jax.random.normal(jax.random.PRNGKey(n), (b, n, dim),
-                              jnp.bfloat16)
-        p = _bf16(jax.jit(m.init)(jax.random.PRNGKey(1), x))
+        x32 = jax.random.normal(jax.random.PRNGKey(n), (b, n, dim))
+        p = _bf16(jax.jit(m.init)(jax.random.PRNGKey(1), x32))
+        x = x32.astype(jnp.bfloat16)
 
         def run(fused):
             def f(p, x):
                 mcfg.config.fused_multihop = fused
                 return m.apply(p, x)
-            return timed(jax.jit(f), p, x)
+            return timed(f, p, x)
 
         try:
             dt_x = run(False)
@@ -97,9 +114,9 @@ def bench_dense_train():
         m = EdgewiseMSA(dim=dim, heads=heads, n_views=v_, share_qkv=True,
                         gate_mode="dense", gate_init="and", use_k3=False,
                         beta_not=0.5, attn_drop=0.0, proj_drop=0.0)
-        x = jax.random.normal(jax.random.PRNGKey(n), (b, n, dim),
-                              jnp.bfloat16)
-        p = _bf16(jax.jit(m.init)(jax.random.PRNGKey(1), x))
+        x32 = jax.random.normal(jax.random.PRNGKey(n), (b, n, dim))
+        p = _bf16(jax.jit(m.init)(jax.random.PRNGKey(1), x32))
+        x = x32.astype(jnp.bfloat16)
         dy = jax.random.normal(jax.random.PRNGKey(2), x.shape, jnp.bfloat16)
 
         def run(fused):
@@ -123,16 +140,21 @@ def bench_dense_train():
                     y = m.apply(p, x, train=False)
                     return jnp.sum(
                         y.astype(jnp.float32) * dy.astype(jnp.float32))
-                return timed(jax.jit(jax.grad(f2, argnums=(0, 1))), p, x)
+                return timed(jax.grad(f2, argnums=(0, 1)), p, x)
 
             def f3(p, x):
                 mcfg.config.fused_attention = False
                 y = m.apply(p, x, train=False)
                 return jnp.sum(y.astype(jnp.float32) * dy.astype(jnp.float32))
-            return timed(jax.jit(jax.grad(f3, argnums=(0, 1))), p, x)
+            return timed(jax.grad(f3, argnums=(0, 1)), p, x)
 
-        dt_x = run(False)
-        dt_f = run(True)
+        try:
+            dt_x = run(False)
+            dt_f = run(True)
+        except Exception as e:
+            print(f"dense-train N={n}: skipped ({type(e).__name__}: "
+                  f"{str(e)[:120]})", flush=True)
+            continue
         c = 2 * v_ + 2
         hidden = 16
         stack_bytes = b * heads * n * n * (c + hidden + 4) * 2 * 2
