@@ -131,6 +131,7 @@ def make_scanned_classifier_train_step(
     label_smoothing: float = 0.0,
     grad_clip: Optional[float] = None,
     compute_dtype=jnp.bfloat16,
+    remat: str = "none",
 ):
     """K train steps in ONE dispatch via ``lax.scan`` over a stacked
     (K, B, ...) super-batch — a device-side training loop.
@@ -139,9 +140,25 @@ def make_scanned_classifier_train_step(
     backend) and lets XLA overlap step boundaries. Returns
     ``step(params, opt_state, x_u8 (K,B,C,H,W), y (K,B), rng) ->
     (params, opt_state, {'loss': (K,), 'acc': (K,)})``.
+
+    ``remat``: "none" | "full" (jax.checkpoint around the forward —
+    recompute in backward, trading FLOPs for activation HBM traffic) |
+    "dots" (checkpoint_dots policy: matmul outputs saved, elementwise
+    recomputed). Measured per shape in benchmarks/remat.md.
     """
     rep = replicated(mesh)
     bsh = NamedSharding(mesh, P(None, DATA_AXIS))  # batch axis is dim 1
+
+    def fwd(p, x, k_drop):
+        return model.apply(p, x, train=True, rngs={"dropout": k_drop})
+
+    if remat == "full":
+        fwd = jax.checkpoint(fwd)
+    elif remat == "dots":
+        fwd = jax.checkpoint(
+            fwd, policy=jax.checkpoint_policies.checkpoint_dots)
+    elif remat != "none":
+        raise ValueError(f"unknown remat mode {remat!r}")
 
     def loss_fn(params, x_u8, y, rng):
         k_aug, k_drop = jax.random.split(rng)
@@ -154,7 +171,7 @@ def make_scanned_classifier_train_step(
             p = cast_floats(params, compute_dtype)
         else:
             p = params
-        logits = model.apply(p, x, train=True, rngs={"dropout": k_drop})
+        logits = fwd(p, x, k_drop)
         logits = logits.astype(jnp.float32)
         if label_smoothing > 0.0:
             tgt = pp.label_smoothing_onehot(y, logits.shape[-1], label_smoothing)

@@ -147,3 +147,46 @@ def test_scanned_train_step_runs_and_learns():
             losses.extend(float(v) for v in np.asarray(m["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]  # 16 effective steps on repeated data learn
+
+
+def test_scanned_step_remat_modes_match():
+    """remat='full'/'dots' recompute the identical math — losses and updated
+    params must match the no-remat step to float tolerance."""
+    import numpy as np
+    import optax
+
+    from mop_tpu.models import ViT_Baseline
+    from mop_tpu.parallel import (make_mesh,
+                                  make_scanned_classifier_train_step,
+                                  replicate, shard_batch)
+
+    model = ViT_Baseline(n_classes=10, dim=32, depth=2, heads=2)
+    rng = jax.random.PRNGKey(0)
+    K, batch = 2, 16
+    xk = np.random.RandomState(0).randint(0, 256, (K, batch, 3, 32, 32),
+                                          dtype=np.uint8)
+    yk = np.random.RandomState(1).randint(0, 10, (K, batch)).astype(np.int32)
+    params0 = jax.tree_util.tree_map(np.asarray, model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((batch, 3, 32, 32)), train=True))
+    tx = optax.adamw(1e-3)
+    mesh = make_mesh(n_devices=1)
+    outs = {}
+    with mesh:
+        xkb, ykb = shard_batch((xk, yk), mesh)
+        for mode in ("none", "full", "dots"):
+            p = replicate(params0, mesh)
+            o = replicate(tx.init(params0), mesh)
+            step = make_scanned_classifier_train_step(
+                model, tx, mesh, (0.5, 0.5, 0.5), (0.25, 0.25, 0.25),
+                unroll_steps=K, augment=True, compute_dtype=None,
+                remat=mode)
+            p, o, m = step(p, o, xkb, ykb, rng)
+            outs[mode] = (np.asarray(m["loss"]),
+                          jax.tree_util.tree_map(np.asarray, p))
+    for mode in ("full", "dots"):
+        np.testing.assert_allclose(outs[mode][0], outs["none"][0],
+                                   rtol=1e-6, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(outs[mode][1]),
+                        jax.tree_util.tree_leaves(outs["none"][1])):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,87 @@
+"""Remat-vs-traffic experiment at the headline bench shape (CIFAR-100 5M
+ViT-MoP, batch 256, scan 10): the roofline says the shape is HBM-bound at
+~26% MFU — rematerialization trades recompute FLOPs for activation traffic
+and could be a net win. Measures ms/step for remat none/full/dots.
+
+Writes benchmarks/remat.md.  Run:  python tools/bench_remat.py
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def main():
+    from mop_tpu.models import ViT_MoP
+    from mop_tpu.ops.preprocess import CIFAR100_MEAN, CIFAR100_STD
+    from mop_tpu.parallel import (make_mesh, make_scanned_classifier_train_step,
+                                  replicate, shard_batch)
+    from mop_tpu.utils import jitted_init
+
+    K, batch = 10, 256 * len(jax.devices())
+    mesh = make_mesh()
+    model = ViT_MoP(dim=224, depth=6, heads=4, n_classes=100, n_views=5,
+                    n_kernels=3)
+    rng = jax.random.PRNGKey(0)
+    xk = np.random.RandomState(0).randint(0, 256, (K, batch, 3, 32, 32),
+                                          dtype=np.uint8)
+    yk = np.random.RandomState(1).randint(0, 100, (K, batch)).astype(np.int32)
+    params = jitted_init(model, {"params": rng, "dropout": rng},
+                         jnp.zeros((batch, 3, 32, 32)), train=True)
+    # host snapshot: the step donates its param/opt buffers, which would
+    # delete the originals before the next remat mode re-replicates them
+    params = jax.tree_util.tree_map(np.asarray, params)
+    tx = optax.adamw(3e-3, weight_decay=0.05)
+
+    rows = []
+    with mesh:
+        xkb, ykb = shard_batch((xk, yk), mesh)
+        for mode in ("none", "dots", "full"):
+            p = replicate(params, mesh)
+            o = replicate(tx.init(params), mesh)
+            step = make_scanned_classifier_train_step(
+                model, tx, mesh, CIFAR100_MEAN, CIFAR100_STD,
+                unroll_steps=K, augment=True, remat=mode)
+            for i in range(3):  # warmup (donation recompile on 2nd call)
+                p, o, m = step(p, o, xkb, ykb, jax.random.fold_in(rng, i))
+            float(m["loss"][-1])
+            best = float("inf")
+            for w in range(3):
+                t0 = time.perf_counter()
+                p, o, m = step(p, o, xkb, ykb, jax.random.fold_in(rng, 10 + w))
+                float(m["loss"][-1])
+                best = min(best, time.perf_counter() - t0)
+            ms = best / K * 1e3
+            imgs = batch / (best / K)
+            rows.append((mode, ms, imgs))
+            print(f"remat={mode}: {ms:.2f} ms/step, {imgs:,.0f} img/s",
+                  flush=True)
+
+    out = os.path.join(REPO, "benchmarks", "remat.md")
+    with open(out, "w") as f:
+        f.write("# Remat at the headline shape (5M ViT-MoP, batch "
+                f"{batch}, scan {K})\n\n")
+        f.write(f"Platform {jax.devices()[0].device_kind}; min-of-3, "
+                "host-transfer barrier.\n\n")
+        f.write("| remat | ms/step | img/s |\n|---|---|---|\n")
+        for mode, ms, imgs in rows:
+            f.write(f"| {mode} | {ms:.2f} | {imgs:,.0f} |\n")
+        base = rows[0][1]
+        bestrow = min(rows, key=lambda r: r[1])
+        f.write(f"\nBest: **{bestrow[0]}** ({base / bestrow[1]:.2f}x vs "
+                "none). HBM-bound shapes gain when recompute is cheaper "
+                "than the saved-activation round-trip; compute-bound shapes "
+                "lose the extra FLOPs.\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
