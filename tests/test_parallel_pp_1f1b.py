@@ -16,7 +16,7 @@ import optax
 import pytest
 
 from mop_tpu.models import (TransformerConfig, create_gpt_baseline,
-                            create_gpt_quartet)
+                            create_gpt_mop, create_gpt_quartet)
 from mop_tpu.parallel import make_mesh
 from mop_tpu.parallel.pp import (make_pp_lm_train_step_1f1b,
                                  merge_gpt_params, place_pp_params,
@@ -56,13 +56,17 @@ def _tree_allclose(a, b, rtol, atol):
 @requires_8
 @pytest.mark.parametrize("pp,micro", [(2, 4), (4, 2), (2, 8), (4, 8)])
 @pytest.mark.parametrize("family,dropout", [
-    ("base", 0.0), ("base", 0.1), ("quartet", 0.1)])
+    ("base", 0.0), ("base", 0.1), ("quartet", 0.1), ("mop", 0.1)])
 def test_1f1b_step_matches_composition(pp, micro, family, dropout):
-    factory = {"base": create_gpt_baseline,
-               "quartet": create_gpt_quartet}[family]
+    factory, fkw = {
+        "base": (create_gpt_baseline, {}),
+        "quartet": (create_gpt_quartet, {}),
+        "mop": (create_gpt_mop, dict(n_views=3, n_kernels=2)),
+    }[family]
     # microbatch size must divide by the data-axis size (8 // pp)
     batch = max(16, micro * (8 // pp))
-    model, cfg, params, idx, tgt = _setup(factory, dropout, batch=batch)
+    model, cfg, params, idx, tgt = _setup(factory, dropout, batch=batch,
+                                          **fkw)
     rng = jax.random.PRNGKey(7)
 
     stem0, stacked0, head0 = split_gpt_params(params, cfg.n_layer)
