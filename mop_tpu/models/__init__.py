@@ -27,7 +27,8 @@ from .components import (
     ViTEncoder,
     ViTEncoderMoE,
 )
-from .generate import generate, generate_cached, whisper_transcribe
+from .generate import (generate, generate_cached,
+                       whisper_transcribe, whisper_transcribe_cached)
 from .gpt_comparison import (
     ComparisonConfig,
     GPTComparisonFramework,
@@ -102,6 +103,7 @@ __all__ = [
     "generate",
     "generate_cached",
     "whisper_transcribe",
+    "whisper_transcribe_cached",
     # Whisper family
     "WhisperMoP",
     "create_whisper_mop",

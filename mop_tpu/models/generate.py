@@ -358,3 +358,112 @@ def generate_cached(
         step, (tok0, cache, rng), None, length=max_new_tokens - 1)
     out = jnp.concatenate([toks.T, last[:, None]], axis=1)
     return jnp.concatenate([prompt.astype(jnp.int32), out], axis=1)
+
+
+# ---------------------- exact cached Whisper decode ----------------------
+#
+# Unlike the GPT family, the Whisper decoder (``whisper_mop.py:251-269``)
+# is a standard pre-LN causal transformer — no pre-mask standardization —
+# so an incremental KV cache is EXACT: position i's activations depend only
+# on positions <= i. Per layer: self-attention K/V appended per token,
+# cross-attention K/V computed ONCE from the encoder memory. O(T d + T_enc
+# d) per token instead of whisper_transcribe's full-window O(T^2 d +
+# T T_enc d) re-run.
+
+
+def _mha(q, ks, vs, n_valid=None):
+    """q: (B,H,1,dh) against ks/vs (B,H,T,dh); optional valid-prefix mask."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, ks) / jnp.sqrt(q.shape[-1]).astype(
+        jnp.float32)
+    if n_valid is not None:
+        cols = jnp.arange(ks.shape[2]) < n_valid
+        s = jnp.where(cols[None, None, None, :], s, -jnp.inf)
+    a = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", a, vs)
+
+
+def whisper_transcribe_cached(
+    model,
+    params,
+    mel: Array,
+    bos_token: int,
+    max_tokens: int,
+) -> Array:
+    """Greedy transcription with exact per-layer KV caches.
+
+    Produces the same tokens as ``whisper_transcribe`` (equality pinned in
+    tests/test_generate.py) at O(T) per-token cost. Returns (B, max_tokens).
+    """
+    cfg = model.cfg
+    p = params["params"]
+    h = cfg.n_head
+    d = cfg.n_embd
+    dh = d // h
+    L = cfg.n_layer_dec
+    enc_out, _ = model.apply(params, mel, method=model.encode)
+    b = mel.shape[0]
+    tk = enc_out.shape[1]
+    win = max_tokens + 1
+
+    def lin(x, pp):
+        y = x @ pp["kernel"]
+        if "bias" in pp:
+            y = y + pp["bias"]
+        return y
+
+    def split1(y):  # (B, 1, D) -> (B, H, 1, dh)
+        return y.reshape(b, 1, h, dh).transpose(0, 2, 1, 3)
+
+    # Cross-attention K/V once per layer from the encoder memory.
+    cross_kv = []
+    for i in range(L):
+        cp = p[f"decoder_{i}"]["cross_attn"]
+        ck = lin(enc_out, cp["k_proj"]).reshape(b, tk, h, dh).transpose(
+            0, 2, 1, 3)
+        cv = lin(enc_out, cp["v_proj"]).reshape(b, tk, h, dh).transpose(
+            0, 2, 1, 3)
+        cross_kv.append((ck, cv))
+    cross_k = jnp.stack([kv[0] for kv in cross_kv])
+    cross_v = jnp.stack([kv[1] for kv in cross_kv])
+
+    k0 = jnp.zeros((L, b, h, win, dh), jnp.float32)
+    v0 = jnp.zeros((L, b, h, win, dh), jnp.float32)
+
+    def step(carry, i):
+        tok, ks, vs = carry
+        x = p["wte"]["embedding"][tok][:, None, :]
+        if cfg.use_abs_pos_emb:
+            x = x + p["text_pos"]["embedding"][i][None, None, :]
+        onehot = (jnp.arange(win) == i)
+        new_ks, new_vs = ks, vs
+        for li in range(L):
+            bp = p[f"decoder_{li}"]
+            hx = _ln(x, bp["ln1"])
+            sp = bp["self_attn"]
+            q = split1(lin(hx, sp["q_proj"]))
+            k_new = split1(lin(hx, sp["k_proj"]))
+            v_new = split1(lin(hx, sp["v_proj"]))
+            ks_li = jnp.where(onehot[None, None, :, None], k_new, new_ks[li])
+            vs_li = jnp.where(onehot[None, None, :, None], v_new, new_vs[li])
+            new_ks = new_ks.at[li].set(ks_li)
+            new_vs = new_vs.at[li].set(vs_li)
+            y = _mha(q, ks_li, vs_li, n_valid=i + 1)
+            y = y.transpose(0, 2, 1, 3).reshape(b, 1, d)
+            x = x + lin(y, sp["o_proj"])
+            cx = _ln(x, bp["ln2"])
+            cp = bp["cross_attn"]
+            qc = split1(lin(cx, cp["q_proj"]))
+            yc = _mha(qc, cross_k[li], cross_v[li])
+            yc = yc.transpose(0, 2, 1, 3).reshape(b, 1, d)
+            x = x + lin(yc, cp["o_proj"])
+            mx = _ln(x, bp["ln3"])
+            mp = bp["mlp"]
+            x = x + lin(gelu_tanh(lin(mx, mp["fc"])), mp["proj"])
+        x = _ln(x, p["dec_ln_f"])
+        logits = (x @ p["wte"]["embedding"].T)[:, 0, :]
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        return (nxt, new_ks, new_vs), nxt
+
+    tok0 = jnp.full((b,), bos_token, jnp.int32)
+    _, outs = jax.lax.scan(step, (tok0, k0, v0), jnp.arange(max_tokens))
+    return outs.T

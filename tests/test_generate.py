@@ -121,3 +121,27 @@ def test_generate_cached_rejects_window_overflow():
     params = model.init(jax.random.PRNGKey(1), idx)
     with pytest.raises(ValueError, match="exceeds block_size"):
         generate_cached(model, params, idx, max_new_tokens=4)
+
+
+def test_whisper_transcribe_cached_matches_uncached():
+    """The Whisper decoder is a standard causal transformer (no pre-mask
+    standardization), so the KV-cached transcription is EXACT — token-level
+    equality with whisper_transcribe."""
+    import numpy as np
+
+    from mop_tpu.models import (WhisperConfig, create_whisper_mop,
+                                whisper_transcribe,
+                                whisper_transcribe_cached)
+
+    wc = WhisperConfig(n_mels=16, n_audio_ctx=24, vocab_size=40,
+                       n_text_ctx=16, n_embd=32, n_head=2,
+                       n_layer_enc=2, n_layer_dec=2, dropout=0.0)
+    model = create_whisper_mop(wc)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 16))
+    ids0 = jnp.zeros((2, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), mel, ids0)
+    a = whisper_transcribe(model, params, mel, bos_token=3, max_tokens=8)
+    b = whisper_transcribe_cached(model, params, mel, bos_token=3,
+                                  max_tokens=8)
+    assert b.shape == (2, 8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
