@@ -398,6 +398,16 @@ class ModelRun:
 
     def sync_loss(self) -> float:
         self.last_loss = float(self.loss_handle)
+        if not np.isfinite(self.last_loss):
+            # Failure detection (SURVEY §5.3: the reference just dies with a
+            # stack-dump mid-run): fail fast with actionable context instead
+            # of silently training on NaNs until the final eval.
+            raise FloatingPointError(
+                f"non-finite loss for model '{self.key}' "
+                f"({self.n_params:,} params) — typical causes: LR too high "
+                f"for this variant (try --lr_mult_e style overrides), bf16 "
+                f"overflow, or bad input data."
+            )
         return self.last_loss
 
     def evaluate(self, batches) -> float:

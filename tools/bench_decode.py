@@ -168,6 +168,17 @@ def main():
     print(f"whisper_transcribe: {wtok:,.0f} tok/s "
           f"({wframes:,.0f} audio frames/s), B=4, 1500-frame mel, "
           f"{wt} decode steps", flush=True)
+    from mop_tpu.models.generate import whisper_transcribe_cached
+
+    wfn_c = jax.jit(lambda p, m: whisper_transcribe_cached(
+        wmodel, p, m, bos_token=1, max_tokens=wt))
+    out_c, dt_wc = timed(wfn_c, wparams, mel)
+    out_u = wfn(wparams, mel)
+    wtok_c = 4 * wt / dt_wc
+    agree_w = float(np.mean(np.asarray(out_c) == np.asarray(out_u)))
+    print(f"whisper_transcribe_cached (EXACT): {wtok_c:,.0f} tok/s "
+          f"({dt_w / dt_wc:.1f}x), token equality {agree_w:.1%}",
+          flush=True)
 
     out = os.path.join(REPO, "benchmarks", "decode.md")
     with open(out, "w") as f:
@@ -183,8 +194,11 @@ def main():
                     f"|\n")
         f.write(f"""
 Whisper-MoP transcription (B=4, 1500-frame mel, 64 greedy decode steps,
-n_embd=384, 4+4 layers): **{wtok:,.0f} tok/s** ({wframes:,.0f} audio
-frames/s consumed).
+n_embd=384, 4+4 layers): full-window **{wtok:,.0f} tok/s** ({wframes:,.0f}
+audio frames/s consumed); KV-cached **{wtok_c:,.0f} tok/s**
+({dt_w / dt_wc:.1f}x) — and unlike the GPT family the Whisper decoder is a
+standard causal transformer, so the cache is EXACT (token equality
+{agree_w:.1%}, also pinned in tests/test_generate.py).
 
 ## Divergence vs the prefix-exact oracle
 
