@@ -95,6 +95,10 @@ def main():
     ap.add_argument("--ema", action="store_true")
     ap.add_argument("--ema_decay", type=float, default=0.9999)
     ap.add_argument("--out", type=str, default="results/imagenet_ab_param_budgets")
+    ap.add_argument("--ckpt_every", type=int, default=0,
+                    help="save per-model checkpoints every N steps (0 = off)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoints under --out")
     ap.add_argument("--synthetic", action="store_true")
     args = ap.parse_args()
 
@@ -232,9 +236,41 @@ def main():
                 eval_map[key] = make_classifier_eval_step(
                     model, mesh, IMAGENET_MEAN, IMAGENET_STD)
 
+            # Checkpoint/resume for long ImageNet runs (SURVEY §5.3-5.4: the
+            # reference's helpers exist but no script calls them; a crash at
+            # step 9k of 10k loses everything there).
+            from mop_tpu.training.utils import load_checkpoint, save_checkpoint
+
+            def _ckpt_path(key, step_i):
+                return os.path.join(
+                    args.out, f"ckpt_s{s}_{key}_step{step_i}.pkl")
+
+            start_step = 1
+            if args.resume:
+                import glob as _glob
+
+                steps_found = []
+                for key in model_keys:
+                    pat = os.path.join(args.out, f"ckpt_s{s}_{key}_step*.pkl")
+                    found = [int(f.rsplit("step", 1)[1].split(".")[0])
+                             for f in _glob.glob(pat)]
+                    steps_found.append(max(found) if found else 0)
+                common = min(steps_found) if steps_found else 0
+                if common > 0:
+                    for key in model_keys:
+                        payload = load_checkpoint(_ckpt_path(key, common))
+                        params_by_key[key] = (
+                            replicate(payload["params"], mesh),
+                            replicate(payload["opt_state"], mesh))
+                        if args.ema and payload.get("extra") is not None:
+                            ema_by_key[key] = replicate(
+                                payload["extra"], mesh)
+                    start_step = common + 1
+                    print(f"resumed seed {s} from step {common}")
+
             it = BatchIterator(tr_x, tr_y, args.batch, seed=s)
             with mesh:
-                for step_i in range(1, args.steps + 1):
+                for step_i in range(start_step, args.steps + 1):
                     xb, yb = next(it)
                     xb, yb = shard_batch((xb, yb), mesh)
                     for key in model_keys:
@@ -245,6 +281,18 @@ def main():
                         if args.ema:
                             ema_by_key[key] = ema_update(ema_by_key[key], p,
                                                          args.ema_decay)
+                    if args.ckpt_every and step_i % args.ckpt_every == 0:
+                        for key in model_keys:
+                            pck, ock = params_by_key[key]
+                            save_checkpoint(
+                                _ckpt_path(key, step_i),
+                                jax.tree_util.tree_map(np.asarray, pck),
+                                opt_state=jax.tree_util.tree_map(
+                                    np.asarray, ock),
+                                epoch=step_i,
+                                extra=jax.tree_util.tree_map(
+                                    np.asarray, ema_by_key[key])
+                                if args.ema else None)
                     if step_i % max(args.eval_every, 1) == 0 or step_i == 1:
                         report = []
                         for key in model_keys:

@@ -62,14 +62,17 @@ def format_time(seconds: float) -> str:
     return f"{s}s"
 
 
-def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0, loss: float = 0.0):
-    """Persist {epoch, params, opt_state, loss} (reference :121-147 payload)."""
+def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
+                    loss: float = 0.0, extra=None):
+    """Persist {epoch, params, opt_state, loss[, extra]} (reference
+    :121-147 payload; ``extra`` carries e.g. an EMA shadow tree)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {
         "epoch": epoch,
         "params": jax.device_get(params),
         "opt_state": jax.device_get(opt_state) if opt_state is not None else None,
         "loss": float(loss),
+        "extra": jax.device_get(extra) if extra is not None else None,
     }
     with open(path, "wb") as f:
         pickle.dump(payload, f)
