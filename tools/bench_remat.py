@@ -53,14 +53,20 @@ def main():
             for i in range(3):  # warmup (donation recompile on 2nd call)
                 p, o, m = step(p, o, xkb, ykb, jax.random.fold_in(rng, i))
             float(m["loss"][-1])
+            # bench.py-style windows: several async dispatches per window with
+            # ONE host barrier, so tunnel dispatch latency is pipelined away
+            # and ms/step is comparable with the headline number.
+            n_super = 10
             best = float("inf")
             for w in range(3):
                 t0 = time.perf_counter()
-                p, o, m = step(p, o, xkb, ykb, jax.random.fold_in(rng, 10 + w))
+                for i in range(n_super):
+                    p, o, m = step(p, o, xkb, ykb,
+                                   jax.random.fold_in(rng, 10 + w * n_super + i))
                 float(m["loss"][-1])
                 best = min(best, time.perf_counter() - t0)
-            ms = best / K * 1e3
-            imgs = batch / (best / K)
+            ms = best / (K * n_super) * 1e3
+            imgs = batch / (best / (K * n_super))
             rows.append((mode, ms, imgs))
             print(f"remat={mode}: {ms:.2f} ms/step, {imgs:,.0f} img/s",
                   flush=True)
