@@ -9,6 +9,13 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .multiseed import (
+    make_multiseed_scanned_train_step,
+    multiseed_init,
+    multiseed_opt_init,
+    seed_shardings,
+    unstack_seed,
+)
 from .pp import (
     make_pp_lm_train_step,
     make_pp_lm_train_step_1f1b,
@@ -47,6 +54,11 @@ __all__ = [
     "make_classifier_eval_step",
     "make_imagenet_train_step",
     "make_scanned_classifier_train_step",
+    "make_multiseed_scanned_train_step",
+    "multiseed_init",
+    "multiseed_opt_init",
+    "seed_shardings",
+    "unstack_seed",
     "make_lm_train_step",
     "TP_RULES_DEFAULT",
     "tp_param_shardings",
