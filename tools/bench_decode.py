@@ -152,33 +152,33 @@ def main():
     from mop_tpu.models.generate import whisper_transcribe
     from mop_tpu.utils import jitted_init
 
-    wc = WhisperConfig(n_mels=80, n_audio_ctx=1500, vocab_size=512,
-                       n_text_ctx=128, n_embd=384, n_head=6,
-                       n_layer_enc=4, n_layer_dec=4, dropout=0.0)
-    wmodel = create_whisper_mop(wc)
-    mel = jax.random.normal(jax.random.PRNGKey(2), (4, 1500, 80))
-    ids0 = jnp.zeros((4, 8), jnp.int32)
-    wparams = jitted_init(wmodel, jax.random.PRNGKey(3), mel, ids0)
-    wt = 64
-    wfn = jax.jit(lambda p, m: whisper_transcribe(
-        wmodel, p, m, bos_token=1, max_tokens=wt))
-    _, dt_w = timed(wfn, wparams, mel)
-    wtok = 4 * wt / dt_w
-    wframes = 4 * 1500 / dt_w
-    print(f"whisper_transcribe: {wtok:,.0f} tok/s "
-          f"({wframes:,.0f} audio frames/s), B=4, 1500-frame mel, "
-          f"{wt} decode steps", flush=True)
     from mop_tpu.models.generate import whisper_transcribe_cached
 
-    wfn_c = jax.jit(lambda p, m: whisper_transcribe_cached(
-        wmodel, p, m, bos_token=1, max_tokens=wt))
-    out_c, dt_wc = timed(wfn_c, wparams, mel)
-    out_u = wfn(wparams, mel)
-    wtok_c = 4 * wt / dt_wc
-    agree_w = float(np.mean(np.asarray(out_c) == np.asarray(out_u)))
-    print(f"whisper_transcribe_cached (EXACT): {wtok_c:,.0f} tok/s "
-          f"({dt_w / dt_wc:.1f}x), token equality {agree_w:.1%}",
-          flush=True)
+    wrows = []
+    # (n_text_ctx, decode steps): the short context the repo tests use, and
+    # the real Whisper text context (reference whisper.cpp-style 448) where
+    # the O(T^2) window recompute actually bites.
+    for wctx, wt in ((128, 64), (448, 400)):
+        wc = WhisperConfig(n_mels=80, n_audio_ctx=1500, vocab_size=512,
+                           n_text_ctx=wctx, n_embd=384, n_head=6,
+                           n_layer_enc=4, n_layer_dec=4, dropout=0.0)
+        wmodel = create_whisper_mop(wc)
+        mel = jax.random.normal(jax.random.PRNGKey(2), (4, 1500, 80))
+        ids0 = jnp.zeros((4, 8), jnp.int32)
+        wparams = jitted_init(wmodel, jax.random.PRNGKey(3), mel, ids0)
+        wfn = jax.jit(lambda p, m, wmodel=wmodel, wt=wt: whisper_transcribe(
+            wmodel, p, m, bos_token=1, max_tokens=wt))
+        out_u, dt_w = timed(wfn, wparams, mel)
+        wfn_c = jax.jit(
+            lambda p, m, wmodel=wmodel, wt=wt: whisper_transcribe_cached(
+                wmodel, p, m, bos_token=1, max_tokens=wt))
+        out_c, dt_wc = timed(wfn_c, wparams, mel)
+        agree_w = float(np.mean(np.asarray(out_c) == np.asarray(out_u)))
+        wrows.append((wctx, wt, 4 * wt / dt_w, 4 * 1500 / dt_w,
+                      4 * wt / dt_wc, dt_w / dt_wc, agree_w))
+        print(f"whisper ctx={wctx}: full-window {4 * wt / dt_w:,.0f} tok/s, "
+              f"cached {4 * wt / dt_wc:,.0f} tok/s ({dt_w / dt_wc:.1f}x), "
+              f"greedy-token agreement {agree_w:.1%}", flush=True)
 
     out = os.path.join(REPO, "benchmarks", "decode.md")
     with open(out, "w") as f:
@@ -192,13 +192,26 @@ def main():
         for (blk, new, te, tc, sp) in rows:
             f.write(f"| {blk} | {new} | {te:,.0f} | {tc:,.0f} | {sp:.1f}x "
                     f"|\n")
+        f.write("""
+## Whisper-MoP transcription (B=4, 1500-frame mel, n_embd=384, 4+4 layers)
+
+| text ctx | decode steps | full-window tok/s | cached tok/s | speedup | greedy agreement |
+|---|---|---|---|---|---|
+""")
+        for (wctx, wt, wtok, wframes, wtok_c, wsp, agree_w) in wrows:
+            f.write(f"| {wctx} | {wt} | {wtok:,.0f} | {wtok_c:,.0f} | "
+                    f"{wsp:.1f}x | {agree_w:.1%} |\n")
         f.write(f"""
-Whisper-MoP transcription (B=4, 1500-frame mel, 64 greedy decode steps,
-n_embd=384, 4+4 layers): full-window **{wtok:,.0f} tok/s** ({wframes:,.0f}
-audio frames/s consumed); KV-cached **{wtok_c:,.0f} tok/s**
-({dt_w / dt_wc:.1f}x) — and unlike the GPT family the Whisper decoder is a
-standard causal transformer, so the cache is EXACT (token equality
-{agree_w:.1%}, also pinned in tests/test_generate.py).
+Unlike the GPT family the Whisper decoder is a standard causal
+transformer, so the KV cache is mathematically exact
+(tests/test_generate.py pins token equality); the bench checkpoint is
+untrained, so its greedy argmax margins sit at the fp noise floor and
+reduction-order differences flip some ties — the agreement column is a
+sanity bound, not an exactness measure. The cache only pays once the
+window recompute is expensive: at the repo-test 128-token context the
+sequential cached loop's per-step latency competes with recomputing the
+tiny window; the real Whisper 448-token context measures
+{wrows[-1][5]:.1f}x.
 
 ## Divergence vs the prefix-exact oracle
 
