@@ -9,8 +9,11 @@ from .utils import (
     ema_update,
     format_time,
     load_checkpoint,
+    load_checkpoint_orbax,
     print_model_info,
+    restore_checkpoint_sharded,
     save_checkpoint,
+    save_checkpoint_orbax,
     set_seed,
 )
 
@@ -26,5 +29,8 @@ __all__ = [
     "format_time",
     "save_checkpoint",
     "load_checkpoint",
+    "save_checkpoint_orbax",
+    "load_checkpoint_orbax",
+    "restore_checkpoint_sharded",
     "print_model_info",
 ]

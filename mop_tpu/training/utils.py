@@ -104,6 +104,31 @@ def load_checkpoint_orbax(path: str, like=None):
     return ckptr.restore(os.path.abspath(path), like)
 
 
+def restore_checkpoint_sharded(path: str, like, shardings):
+    """Restore an orbax checkpoint DIRECTLY into a distributed layout.
+
+    ``like`` is a pytree matching the saved payload's structure (concrete or
+    abstract values — only shape/dtype are read); ``shardings`` is a matching
+    pytree of ``jax.sharding.Sharding`` (e.g. from ``fsdp_param_shardings``
+    or ``tp_param_shardings``). Each array is loaded shard-by-shard onto its
+    target devices without materializing the full tree on one host — and the
+    target layout does NOT have to match the layout the checkpoint was saved
+    under: save from an FSDP run, restore onto a TP mesh (or a different
+    device count) and orbax reshards on read. This is the topology-change
+    resume path; tests/test_sharded_checkpoint.py covers save->restore across
+    fsdp/replicated/tp layouts plus resume-equivalence.
+    """
+    import orbax.checkpoint as ocp
+
+    abstract = jax.tree_util.tree_map(
+        lambda a, s: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a),
+                                          sharding=s),
+        like, shardings,
+    )
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), abstract)
+
+
 class AverageMeter:
     """Running average tracker (reference :178-200)."""
 
