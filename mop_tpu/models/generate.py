@@ -142,7 +142,10 @@ def _ln(x, p, eps=1e-5):
 
 
 def _lin(x, p):
-    y = x @ p["kernel"]
+    from ..ops.quant import QTensor, qmatmul
+
+    k = p["kernel"]
+    y = qmatmul(x, k) if isinstance(k, QTensor) else x @ k
     if "bias" in p:
         y = y + p["bias"]
     return y
@@ -172,33 +175,26 @@ def init_decode_cache(config, batch: int, dtype=jnp.float32):
     }
 
 
-def _attn_step(p, cfg, x, cache_k, cache_k2, cache_v, n_valid):
-    """One-token attention against the cache. x: (B, 1, C). Returns
-    (out (B,1,C), new k/k2/v rows (B,H,1,dk))."""
+def _attn_step(p, cfg, x, k_all, k2_all, v_all, n_valid):
+    """One-token attention against caches that ALREADY hold this token's
+    k/k2/v rows at position ``n_valid - 1``. x: (B, 1, C) -> (B, 1, C).
+
+    (The caller writes the single new row with ``lax.dynamic_update_slice``
+    — O(d) traffic — instead of a onehot-``where`` over the whole window,
+    which read+wrote the full (B, H, block, dk) buffer per layer and
+    dominated decode-step HBM traffic for long blocks.)"""
     b = x.shape[0]
     h = cfg.n_head
     c = cfg.n_embd
     dk = c // h
     split = lambda y: y.reshape(b, 1, h, dk).transpose(0, 2, 1, 3)
     q = split(_lin(x, p["q_proj"]))
-    k = split(_lin(x, p["k_proj"]))
-    v = split(_lin(x, p["v_proj"]))
     scale = 1.0 / jnp.sqrt(dk).astype(jnp.float32)
 
-    # write the new row at position n_valid - 1 (cache updated by caller);
-    # here we just compute scores against [cache ++ new row].
-    def with_new(cache, new):
-        onehot = (jnp.arange(cfg.block_size) == (n_valid - 1))
-        return jnp.where(onehot[None, None, :, None], new, cache)
-
-    k_all = with_new(cache_k, k)
-    v_all = with_new(cache_v, v)
     qk = jnp.einsum("bhqd,bhkd->bhqk", q, k_all) * scale
     eps = cfg.score_norm_eps
     if cfg.use_quartet:
         q2 = split(_lin(x, p["q2_proj"]))
-        k2 = split(_lin(x, p["k2_proj"]))
-        k2_all = with_new(cache_k2, k2)
         q2k2 = jnp.einsum("bhqd,bhkd->bhqk", q2, k2_all) * scale
         m = jax.nn.sigmoid(p["mixture"][0])
         s1 = _standardize_rows(qk, n_valid, eps)
@@ -207,43 +203,56 @@ def _attn_step(p, cfg, x, cache_k, cache_k2, cache_v, n_valid):
     else:
         # non-quartet path uses a hardcoded 1e-5 (quartet_attn_patch.py:104)
         scores = _standardize_rows(qk, n_valid, 1e-5)
-        k2 = k  # placeholder
-    cols = jnp.arange(cfg.block_size) < n_valid
+    cols = jnp.arange(k_all.shape[2]) < n_valid
     scores = jnp.where(cols[None, None, None, :], scores, -jnp.inf)
     att = jax.nn.softmax(scores, axis=-1)
     y = jnp.einsum("bhqk,bhkd->bhqd", att, v_all)
     y = y.transpose(0, 2, 1, 3).reshape(b, 1, c)
-    return _lin(y, p["o_proj"]), k, k2, v
+    return _lin(y, p["o_proj"])
+
+
+def _kv_rows(p, cfg, x):
+    """This token's k/k2/v cache rows from the pre-LN activations.
+    x: (B, 1, C) -> three (B, H, 1, dk) rows (k2 := k when not quartet)."""
+    b = x.shape[0]
+    h = cfg.n_head
+    dk = cfg.n_embd // h
+    split = lambda y: y.reshape(b, 1, h, dk).transpose(0, 2, 1, 3)
+    k = split(_lin(x, p["k_proj"]))
+    v = split(_lin(x, p["v_proj"]))
+    k2 = split(_lin(x, p["k2_proj"])) if cfg.use_quartet else k
+    return k, k2, v
 
 
 def decode_step(model, params, cache, token):
     """One cached decode step. token: (B,) int32 -> (logits (B, vocab),
     new cache). Appends the token at position cache['len'] (caller must
-    ensure the window is not full)."""
+    ensure the window is not full). Accepts int8-quantized params
+    (``mop_tpu.ops.quant.quantize_params``) transparently."""
     cfg = model.config
     p = params["params"]
     b = token.shape[0]
-    n_valid = cache["len"] + 1
+    pos = cache["len"]
+    n_valid = pos + 1
     x = p["wte"]["embedding"][token][:, None, :]  # (B, 1, C)
     if cfg.use_abs_pos_emb:
-        x = x + p["wpe"]["embedding"][cache["len"]][None, None, :]
+        x = x + p["wpe"]["embedding"][pos][None, None, :]
 
     new_cache = dict(cache)
     for i in range(cfg.n_layer):
         bp = p[f"blocks_{i}"]
         h = _ln(x, bp["ln1"])
-        a, k_new, k2_new, v_new = _attn_step(
-            bp["attn"], cfg, h, cache["k"][i], cache["k2"][i],
-            cache["v"][i], n_valid)
-        x = x + a
-        hm = _ln(x, bp["ln2"])
-        x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
-        onehot = (jnp.arange(cfg.block_size) == cache["len"])
-        wr = lambda buf, new: buf.at[i].set(
-            jnp.where(onehot[None, None, :, None], new, buf[i]))
+        k_new, k2_new, v_new = _kv_rows(bp["attn"], cfg, h)
+        wr = lambda buf, row: jax.lax.dynamic_update_slice(
+            buf, row[None].astype(buf.dtype), (i, 0, 0, pos, 0))
         new_cache["k"] = wr(new_cache["k"], k_new)
         new_cache["k2"] = wr(new_cache["k2"], k2_new)
         new_cache["v"] = wr(new_cache["v"], v_new)
+        a = _attn_step(bp["attn"], cfg, h, new_cache["k"][i],
+                       new_cache["k2"][i], new_cache["v"][i], n_valid)
+        x = x + a
+        hm = _ln(x, bp["ln2"])
+        x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
 
     x = _ln(x, p["ln_f"])
     logits = (x @ p["wte"]["embedding"].T)[:, 0, :]
@@ -394,22 +403,26 @@ def whisper_transcribe_cached(
     Produces the same tokens as ``whisper_transcribe`` (equality pinned in
     tests/test_generate.py) at O(T) per-token cost. Returns (B, max_tokens).
     """
+    from ..ops.quant import QTensor, dequantize_params
+
     cfg = model.cfg
     p = params["params"]
     h = cfg.n_head
     d = cfg.n_embd
     dh = d // h
     L = cfg.n_layer_dec
-    enc_out, _ = model.apply(params, mel, method=model.encode)
+    # The flax encoder module cannot consume QTensor leaves; if the params
+    # are int8-quantized, dequantize for the ONE encoder pass (the decode
+    # loop below reads the int8 weights directly through _lin).
+    has_q = any(isinstance(l, QTensor) for l in jax.tree_util.tree_leaves(
+        params, is_leaf=lambda l: isinstance(l, QTensor)))
+    enc_params = dequantize_params(params) if has_q else params
+    enc_out, _ = model.apply(enc_params, mel, method=model.encode)
     b = mel.shape[0]
     tk = enc_out.shape[1]
     win = max_tokens + 1
 
-    def lin(x, pp):
-        y = x @ pp["kernel"]
-        if "bias" in pp:
-            y = y + pp["bias"]
-        return y
+    lin = _lin
 
     def split1(y):  # (B, 1, D) -> (B, H, 1, dh)
         return y.reshape(b, 1, h, dh).transpose(0, 2, 1, 3)
@@ -434,7 +447,6 @@ def whisper_transcribe_cached(
         x = p["wte"]["embedding"][tok][:, None, :]
         if cfg.use_abs_pos_emb:
             x = x + p["text_pos"]["embedding"][i][None, None, :]
-        onehot = (jnp.arange(win) == i)
         new_ks, new_vs = ks, vs
         for li in range(L):
             bp = p[f"decoder_{li}"]
@@ -443,11 +455,12 @@ def whisper_transcribe_cached(
             q = split1(lin(hx, sp["q_proj"]))
             k_new = split1(lin(hx, sp["k_proj"]))
             v_new = split1(lin(hx, sp["v_proj"]))
-            ks_li = jnp.where(onehot[None, None, :, None], k_new, new_ks[li])
-            vs_li = jnp.where(onehot[None, None, :, None], v_new, new_vs[li])
-            new_ks = new_ks.at[li].set(ks_li)
-            new_vs = new_vs.at[li].set(vs_li)
-            y = _mha(q, ks_li, vs_li, n_valid=i + 1)
+            # Single-row cache write (O(d) traffic, not a full-window where).
+            new_ks = jax.lax.dynamic_update_slice(
+                new_ks, k_new[None].astype(new_ks.dtype), (li, 0, 0, i, 0))
+            new_vs = jax.lax.dynamic_update_slice(
+                new_vs, v_new[None].astype(new_vs.dtype), (li, 0, 0, i, 0))
+            y = _mha(q, new_ks[li], new_vs[li], n_valid=i + 1)
             y = y.transpose(0, 2, 1, 3).reshape(b, 1, d)
             x = x + lin(y, sp["o_proj"])
             cx = _ln(x, bp["ln2"])

@@ -103,6 +103,8 @@ def main():
         params = jitted_init(model, jax.random.PRNGKey(1), prompt)
         new = block - T0
 
+        from mop_tpu.ops.quant import quantize_params
+
         exact_fn = jax.jit(
             lambda p, pr: generate(model, p, pr, max_new_tokens=new))
         cached_fn = jax.jit(
@@ -110,11 +112,17 @@ def main():
 
         out_e, dt_e = timed(exact_fn, params, prompt)
         out_c, dt_c = timed(cached_fn, params, prompt)
+        qparams = quantize_params(params)
+        out_q, dt_q = timed(cached_fn, qparams, prompt)
         tok_e = B * new / dt_e
         tok_c = B * new / dt_c
-        rows.append((block, new, tok_e, tok_c, tok_c / tok_e))
+        tok_q = B * new / dt_q
+        rows.append((block, new, tok_e, tok_c, tok_c / tok_e, tok_q,
+                     tok_q / tok_c))
         print(f"block={block}: full-window {tok_e:,.0f} tok/s, cached "
-              f"{tok_c:,.0f} tok/s ({tok_c / tok_e:.1f}x)", flush=True)
+              f"{tok_c:,.0f} tok/s ({tok_c / tok_e:.1f}x), int8 cached "
+              f"{tok_q:,.0f} tok/s ({tok_q / tok_c:.2f}x vs cached)",
+              flush=True)
 
     # ---- divergence protocol: briefly-trained model, judged against the
     # prefix-exact oracle (apply to the growing prefix each step — the true
@@ -141,11 +149,18 @@ def main():
         generate_prefix_exact(model, params, promptd, newd)[:, t0d:])
     full = np.asarray(generate(model, params, promptd, newd)[:, t0d:])
     cach = np.asarray(generate_cached(model, params, promptd, newd)[:, t0d:])
+    from mop_tpu.ops.quant import quantize_params
+
+    quant = np.asarray(generate_cached(
+        model, quantize_params(params, min_size=0), promptd,
+        newd)[:, t0d:])
     ag_full = float(np.mean(full == oracle))
     ag_cach = float(np.mean(cach == oracle))
+    ag_quant = float(np.mean(quant == oracle))
     print(f"divergence vs prefix-exact oracle (trained model, loss "
           f"{final_loss:.3f}, {newd} greedy tokens): full-window "
-          f"{ag_full:.1%}, cached {ag_cach:.1%}", flush=True)
+          f"{ag_full:.1%}, cached {ag_cach:.1%}, int8 cached "
+          f"{ag_quant:.1%}", flush=True)
 
     # Whisper transcription at reference scale (n_audio_ctx=1500).
     from mop_tpu.models import WhisperConfig, create_whisper_mop
@@ -187,11 +202,11 @@ def main():
         f.write(f"Platform `{platform}` ({jax.devices()[0].device_kind}); "
                 "min-of-3 windows, host-transfer barrier.\n\n")
         f.write("| block T | new tokens | full-window tok/s | cached tok/s | "
-                "speedup |\n")
-        f.write("|---|---|---|---|---|\n")
-        for (blk, new, te, tc, sp) in rows:
+                "speedup | int8-cached tok/s | vs cached |\n")
+        f.write("|---|---|---|---|---|---|---|\n")
+        for (blk, new, te, tc, sp, tq, spq) in rows:
             f.write(f"| {blk} | {new} | {te:,.0f} | {tc:,.0f} | {sp:.1f}x "
-                    f"|\n")
+                    f"| {tq:,.0f} | {spq:.2f}x |\n")
         f.write("""
 ## Whisper-MoP transcription (B=4, 1500-frame mel, n_embd=384, 4+4 layers)
 
@@ -229,6 +244,7 @@ length; bench-only):
 |---|---|---|
 | `generate` (full {cfg.block_size}-window) | O(T^2 d) | {ag_full:.1%} |
 | `generate_cached` (prefix KV cache) | O(T d) | {ag_cach:.1%} |
+| `generate_cached` + int8 weights | O(T d), 4x less weight HBM | {ag_quant:.1%} |
 
 `generate`'s window pads to `block`, so its row statistics include pad
 columns until the sequence fills the window (exact only from that point
