@@ -151,11 +151,20 @@ def _lin(x, p):
     return y
 
 
+def _cols_mask(n_cols: int, n_valid):
+    """(1|B, 1, 1, n_cols) bool mask of the valid prefix; ``n_valid`` may be
+    a scalar (shared length) or a (B,) vector (per-row lengths — the
+    continuous-batching serving engine)."""
+    nv = jnp.asarray(n_valid).reshape(-1, 1)
+    return (jnp.arange(n_cols)[None, :] < nv)[:, None, None, :]
+
+
 def _standardize_rows(s, n_valid, eps):
     """Unbiased row standardization over the first ``n_valid`` columns
-    (reference quartet_attn_patch.py:95-98 restricted to the live prefix)."""
-    cols = jnp.arange(s.shape[-1]) < n_valid
-    n = jnp.maximum(n_valid, 1)
+    (reference quartet_attn_patch.py:95-98 restricted to the live prefix).
+    ``n_valid``: scalar or per-row (B,) vector."""
+    cols = _cols_mask(s.shape[-1], n_valid)
+    n = jnp.maximum(jnp.asarray(n_valid), 1).reshape(-1, 1, 1, 1)
     mu = jnp.sum(jnp.where(cols, s, 0.0), -1, keepdims=True) / n
     var = jnp.sum(jnp.where(cols, jnp.square(s - mu), 0.0), -1,
                   keepdims=True) / jnp.maximum(n - 1, 1)
@@ -203,8 +212,8 @@ def _attn_step(p, cfg, x, k_all, k2_all, v_all, n_valid):
     else:
         # non-quartet path uses a hardcoded 1e-5 (quartet_attn_patch.py:104)
         scores = _standardize_rows(qk, n_valid, 1e-5)
-    cols = jnp.arange(k_all.shape[2]) < n_valid
-    scores = jnp.where(cols[None, None, None, :], scores, -jnp.inf)
+    cols = _cols_mask(k_all.shape[2], n_valid)
+    scores = jnp.where(cols, scores, -jnp.inf)
     att = jax.nn.softmax(scores, axis=-1)
     y = jnp.einsum("bhqk,bhkd->bhqd", att, v_all)
     y = y.transpose(0, 2, 1, 3).reshape(b, 1, c)

@@ -1,0 +1,11 @@
+"""TPU-native serving layer: continuous-batching autoregressive decode.
+
+The reference has no inference/serving story (its models stop at
+teacher-forced logits, ``mop/models/gpt_mop.py:181-207``); this package is
+part of the production surface BASELINE.json asks for beyond capability
+parity.
+"""
+
+from .engine import DecodeEngine, decode_step_rows
+
+__all__ = ["DecodeEngine", "decode_step_rows"]

@@ -1,0 +1,260 @@
+"""Continuous-batching decode engine for the GPT family.
+
+Serving on TPU wants one fixed-shape jitted step that advances EVERY live
+request by one token per call — requests at different positions, admitted
+and retired independently while the batch keeps running (continuous
+batching, vLLM-style, built for XLA's static shapes):
+
+- the KV cache is a fixed pool of ``max_batch`` slots
+  (``init_decode_cache`` layout, (L, B, H, block, dk));
+- each slot has its own length; the batched decode step writes each row's
+  new K/K2/V at its own position (scatter) and masks/standardizes each
+  score row over that row's own live prefix (the per-row generalization of
+  ``generate_cached``'s math — same values per row, pinned by
+  tests/test_serving.py equality vs the single-stream sampler);
+- admission = a B=1 dense prefill pasted into a free slot (one compile per
+  distinct prompt length, cached by jit); retirement frees the slot for
+  the next queued request without touching the other rows.
+
+Host-side control (admission, retirement, EOS) runs between device steps —
+the per-token device work is one fixed-shape jit call regardless of how
+many requests are in flight. Accepts int8-quantized params
+(``mop_tpu.ops.quant.quantize_params``) like the rest of the decode stack.
+
+The reference has no serving/inference loop at all (SURVEY §0; its GPT
+stops at teacher-forced logits, ``mop/models/gpt_mop.py:181-207``).
+Covers TinyTransformerLM (base + quartet) — the same scope as
+``generate_cached`` and for the same reason (GPT_MoP's token-axis gate
+convs are non-causal, reference ``gpt_mop.py:35-47``).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.generate import (_attn_step, _kv_rows, _lin, _ln,
+                               init_decode_cache, prefill)
+from ..models.layers import gelu_tanh
+
+Array = jax.Array
+
+
+def decode_step_rows(model, params, cache, tokens, lens):
+    """Advance every row one token, each at its OWN position.
+
+    tokens: (B,) int32 — each row's current token (appended this step).
+    lens:   (B,) int32 — each row's live length BEFORE the append.
+    Returns (logits (B, vocab), new_cache) where new k/k2/v rows were
+    scatter-written at each row's ``lens`` position and ``cache['len']``
+    holds the per-row lengths after the append.
+
+    Rows are independent: row b's output depends only on row b's tokens —
+    the engine relies on this to mix unrelated requests in one batch
+    (pinned against ``generate_cached`` in tests/test_serving.py).
+    """
+    cfg = model.config
+    p = params["params"]
+    b = tokens.shape[0]
+    rows = jnp.arange(b)
+    n_valid = lens + 1
+    x = p["wte"]["embedding"][tokens][:, None, :]  # (B, 1, C)
+    if cfg.use_abs_pos_emb:
+        x = x + p["wpe"]["embedding"][lens][:, None, :]
+
+    new_cache = dict(cache)
+    for i in range(cfg.n_layer):
+        bp = p[f"blocks_{i}"]
+        h = _ln(x, bp["ln1"])
+        k_new, k2_new, v_new = _kv_rows(bp["attn"], cfg, h)  # (B, H, 1, dk)
+        # Per-row scatter: row b's new K/V lands at (i, b, :, lens[b], :).
+        wr = lambda buf, row: buf.at[i, rows, :, lens, :].set(
+            row[:, :, 0, :].astype(buf.dtype))
+        new_cache["k"] = wr(new_cache["k"], k_new)
+        new_cache["k2"] = wr(new_cache["k2"], k2_new)
+        new_cache["v"] = wr(new_cache["v"], v_new)
+        a = _attn_step(bp["attn"], cfg, h, new_cache["k"][i],
+                       new_cache["k2"][i], new_cache["v"][i], n_valid)
+        x = x + a
+        hm = _ln(x, bp["ln2"])
+        x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
+
+    x = _ln(x, p["ln_f"])
+    logits = (x @ p["wte"]["embedding"].T)[:, 0, :]
+    new_cache["len"] = n_valid
+    return logits, new_cache
+
+
+class DecodeEngine:
+    """Continuous-batching greedy/sampled decode over a fixed slot pool.
+
+    >>> eng = DecodeEngine(model, params, max_batch=8)
+    >>> rid = eng.submit([5, 17, 3], max_new_tokens=32)
+    >>> results = eng.run()          # {rid: [tokens...]}
+
+    ``submit`` may be called at any time (including between ``step`` calls
+    while other requests are mid-flight). ``step`` advances all live
+    requests one token and returns ``{rid: token}`` for this step's
+    emissions. ``run`` steps until queue and slots drain.
+    """
+
+    def __init__(self, model, params, max_batch: int = 8,
+                 eos_id: Optional[int] = None, temperature: float = 0.0,
+                 top_k: Optional[int] = None,
+                 rng: Optional[Array] = None):
+        self.model = model
+        self.params = params
+        self.max_batch = max_batch
+        self.eos_id = eos_id
+        self.temperature = temperature
+        self.top_k = top_k
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        cfg = model.config
+        self.block_size = cfg.block_size
+        self._cache = init_decode_cache(cfg, max_batch)
+        # per-row length vector replaces the scalar shared 'len'
+        self._cache["len"] = jnp.zeros((max_batch,), jnp.int32)
+        self._tokens = jnp.zeros((max_batch,), jnp.int32)
+        self._slot_rid: List[int] = [-1] * max_batch
+        self._budget = np.zeros((max_batch,), np.int64)
+        self._queue: deque = deque()
+        self._results: Dict[int, List[int]] = {}
+        self._done: Dict[int, bool] = {}
+        self._next_rid = 0
+
+        def _step(params, cache, tokens, lens, rng):
+            logits, new_cache = decode_step_rows(
+                self.model, params, cache, tokens, lens)
+            nxt = self._pick(logits, rng)
+            return nxt, new_cache
+
+        self._step_fn = jax.jit(_step)
+        self._prefill_fn = jax.jit(
+            lambda params, prompt: prefill(self.model, params, prompt))
+
+    # ---------------- sampling ----------------
+
+    def _pick(self, logits, rng):
+        if self.temperature == 0.0:
+            return jnp.argmax(logits, -1).astype(jnp.int32)
+        scaled = logits / max(self.temperature, 1e-6)
+        if self.top_k is not None:
+            kth = jnp.sort(scaled, -1)[:, -self.top_k][:, None]
+            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        return jax.random.categorical(rng, scaled).astype(jnp.int32)
+
+    # ---------------- public API ----------------
+
+    def submit(self, prompt, max_new_tokens: int) -> int:
+        """Queue a request. ``prompt``: 1-D int sequence, 1 <= len <
+        block_size. Generation stops at ``max_new_tokens``, EOS, or the
+        context window, whichever first."""
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        if not 1 <= prompt.size < self.block_size:
+            raise ValueError(
+                f"prompt length {prompt.size} must be in [1, "
+                f"{self.block_size})")
+        if max_new_tokens < 1:
+            raise ValueError("max_new_tokens must be >= 1")
+        rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append((rid, prompt, max_new_tokens))
+        self._results[rid] = []
+        self._done[rid] = False
+        return rid
+
+    @property
+    def n_active(self) -> int:
+        return sum(r >= 0 for r in self._slot_rid)
+
+    @property
+    def n_queued(self) -> int:
+        return len(self._queue)
+
+    def step(self) -> Dict[int, List[int]]:
+        """One engine iteration: admit whatever fits (each admission emits
+        the prefill's first sampled token; a request whose budget is 1 or
+        whose first token is EOS completes without ever decoding), then
+        advance all live rows one token. Returns this iteration's
+        ``{rid: [tokens]}`` (a request admitted this call emits up to 2)."""
+        emitted: Dict[int, List[int]] = {}
+
+        def emit(slot: int, rid: int, tok: int, new_len: int) -> None:
+            self._results[rid].append(tok)
+            emitted.setdefault(rid, []).append(tok)
+            self._budget[slot] -= 1
+            hit_eos = self.eos_id is not None and tok == self.eos_id
+            # the next decode would append at position new_len
+            if hit_eos or new_len >= self.block_size or self._budget[slot] <= 0:
+                self._slot_rid[slot] = -1
+                self._done[rid] = True
+
+        # admission (loops because a request can complete on its tok0,
+        # freeing the slot for the next queued request)
+        while self._queue:
+            adm = self._admit_one()
+            if adm is None:
+                break
+            emit(*adm)
+
+        active = [s for s, r in enumerate(self._slot_rid) if r >= 0]
+        if active:
+            self._rng, sub = jax.random.split(self._rng)
+            nxt, self._cache = self._step_fn(
+                self.params, self._cache, self._tokens,
+                self._cache["len"], sub)
+            # inactive rows advanced too (fixed-shape step); reset their
+            # lengths so their garbage rows stay out of any future prefix
+            mask = np.zeros((self.max_batch,), bool)
+            mask[active] = True
+            self._cache["len"] = jnp.where(
+                jnp.asarray(mask), self._cache["len"],
+                jnp.zeros((self.max_batch,), jnp.int32))
+            self._tokens = nxt
+            toks = np.asarray(nxt)
+            lens = np.asarray(self._cache["len"])
+            for s in active:
+                emit(s, self._slot_rid[s], int(toks[s]), int(lens[s]))
+        return emitted
+
+    def run(self) -> Dict[int, List[int]]:
+        """Step until every queued/live request completes; returns all
+        results (also available per-request in ``results``)."""
+        while self._queue or self.n_active:
+            self.step()
+        return {rid: list(toks) for rid, toks in self._results.items()}
+
+    @property
+    def results(self) -> Dict[int, List[int]]:
+        return self._results
+
+    def is_done(self, rid: int) -> bool:
+        return self._done[rid]
+
+    # ---------------- internals ----------------
+
+    def _admit_one(self) -> Optional[Tuple[int, int, int, int]]:
+        """Admit the next queued request into a free slot (B=1 prefill
+        pasted into the pool). Returns (slot, rid, tok0, prompt_len) or
+        None if no slot is free."""
+        try:
+            slot = self._slot_rid.index(-1)
+        except ValueError:
+            return None
+        rid, prompt, max_new = self._queue.popleft()
+        logits, pcache = self._prefill_fn(self.params, prompt[None, :])
+        self._rng, sub = jax.random.split(self._rng)
+        tok0 = self._pick(logits, sub)  # (1,)
+        for key in ("k", "k2", "v"):
+            self._cache[key] = self._cache[key].at[:, slot].set(
+                pcache[key][:, 0])
+        self._cache["len"] = self._cache["len"].at[slot].set(
+            int(prompt.size))
+        self._tokens = self._tokens.at[slot].set(tok0[0])
+        self._slot_rid[slot] = rid
+        self._budget[slot] = max_new  # tokens still to emit, incl. tok0
+        return slot, rid, int(tok0[0]), int(prompt.size)
