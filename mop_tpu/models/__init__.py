@@ -27,8 +27,9 @@ from .components import (
     ViTEncoder,
     ViTEncoderMoE,
 )
-from .generate import (generate, generate_cached,
+from .generate import (decode_chunk, generate, generate_cached,
                        whisper_transcribe, whisper_transcribe_cached)
+from .speculative import speculative_generate
 from .gpt_comparison import (
     ComparisonConfig,
     GPTComparisonFramework,
@@ -100,8 +101,10 @@ __all__ = [
     "Kernels1D",
     "FuseExcInh1D",
     "MoPBlock",
+    "decode_chunk",
     "generate",
     "generate_cached",
+    "speculative_generate",
     "whisper_transcribe",
     "whisper_transcribe_cached",
     # Whisper family

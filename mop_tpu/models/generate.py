@@ -269,6 +269,84 @@ def decode_step(model, params, cache, token):
     return logits, new_cache
 
 
+def decode_chunk(model, params, cache, tokens):
+    """Cached forward over a chunk of G new tokens at positions
+    ``len .. len+G-1``. tokens: (B, G) int32 -> (logits (B, G, vocab),
+    new cache with ``len`` advanced by G).
+
+    Exactly equivalent to G sequential :func:`decode_step` calls (pinned in
+    tests/test_speculative.py): row i standardizes and attends over the
+    ``len+i+1``-column live prefix, and the chunk's own K/K2/V rows are
+    written before attention so causal masking handles the intra-chunk
+    dependencies. This is the verify pass of speculative decoding and a
+    chunked prefill in one. Accepts int8-quantized params transparently.
+    """
+    cfg = model.config
+    p = params["params"]
+    b, g = tokens.shape
+    h = cfg.n_head
+    c = cfg.n_embd
+    dk = c // h
+    pos0 = cache["len"]
+    positions = pos0 + jnp.arange(g)
+    x = p["wte"]["embedding"][tokens]
+    if cfg.use_abs_pos_emb:
+        x = x + p["wpe"]["embedding"][positions][None]
+
+    block = cache["k"].shape[3]
+    nv = positions + 1  # row i's valid-prefix length
+    cols4 = (jnp.arange(block)[None, :] < nv[:, None])[None, None]  # (1,1,G,block)
+    nvf = nv.astype(jnp.float32)[None, None, :, None]
+
+    def std(s, eps):
+        # unbiased row standardization over each row's live prefix
+        # (matches _standardize_rows / reference quartet_attn_patch.py:95-98)
+        mu = jnp.sum(jnp.where(cols4, s, 0.0), -1, keepdims=True) / nvf
+        var = jnp.sum(jnp.where(cols4, jnp.square(s - mu), 0.0), -1,
+                      keepdims=True) / jnp.maximum(nvf - 1.0, 1.0)
+        return (s - mu) / (jnp.sqrt(var) + eps)
+
+    split = lambda y: y.reshape(b, g, h, dk).transpose(0, 2, 1, 3)
+    scale = 1.0 / jnp.sqrt(dk).astype(jnp.float32)
+    new_cache = dict(cache)
+    for i in range(cfg.n_layer):
+        bp = p[f"blocks_{i}"]
+        hx = _ln(x, bp["ln1"])
+        ap = bp["attn"]
+        q = split(_lin(hx, ap["q_proj"]))
+        k_new = split(_lin(hx, ap["k_proj"]))
+        v_new = split(_lin(hx, ap["v_proj"]))
+        k2_new = split(_lin(hx, ap["k2_proj"])) if cfg.use_quartet else k_new
+        wr = lambda buf, rows: jax.lax.dynamic_update_slice(
+            buf, rows[None].astype(buf.dtype), (i, 0, 0, pos0, 0))
+        new_cache["k"] = wr(new_cache["k"], k_new)
+        new_cache["k2"] = wr(new_cache["k2"], k2_new)
+        new_cache["v"] = wr(new_cache["v"], v_new)
+        qk = jnp.einsum("bhqd,bhkd->bhqk", q, new_cache["k"][i]) * scale
+        if cfg.use_quartet:
+            q2 = split(_lin(hx, ap["q2_proj"]))
+            q2k2 = jnp.einsum(
+                "bhqd,bhkd->bhqk", q2, new_cache["k2"][i]) * scale
+            m = jax.nn.sigmoid(ap["mixture"][0])
+            s1 = std(qk, cfg.score_norm_eps)
+            s2 = std(q2k2, cfg.score_norm_eps)
+            scores = (1.0 - m) * s1 + m * (s1 * s2) * ap["quartet_scale"][0]
+        else:
+            scores = std(qk, 1e-5)  # non-quartet hardcodes 1e-5
+        scores = jnp.where(cols4, scores, -jnp.inf)
+        att = jax.nn.softmax(scores, axis=-1)
+        y = jnp.einsum("bhqk,bhkd->bhqd", att, new_cache["v"][i])
+        y = y.transpose(0, 2, 1, 3).reshape(b, g, c)
+        x = x + _lin(y, ap["o_proj"])
+        hm = _ln(x, bp["ln2"])
+        x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
+
+    x = _ln(x, p["ln_f"])
+    logits = x @ p["wte"]["embedding"].T  # (B, G, vocab)
+    new_cache["len"] = pos0 + g
+    return logits, new_cache
+
+
 def prefill(model, params, prompt):
     """Dense prefill: one full forward over the (B, T0) prompt with prefix
     (T0-column) standardization semantics, capturing per-layer K/K2/V into

@@ -6,6 +6,8 @@ part of the production surface BASELINE.json asks for beyond capability
 parity.
 """
 
-from .engine import DecodeEngine, decode_step_rows
+from .engine import (DecodeEngine, SpecDecodeEngine, decode_chunk_rows,
+                     decode_step_rows)
 
-__all__ = ["DecodeEngine", "decode_step_rows"]
+__all__ = ["DecodeEngine", "SpecDecodeEngine", "decode_chunk_rows",
+           "decode_step_rows"]

@@ -89,6 +89,85 @@ def decode_step_rows(model, params, cache, tokens, lens):
     return logits, new_cache
 
 
+def decode_chunk_rows(model, params, cache, tokens, lens):
+    """Advance every row G tokens, each at its OWN position.
+
+    tokens: (B, G) int32 — G consecutive tokens per row, appended starting
+    at that row's ``lens``. Returns (logits (B, G, vocab), new_cache) with
+    row b's new K/K2/V rows written at ``lens[b] .. lens[b]+G-1`` and
+    ``cache['len'] = lens + G``.
+
+    The per-row generalization of :func:`mop_tpu.models.generate.decode_chunk`
+    (row b, chunk position g standardizes/attends over the
+    ``lens[b]+g+1``-column live prefix) and exactly the composition of G
+    :func:`decode_step_rows` calls — the verify pass of speculative
+    continuous batching (pinned in tests/test_serving_speculative.py).
+    """
+    cfg = model.config
+    p = params["params"]
+    b, g = tokens.shape
+    h = cfg.n_head
+    c = cfg.n_embd
+    dk = c // h
+    rows = jnp.arange(b)
+    pos = lens[:, None] + jnp.arange(g)[None, :]  # (B, G)
+    x = p["wte"]["embedding"][tokens]
+    if cfg.use_abs_pos_emb:
+        x = x + p["wpe"]["embedding"][pos]
+
+    block = cache["k"].shape[3]
+    nv = pos + 1  # (B, G) per-row per-position valid-prefix lengths
+    cols4 = (jnp.arange(block)[None, None, :] < nv[:, :, None])[:, None]
+    nvf = nv.astype(jnp.float32)[:, None, :, None]
+
+    def std(s, eps):
+        mu = jnp.sum(jnp.where(cols4, s, 0.0), -1, keepdims=True) / nvf
+        var = jnp.sum(jnp.where(cols4, jnp.square(s - mu), 0.0), -1,
+                      keepdims=True) / jnp.maximum(nvf - 1.0, 1.0)
+        return (s - mu) / (jnp.sqrt(var) + eps)
+
+    split = lambda y: y.reshape(b, g, h, dk).transpose(0, 2, 1, 3)
+    scale = 1.0 / jnp.sqrt(dk).astype(jnp.float32)
+    new_cache = dict(cache)
+    for i in range(cfg.n_layer):
+        bp = p[f"blocks_{i}"]
+        hx = _ln(x, bp["ln1"])
+        ap = bp["attn"]
+        q = split(_lin(hx, ap["q_proj"]))
+        k_new = split(_lin(hx, ap["k_proj"]))
+        v_new = split(_lin(hx, ap["v_proj"]))
+        k2_new = split(_lin(hx, ap["k2_proj"])) if cfg.use_quartet else k_new
+        # row b's G new rows land at (i, b, :, pos[b], :)
+        wr = lambda buf, r: buf.at[i, rows[:, None], :, pos, :].set(
+            r.transpose(0, 2, 1, 3).astype(buf.dtype))
+        new_cache["k"] = wr(new_cache["k"], k_new)
+        new_cache["k2"] = wr(new_cache["k2"], k2_new)
+        new_cache["v"] = wr(new_cache["v"], v_new)
+        qk = jnp.einsum("bhqd,bhkd->bhqk", q, new_cache["k"][i]) * scale
+        if cfg.use_quartet:
+            q2 = split(_lin(hx, ap["q2_proj"]))
+            q2k2 = jnp.einsum(
+                "bhqd,bhkd->bhqk", q2, new_cache["k2"][i]) * scale
+            m = jax.nn.sigmoid(ap["mixture"][0])
+            s1 = std(qk, cfg.score_norm_eps)
+            s2 = std(q2k2, cfg.score_norm_eps)
+            scores = (1.0 - m) * s1 + m * (s1 * s2) * ap["quartet_scale"][0]
+        else:
+            scores = std(qk, 1e-5)  # non-quartet hardcodes 1e-5
+        scores = jnp.where(cols4, scores, -jnp.inf)
+        att = jax.nn.softmax(scores, axis=-1)
+        y = jnp.einsum("bhqk,bhkd->bhqd", att, new_cache["v"][i])
+        y = y.transpose(0, 2, 1, 3).reshape(b, g, c)
+        x = x + _lin(y, ap["o_proj"])
+        hm = _ln(x, bp["ln2"])
+        x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
+
+    x = _ln(x, p["ln_f"])
+    logits = x @ p["wte"]["embedding"].T  # (B, G, vocab)
+    new_cache["len"] = lens + g
+    return logits, new_cache
+
+
 class DecodeEngine:
     """Continuous-batching greedy/sampled decode over a fixed slot pool.
 
@@ -175,6 +254,21 @@ class DecodeEngine:
     def n_queued(self) -> int:
         return len(self._queue)
 
+    def _emit_token(self, emitted: Dict[int, List[int]], slot: int,
+                    rid: int, tok: int, new_len: int) -> bool:
+        """Record one emitted token; retire the slot on EOS / window-full /
+        budget-exhausted. Returns whether the request is still live."""
+        self._results[rid].append(tok)
+        emitted.setdefault(rid, []).append(tok)
+        self._budget[slot] -= 1
+        hit_eos = self.eos_id is not None and tok == self.eos_id
+        # the next decode would append at position new_len
+        if hit_eos or new_len >= self.block_size or self._budget[slot] <= 0:
+            self._slot_rid[slot] = -1
+            self._done[rid] = True
+            return False
+        return True
+
     def step(self) -> Dict[int, List[int]]:
         """One engine iteration: admit whatever fits (each admission emits
         the prefill's first sampled token; a request whose budget is 1 or
@@ -182,16 +276,7 @@ class DecodeEngine:
         advance all live rows one token. Returns this iteration's
         ``{rid: [tokens]}`` (a request admitted this call emits up to 2)."""
         emitted: Dict[int, List[int]] = {}
-
-        def emit(slot: int, rid: int, tok: int, new_len: int) -> None:
-            self._results[rid].append(tok)
-            emitted.setdefault(rid, []).append(tok)
-            self._budget[slot] -= 1
-            hit_eos = self.eos_id is not None and tok == self.eos_id
-            # the next decode would append at position new_len
-            if hit_eos or new_len >= self.block_size or self._budget[slot] <= 0:
-                self._slot_rid[slot] = -1
-                self._done[rid] = True
+        emit = lambda *a: self._emit_token(emitted, *a)
 
         # admission (loops because a request can complete on its tok0,
         # freeing the slot for the next queued request)
@@ -257,4 +342,137 @@ class DecodeEngine:
         self._tokens = self._tokens.at[slot].set(tok0[0])
         self._slot_rid[slot] = rid
         self._budget[slot] = max_new  # tokens still to emit, incl. tok0
+        self._on_admit(slot, prompt)
         return slot, rid, int(tok0[0]), int(prompt.size)
+
+    def _on_admit(self, slot: int, prompt: np.ndarray) -> None:
+        """Subclass hook: called after a request is pasted into ``slot``."""
+
+
+class SpecDecodeEngine(DecodeEngine):
+    """Continuous batching WITH speculative decoding (greedy only).
+
+    Every live slot advances 1..gamma+1 tokens per engine step: a small
+    draft model proposes gamma tokens per row from its own slot-pool KV
+    cache, the target verifies all rows x all positions in ONE
+    ``decode_chunk_rows`` call, and each row keeps its longest matching
+    prefix plus the target's correction/bonus token. Greedy speculative
+    decoding is exact — every emitted token is the target's own argmax
+    given the same prefix — so results equal ``DecodeEngine``'s for any
+    draft (pinned in tests/test_serving_speculative.py); the draft only
+    changes how many engine steps (target passes) it takes.
+
+    One behavioral difference: a slot retires when the next speculative
+    round would not fit the context window (``len + gamma + 1 >
+    block_size``) — budget that close to the window edge is truncated
+    (the plain engine fills up to ``block_size`` exactly).
+    """
+
+    def __init__(self, model, params, draft_model, draft_params,
+                 max_batch: int = 8, gamma: int = 4,
+                 eos_id: Optional[int] = None):
+        super().__init__(model, params, max_batch=max_batch, eos_id=eos_id,
+                         temperature=0.0)
+        if gamma < 1:
+            raise ValueError(f"gamma must be >= 1, got {gamma}")
+        self.draft_model = draft_model
+        self.draft_params = draft_params
+        self.gamma = gamma
+        dcfg = draft_model.config
+        if dcfg.block_size < self.block_size:
+            raise ValueError(
+                f"draft block_size {dcfg.block_size} must be >= target's "
+                f"{self.block_size}")
+        self._dcache = init_decode_cache(dcfg, max_batch)
+        self._dcache["len"] = jnp.zeros((max_batch,), jnp.int32)
+        self._dprefill_fn = jax.jit(
+            lambda params, prompt: prefill(self.draft_model, params, prompt))
+
+        gamma_ = gamma
+
+        def _spec(tp, dp, tc, dc, tokens):
+            def dstep(carry, _):
+                tok, c = carry
+                logits, c = decode_step_rows(
+                    self.draft_model, dp, c, tok, c["len"])
+                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                return (nxt, c), nxt
+
+            (d_last, dc2), drafts = jax.lax.scan(
+                dstep, (tokens, dc), None, length=gamma_)
+            drafts = drafts.transpose(1, 0)  # (B, gamma)
+            # Unconditional extra draft step so rows that accept everything
+            # have d_{gamma-1}'s K/V; rows that don't just get a garbage row
+            # past their rolled-back len, overwritten on their next write.
+            _, dc3 = decode_step_rows(
+                self.draft_model, dp, dc2, d_last, dc2["len"])
+
+            chunk = jnp.concatenate([tokens[:, None], drafts], axis=1)
+            logits, tc2 = decode_chunk_rows(
+                self.model, tp, tc, chunk, tc["len"])
+            tpred = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, gamma+1)
+
+            match = (tpred[:, :gamma_] == drafts).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,)
+            i = jnp.arange(gamma_ + 1)[None, :]
+            d_ext = jnp.concatenate([drafts, drafts[:, -1:]], axis=1)
+            corr = jnp.take_along_axis(tpred, n_acc[:, None], axis=1)
+            emit = jnp.where(i < n_acc[:, None], d_ext, corr)
+
+            tc2 = dict(tc2, len=tc["len"] + n_acc + 1)
+            dc3 = dict(dc3, len=dc["len"] + n_acc + 1)
+            return emit, n_acc, tc2, dc3, corr[:, 0]
+
+        self._spec_fn = jax.jit(_spec)
+
+    def _on_admit(self, slot: int, prompt: np.ndarray) -> None:
+        _, pcache = self._dprefill_fn(self.draft_params, prompt[None, :])
+        for key in ("k", "k2", "v"):
+            self._dcache[key] = self._dcache[key].at[:, slot].set(
+                pcache[key][:, 0])
+        self._dcache["len"] = self._dcache["len"].at[slot].set(
+            int(prompt.size))
+
+    def step(self) -> Dict[int, List[int]]:
+        """One engine iteration: admit, retire rows whose next speculative
+        round would overflow the window, then advance every live row by
+        1..gamma+1 tokens with one draft scan + one target verify."""
+        emitted: Dict[int, List[int]] = {}
+
+        while self._queue:
+            adm = self._admit_one()
+            if adm is None:
+                break
+            self._emit_token(emitted, *adm)
+
+        lens_h = np.asarray(self._cache["len"])
+        for s, rid in enumerate(self._slot_rid):
+            if rid >= 0 and int(lens_h[s]) + self.gamma + 1 > self.block_size:
+                self._slot_rid[s] = -1
+                self._done[rid] = True
+
+        active = [s for s, r in enumerate(self._slot_rid) if r >= 0]
+        if active:
+            emit_t, n_acc, self._cache, self._dcache, nxt = self._spec_fn(
+                self.params, self.draft_params, self._cache, self._dcache,
+                self._tokens)
+            mask = np.zeros((self.max_batch,), bool)
+            mask[active] = True
+            zeros = jnp.zeros((self.max_batch,), jnp.int32)
+            jmask = jnp.asarray(mask)
+            self._cache["len"] = jnp.where(jmask, self._cache["len"], zeros)
+            self._dcache["len"] = jnp.where(
+                jmask, self._dcache["len"], zeros)
+            self._tokens = nxt
+            et = np.asarray(emit_t)
+            na = np.asarray(n_acc)
+            lens = np.asarray(self._cache["len"])
+            for s in active:
+                rid = self._slot_rid[s]
+                n_emit = int(na[s]) + 1
+                base_len = int(lens[s]) - n_emit
+                for j in range(n_emit):
+                    if not self._emit_token(emitted, s, rid, int(et[s, j]),
+                                            base_len + j + 1):
+                        break
+        return emitted
