@@ -99,3 +99,75 @@ def test_speculative_validates_inputs():
     with pytest.raises(ValueError, match="gamma"):
         speculative_generate(target, tparams, draft, dparams,
                              jnp.zeros((1, 4), jnp.int32), 4, gamma=0)
+
+
+# ---------------- sampled (distribution-preserving) mode ----------------
+
+
+def test_verify_sampled_marginal_equals_target_distribution():
+    """The accept/resample construction must emit tokens distributed
+    exactly as p, whatever q is: empirical check over 20k keys, gamma=1."""
+    from mop_tpu.models.speculative import verify_sampled
+
+    p = jnp.asarray([0.45, 0.25, 0.15, 0.10, 0.05])
+    q = jnp.asarray([0.10, 0.50, 0.20, 0.10, 0.10])
+    p_all = jnp.stack([p, p])  # bonus row unused when gamma=1 rejects
+
+    def one(key):
+        kd, kv = jax.random.split(key)
+        d = jax.random.categorical(kd, jnp.log(q))[None].astype(jnp.int32)
+        n_acc, corr = verify_sampled(kv, p_all, q[None], d)
+        return jnp.where(n_acc >= 1, d[0], corr)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 20000)
+    toks = np.asarray(jax.vmap(one)(keys))
+    emp = np.bincount(toks, minlength=5) / toks.size
+    tv = 0.5 * np.abs(emp - np.asarray(p)).sum()
+    assert tv < 0.02, (tv, emp)
+
+
+def test_sampled_spec_identical_models_accept_everything():
+    """p == q -> acceptance ratio 1 -> every draft accepted."""
+    target, tparams = _model(2, seed=3)
+    out, stats = speculative_generate(
+        target, tparams, target, tparams, jnp.zeros((1, 4), jnp.int32),
+        max_new_tokens=12, gamma=3, rng=jax.random.PRNGKey(5),
+        temperature=0.9, return_stats=True)
+    assert out.shape == (1, 16)
+    assert int(stats["accepted"]) == int(stats["drafted"])
+
+
+def test_sampled_spec_matches_target_marginal():
+    """Empirical distribution of the 2nd generated token from the sampled
+    speculative decoder matches target-only sampling (both must equal the
+    target law; the draft is random and disagrees with the target)."""
+    target, tparams = _model(2, n_embd=32, seed=1)
+    draft, dparams = _model(1, n_embd=16, seed=7)
+    prompt = jnp.asarray([[3, 1, 4, 1]], jnp.int32)
+    n, temp = 400, 1.0
+
+    spec = jax.jit(lambda k: speculative_generate(
+        target, tparams, draft, dparams, prompt, max_new_tokens=2,
+        gamma=1, rng=k, temperature=temp))
+    base = jax.jit(lambda k: generate_cached(
+        target, tparams, prompt, max_new_tokens=2, rng=k,
+        temperature=temp))
+    keys = jax.random.split(jax.random.PRNGKey(42), n)
+    toks_s = np.asarray([np.asarray(spec(k))[0, -1] for k in keys[: n // 2]])
+    toks_b = np.asarray([np.asarray(base(k))[0, -1] for k in keys[n // 2:]])
+    emp_s = np.bincount(toks_s, minlength=VOCAB) / toks_s.size
+    emp_b = np.bincount(toks_b, minlength=VOCAB) / toks_b.size
+    tv = 0.5 * np.abs(emp_s - emp_b).sum()
+    assert tv < 0.25, tv
+
+
+def test_sampled_spec_respects_top_k():
+    target, tparams = _model(2, seed=3)
+    draft, dparams = _model(1, n_embd=16, seed=9)
+    prompt = jnp.zeros((1, 4), jnp.int32)
+    out = speculative_generate(target, tparams, draft, dparams, prompt,
+                               max_new_tokens=10, gamma=2,
+                               rng=jax.random.PRNGKey(1), temperature=0.8,
+                               top_k=5)
+    assert out.shape == (1, 14)
+    assert int(out.max()) < VOCAB and int(out.min()) >= 0
