@@ -184,7 +184,14 @@ class DecodeEngine:
     def __init__(self, model, params, max_batch: int = 8,
                  eos_id: Optional[int] = None, temperature: float = 0.0,
                  top_k: Optional[int] = None,
-                 rng: Optional[Array] = None):
+                 rng: Optional[Array] = None,
+                 cache_sharding=None):
+        """``cache_sharding``: optional ``jax.sharding.NamedSharding`` for
+        the K/K2/V slot pools — e.g. heads over the mesh 'model' axis,
+        ``NamedSharding(mesh, P(None, None, 'model', None, None))`` — for
+        tensor-parallel serving with ``tp_shard_params``-sharded params
+        (tests/test_serving_tp.py). Params sharded over a mesh work with or
+        without this: the jitted step is GSPMD-partitioned either way."""
         self.model = model
         self.params = params
         self.max_batch = max_batch
@@ -195,6 +202,10 @@ class DecodeEngine:
         cfg = model.config
         self.block_size = cfg.block_size
         self._cache = init_decode_cache(cfg, max_batch)
+        if cache_sharding is not None:
+            for key in ("k", "k2", "v"):
+                self._cache[key] = jax.device_put(
+                    self._cache[key], cache_sharding)
         # per-row length vector replaces the scalar shared 'len'
         self._cache["len"] = jnp.zeros((max_batch,), jnp.int32)
         self._tokens = jnp.zeros((max_batch,), jnp.int32)
@@ -370,9 +381,9 @@ class SpecDecodeEngine(DecodeEngine):
 
     def __init__(self, model, params, draft_model, draft_params,
                  max_batch: int = 8, gamma: int = 4,
-                 eos_id: Optional[int] = None):
+                 eos_id: Optional[int] = None, cache_sharding=None):
         super().__init__(model, params, max_batch=max_batch, eos_id=eos_id,
-                         temperature=0.0)
+                         temperature=0.0, cache_sharding=cache_sharding)
         if gamma < 1:
             raise ValueError(f"gamma must be >= 1, got {gamma}")
         self.draft_model = draft_model
