@@ -406,6 +406,88 @@ def prefill(model, params, prompt):
     return logits, cache
 
 
+def prefill_padded(model, params, prompt_padded, t0):
+    """Exact prefill over a PADDED prompt: ``prompt_padded`` is (B, T_pad)
+    with the real prompt in the first ``t0`` columns (``t0`` may be a
+    traced scalar — ONE compile serves every prompt length up to T_pad).
+
+    Matches :func:`prefill` on the live region exactly (standardization and
+    softmax over the first ``t0`` columns only — pad columns are masked out
+    of the row statistics): same last-live-position logits, same first
+    ``t0`` cache rows, same ``len``. Rows written past ``t0`` are garbage,
+    but the returned ``len = t0`` masks them and later appends overwrite
+    them — the same convention as speculative rollback.
+
+    This is the serving engine's admission path: bucketing prompt lengths
+    to a few pad sizes bounds jit compiles at the bucket count instead of
+    one per distinct prompt length.
+    """
+    cfg = model.config
+    p = params["params"]
+    b, t_pad = prompt_padded.shape
+    t0 = jnp.asarray(t0, jnp.int32)
+    cache = init_decode_cache(cfg, b)
+    x = p["wte"]["embedding"][prompt_padded]
+    if cfg.use_abs_pos_emb:
+        x = x + p["wpe"]["embedding"][jnp.arange(t_pad)][None]
+    h_ = cfg.n_head
+    dk = cfg.n_embd // h_
+    split = lambda y: y.reshape(b, t_pad, h_, dk).transpose(0, 2, 1, 3)
+    scale = 1.0 / jnp.sqrt(dk).astype(jnp.float32)
+    live = jnp.arange(t_pad) < t0  # (T_pad,) live-column mask
+    causal = jnp.tril(jnp.ones((t_pad, t_pad), bool)) & live[None, :]
+    nf = jnp.maximum(t0, 1).astype(jnp.float32)
+    eps = cfg.score_norm_eps
+
+    def std(s, e=eps):
+        # unbiased row standardization over the t0 live columns (matches
+        # prefill's all-prompt-columns semantics restricted to the pad mask)
+        m = live[None, None, None, :]
+        mu = jnp.sum(jnp.where(m, s, 0.0), -1, keepdims=True) / nf
+        var = jnp.sum(jnp.where(m, jnp.square(s - mu), 0.0), -1,
+                      keepdims=True) / jnp.maximum(nf - 1.0, 1.0)
+        return (s - mu) / (jnp.sqrt(var) + e)
+
+    for i in range(cfg.n_layer):
+        bp = p[f"blocks_{i}"]
+        hx = _ln(x, bp["ln1"])
+        ap = bp["attn"]
+        q, k, v = (split(_lin(hx, ap[n]))
+                   for n in ("q_proj", "k_proj", "v_proj"))
+        qk = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        if cfg.use_quartet:
+            q2 = split(_lin(hx, ap["q2_proj"]))
+            k2 = split(_lin(hx, ap["k2_proj"]))
+            q2k2 = jnp.einsum("bhqd,bhkd->bhqk", q2, k2) * scale
+            m = jax.nn.sigmoid(ap["mixture"][0])
+            scores = ((1.0 - m) * std(qk)
+                      + m * (std(qk) * std(q2k2)) * ap["quartet_scale"][0])
+        else:
+            k2 = k
+            scores = std(qk, 1e-5)  # non-quartet hardcodes 1e-5
+        scores = jnp.where(causal[None, None], scores, -jnp.inf)
+        att = jax.nn.softmax(scores, axis=-1)
+        # pad rows are fully masked -> softmax over -inf only would be NaN;
+        # their outputs are garbage anyway, so zero them explicitly
+        att = jnp.where(jnp.isnan(att), 0.0, att)
+        y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        y = y.transpose(0, 2, 1, 3).reshape(b, t_pad, cfg.n_embd)
+        x = x + _lin(y, ap["o_proj"])
+        hm = _ln(x, bp["ln2"])
+        x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
+        pad = cfg.block_size - t_pad
+        put = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        cache["k"] = cache["k"].at[i].set(put(k))
+        cache["k2"] = cache["k2"].at[i].set(put(k2))
+        cache["v"] = cache["v"].at[i].set(put(v))
+
+    x = _ln(x, p["ln_f"])
+    last = jax.lax.dynamic_index_in_dim(x, t0 - 1, axis=1, keepdims=False)
+    logits = last @ p["wte"]["embedding"].T  # (B, vocab)
+    cache["len"] = t0
+    return logits, cache
+
+
 def generate_cached(
     model,
     params,

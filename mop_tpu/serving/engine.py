@@ -31,14 +31,14 @@ convs are non-causal, reference ``gpt_mop.py:35-47``).
 from __future__ import annotations
 
 from collections import deque
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models.generate import (_attn_step, _kv_rows, _lin, _ln,
-                               init_decode_cache, prefill)
+                               init_decode_cache, prefill, prefill_padded)
 from ..models.layers import gelu_tanh
 
 Array = jax.Array
@@ -185,13 +185,22 @@ class DecodeEngine:
                  eos_id: Optional[int] = None, temperature: float = 0.0,
                  top_k: Optional[int] = None,
                  rng: Optional[Array] = None,
-                 cache_sharding=None):
+                 cache_sharding=None,
+                 prefill_buckets: Optional[Sequence[int]] = None):
         """``cache_sharding``: optional ``jax.sharding.NamedSharding`` for
         the K/K2/V slot pools — e.g. heads over the mesh 'model' axis,
         ``NamedSharding(mesh, P(None, None, 'model', None, None))`` — for
         tensor-parallel serving with ``tp_shard_params``-sharded params
         (tests/test_serving_tp.py). Params sharded over a mesh work with or
-        without this: the jitted step is GSPMD-partitioned either way."""
+        without this: the jitted step is GSPMD-partitioned either way.
+
+        ``prefill_buckets``: optional ascending pad lengths (e.g. ``[16,
+        64, 256]``). Admission pads each prompt to the smallest bucket and
+        runs the length-masked exact prefill (``prefill_padded``), so jit
+        compiles once per bucket instead of once per distinct prompt
+        length; prompts longer than the last bucket fall back to the exact
+        per-length prefill. Emitted tokens are unchanged (pad columns are
+        masked out of the row statistics; tests/test_serving.py)."""
         self.model = model
         self.params = params
         self.max_batch = max_batch
@@ -225,6 +234,32 @@ class DecodeEngine:
         self._step_fn = jax.jit(_step)
         self._prefill_fn = jax.jit(
             lambda params, prompt: prefill(self.model, params, prompt))
+        self.prefill_buckets = (
+            sorted(prefill_buckets) if prefill_buckets else None)
+        if self.prefill_buckets:
+            if self.prefill_buckets[-1] > self.block_size:
+                raise ValueError(
+                    f"prefill bucket {self.prefill_buckets[-1]} exceeds "
+                    f"block_size {self.block_size}")
+            self._prefill_padded_fn = jax.jit(
+                lambda params, prompt, t0: prefill_padded(
+                    self.model, params, prompt, t0))
+
+    def _run_prefill(self, params, prompt: np.ndarray,
+                     exact_fn=None, padded_fn=None):
+        """B=1 prefill: exact per-length jit, or — with ``prefill_buckets``
+        — padded to the smallest bucket >= len(prompt) so jit compiles once
+        per bucket instead of once per distinct prompt length."""
+        exact_fn = exact_fn or self._prefill_fn
+        padded_fn = padded_fn or getattr(self, "_prefill_padded_fn", None)
+        t0 = int(prompt.size)
+        if (self.prefill_buckets and padded_fn is not None
+                and t0 <= self.prefill_buckets[-1]):
+            t_pad = next(b for b in self.prefill_buckets if b >= t0)
+            padded = np.zeros((1, t_pad), np.int32)
+            padded[0, :t0] = prompt
+            return padded_fn(params, jnp.asarray(padded), t0)
+        return exact_fn(params, prompt[None, :])
 
     # ---------------- sampling ----------------
 
@@ -342,7 +377,7 @@ class DecodeEngine:
         except ValueError:
             return None
         rid, prompt, max_new = self._queue.popleft()
-        logits, pcache = self._prefill_fn(self.params, prompt[None, :])
+        logits, pcache = self._run_prefill(self.params, prompt)
         self._rng, sub = jax.random.split(self._rng)
         tok0 = self._pick(logits, sub)  # (1,)
         for key in ("k", "k2", "v"):
@@ -381,9 +416,11 @@ class SpecDecodeEngine(DecodeEngine):
 
     def __init__(self, model, params, draft_model, draft_params,
                  max_batch: int = 8, gamma: int = 4,
-                 eos_id: Optional[int] = None, cache_sharding=None):
+                 eos_id: Optional[int] = None, cache_sharding=None,
+                 prefill_buckets: Optional[Sequence[int]] = None):
         super().__init__(model, params, max_batch=max_batch, eos_id=eos_id,
-                         temperature=0.0, cache_sharding=cache_sharding)
+                         temperature=0.0, cache_sharding=cache_sharding,
+                         prefill_buckets=prefill_buckets)
         if gamma < 1:
             raise ValueError(f"gamma must be >= 1, got {gamma}")
         self.draft_model = draft_model
@@ -398,6 +435,10 @@ class SpecDecodeEngine(DecodeEngine):
         self._dcache["len"] = jnp.zeros((max_batch,), jnp.int32)
         self._dprefill_fn = jax.jit(
             lambda params, prompt: prefill(self.draft_model, params, prompt))
+        self._dprefill_padded_fn = jax.jit(
+            lambda params, prompt, t0: prefill_padded(
+                self.draft_model, params, prompt, t0)
+        ) if self.prefill_buckets else None
 
         gamma_ = gamma
 
@@ -437,7 +478,9 @@ class SpecDecodeEngine(DecodeEngine):
         self._spec_fn = jax.jit(_spec)
 
     def _on_admit(self, slot: int, prompt: np.ndarray) -> None:
-        _, pcache = self._dprefill_fn(self.draft_params, prompt[None, :])
+        _, pcache = self._run_prefill(self.draft_params, prompt,
+                                      self._dprefill_fn,
+                                      self._dprefill_padded_fn)
         for key in ("k", "k2", "v"):
             self._dcache[key] = self._dcache[key].at[:, slot].set(
                 pcache[key][:, 0])
