@@ -142,10 +142,15 @@ def _ln(x, p, eps=1e-5):
 
 
 def _lin(x, p):
-    from ..ops.quant import QTensor, qmatmul
+    from ..ops.quant import Q4Tensor, QTensor, q4matmul, qmatmul
 
     k = p["kernel"]
-    y = qmatmul(x, k) if isinstance(k, QTensor) else x @ k
+    if isinstance(k, QTensor):
+        y = qmatmul(x, k)
+    elif isinstance(k, Q4Tensor):
+        y = q4matmul(x, k)
+    else:
+        y = x @ k
     if "bias" in p:
         y = y + p["bias"]
     return y
@@ -572,7 +577,7 @@ def whisper_transcribe_cached(
     Produces the same tokens as ``whisper_transcribe`` (equality pinned in
     tests/test_generate.py) at O(T) per-token cost. Returns (B, max_tokens).
     """
-    from ..ops.quant import QTensor, dequantize_params
+    from ..ops.quant import Q4Tensor, QTensor, dequantize_params
 
     cfg = model.cfg
     p = params["params"]
@@ -580,11 +585,12 @@ def whisper_transcribe_cached(
     d = cfg.n_embd
     dh = d // h
     L = cfg.n_layer_dec
-    # The flax encoder module cannot consume QTensor leaves; if the params
-    # are int8-quantized, dequantize for the ONE encoder pass (the decode
-    # loop below reads the int8 weights directly through _lin).
-    has_q = any(isinstance(l, QTensor) for l in jax.tree_util.tree_leaves(
-        params, is_leaf=lambda l: isinstance(l, QTensor)))
+    # The flax encoder module cannot consume Q/Q4Tensor leaves; if the
+    # params are int8/int4-quantized, dequantize for the ONE encoder pass
+    # (the decode loop below reads the quantized weights through _lin).
+    is_q = lambda l: isinstance(l, (QTensor, Q4Tensor))
+    has_q = any(is_q(l) for l in jax.tree_util.tree_leaves(
+        params, is_leaf=is_q))
     enc_params = dequantize_params(params) if has_q else params
     enc_out, _ = model.apply(enc_params, mel, method=model.encode)
     b = mel.shape[0]

@@ -133,3 +133,99 @@ def test_whisper_cached_transcribe_accepts_quantized_params():
                                     max_tokens=8)
     assert out.shape == (2, 8)
     assert bool(jnp.all((out >= 0) & (out < 40)))
+
+
+# ------------------------------- int4 -------------------------------
+
+
+def test_quantize4_pack_unpack_roundtrip():
+    """Packing then unpacking is the identity on int4 grid values."""
+    from mop_tpu.ops.quant import quantize4
+
+    w = jax.random.normal(jax.random.PRNGKey(3), (128, 48)) * 0.05
+    qt = quantize4(w, group=32, clip_search=0)  # max-abs scale: exact bound
+    assert qt.q.dtype == jnp.int8 and qt.q.shape == (64, 48)
+    assert qt.scale.shape == (4, 48)
+    qi = np.asarray(qt.unpack())
+    assert qi.shape == (128, 48)
+    assert qi.min() >= -7 and qi.max() <= 7
+    # error within half a grid step of the owning group's scale
+    err = np.abs(np.asarray(qt.dequant()) - np.asarray(w))
+    bound = np.repeat(np.asarray(qt.scale), 32, axis=0) / 2 + 1e-7
+    assert (err <= bound).all()
+
+
+def test_quantize4_clip_search_reduces_mse():
+    """The AWQ-style clip-ratio search never increases round-trip MSE,
+    and strictly reduces it on heavy-tailed weights (outlier rows stretch
+    the max-abs grid)."""
+    from mop_tpu.ops.quant import quantize4
+
+    key = jax.random.PRNGKey(9)
+    w = jax.random.normal(key, (256, 64)) * 0.02
+    # plant outliers: one row per group at 8x typical magnitude
+    w = w.at[::64].multiply(8.0)
+    err = lambda qt: float(jnp.mean((qt.dequant() - w) ** 2))
+    e_plain = err(quantize4(w, group=64, clip_search=0))
+    e_search = err(quantize4(w, group=64))
+    assert e_search <= e_plain * (1 + 1e-6)
+    assert e_search < e_plain * 0.9, (e_search, e_plain)
+
+
+def test_quantize4_group_fallback_and_odd_dim():
+    from mop_tpu.ops.quant import quantize4
+
+    w = jnp.ones((10, 4)) * 0.3
+    qt = quantize4(w, group=64)  # 10 % 64 != 0 -> whole-column group
+    assert qt.scale.shape == (1, 4)
+    np.testing.assert_allclose(np.asarray(qt.dequant()), 0.3, rtol=0.1)
+    try:
+        quantize4(jnp.ones((9, 4)))
+        assert False, "odd input dim must raise"
+    except ValueError:
+        pass
+
+
+def test_q4matmul_matches_dequantized_matmul():
+    from mop_tpu.ops.quant import q4matmul, quantize4
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+    w = jax.random.normal(jax.random.PRNGKey(2), (64, 32)) * 0.1
+    qt = quantize4(w, group=16)
+    np.testing.assert_allclose(np.asarray(q4matmul(x, qt)),
+                               np.asarray(x @ qt.dequant()),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_generate_cached_accepts_int4_params():
+    from mop_tpu.ops.quant import Q4Tensor
+
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=32)
+    model = create_gpt_quartet(40, cfg)
+    prompt = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), prompt)
+    q4 = quantize_params(params, min_size=0, bits=4, group=16)
+    assert isinstance(q4["params"]["blocks_0"]["attn"]["q_proj"]["kernel"],
+                      Q4Tensor)
+    out = generate_cached(model, q4, prompt, max_new_tokens=6)
+    assert out.shape == (1, 10)
+    # int4 stores strictly fewer bytes than int8
+    s8, _ = quantized_bytes(quantize_params(params, min_size=0))
+    s4, _ = quantized_bytes(q4)
+    assert s4 < s8
+
+
+def test_int4_logit_error_reasonable():
+    """Group-wise int4 logit drift stays bounded (looser than int8)."""
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=64, dropout=0.0,
+                            block_size=32)
+    model = create_gpt_quartet(64, cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (2, 8), 0, 64)
+    params = model.init(jax.random.PRNGKey(0), prompt)
+    ref_logits, _ = prefill(model, params, prompt)
+    q4 = quantize_params(params, min_size=0, bits=4, group=16)
+    q4_logits, _ = prefill(model, q4, prompt)
+    ref = np.asarray(ref_logits)
+    err = np.abs(np.asarray(q4_logits) - ref)
+    assert err.max() / (np.abs(ref).max() + 1e-9) < 0.2, err.max()

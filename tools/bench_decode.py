@@ -114,14 +114,18 @@ def main():
         out_c, dt_c = timed(cached_fn, params, prompt)
         qparams = quantize_params(params)
         out_q, dt_q = timed(cached_fn, qparams, prompt)
+        q4params = quantize_params(params, bits=4)
+        out_q4, dt_q4 = timed(cached_fn, q4params, prompt)
         tok_e = B * new / dt_e
         tok_c = B * new / dt_c
         tok_q = B * new / dt_q
+        tok_q4 = B * new / dt_q4
         rows.append((block, new, tok_e, tok_c, tok_c / tok_e, tok_q,
-                     tok_q / tok_c))
+                     tok_q / tok_c, tok_q4, tok_q4 / tok_c))
         print(f"block={block}: full-window {tok_e:,.0f} tok/s, cached "
               f"{tok_c:,.0f} tok/s ({tok_c / tok_e:.1f}x), int8 cached "
-              f"{tok_q:,.0f} tok/s ({tok_q / tok_c:.2f}x vs cached)",
+              f"{tok_q:,.0f} tok/s ({tok_q / tok_c:.2f}x vs cached), int4 "
+              f"{tok_q4:,.0f} tok/s ({tok_q4 / tok_c:.2f}x vs cached)",
               flush=True)
 
     # ---- divergence protocol: briefly-trained model, judged against the
@@ -154,13 +158,17 @@ def main():
     quant = np.asarray(generate_cached(
         model, quantize_params(params, min_size=0), promptd,
         newd)[:, t0d:])
+    quant4 = np.asarray(generate_cached(
+        model, quantize_params(params, min_size=0, bits=4), promptd,
+        newd)[:, t0d:])
     ag_full = float(np.mean(full == oracle))
     ag_cach = float(np.mean(cach == oracle))
     ag_quant = float(np.mean(quant == oracle))
+    ag_quant4 = float(np.mean(quant4 == oracle))
     print(f"divergence vs prefix-exact oracle (trained model, loss "
           f"{final_loss:.3f}, {newd} greedy tokens): full-window "
           f"{ag_full:.1%}, cached {ag_cach:.1%}, int8 cached "
-          f"{ag_quant:.1%}", flush=True)
+          f"{ag_quant:.1%}, int4 cached {ag_quant4:.1%}", flush=True)
 
     # Whisper transcription at reference scale (n_audio_ctx=1500).
     from mop_tpu.models import WhisperConfig, create_whisper_mop
@@ -202,11 +210,18 @@ def main():
         f.write(f"Platform `{platform}` ({jax.devices()[0].device_kind}); "
                 "min-of-3 windows, host-transfer barrier.\n\n")
         f.write("| block T | new tokens | full-window tok/s | cached tok/s | "
-                "speedup | int8-cached tok/s | vs cached |\n")
-        f.write("|---|---|---|---|---|---|---|\n")
-        for (blk, new, te, tc, sp, tq, spq) in rows:
+                "speedup | int8 tok/s | vs cached | int4 tok/s | vs cached "
+                "|\n")
+        f.write("|---|---|---|---|---|---|---|---|---|\n")
+        for (blk, new, te, tc, sp, tq, spq, tq4, spq4) in rows:
             f.write(f"| {blk} | {new} | {te:,.0f} | {tc:,.0f} | {sp:.1f}x "
-                    f"| {tq:,.0f} | {spq:.2f}x |\n")
+                    f"| {tq:,.0f} | {spq:.2f}x | {tq4:,.0f} | {spq4:.2f}x "
+                    f"|\n")
+        f.write(
+            "\nint8/int4 LOSE at this 11M-param batch-8 shape: the step is "
+            "not weight-HBM-bound, so dequant overhead beats the saved "
+            "reads. The regime quantization exists for (170M params, batch "
+            "1) is measured in benchmarks/quant_decode.md.\n")
         f.write("""
 ## Whisper-MoP transcription (B=4, 1500-frame mel, n_embd=384, 4+4 layers)
 
@@ -245,6 +260,7 @@ length; bench-only):
 | `generate` (full {cfg.block_size}-window) | O(T^2 d) | {ag_full:.1%} |
 | `generate_cached` (prefix KV cache) | O(T d) | {ag_cach:.1%} |
 | `generate_cached` + int8 weights | O(T d), 4x less weight HBM | {ag_quant:.1%} |
+| `generate_cached` + int4 weights (group 64) | O(T d), 8x less weight HBM | {ag_quant4:.1%} |
 
 `generate`'s window pads to `block`, so its row statistics include pad
 columns until the sequence fills the window (exact only from that point
