@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Serving demo: train a tiny byte-level char-LM, deploy it behind the
+HTTP front-end, and run a few concurrent clients against it.
+
+The full production path in one file: training -> (optional int8/int4
+weight quantization) -> continuous-batching engine (optionally
+speculative) -> HTTP. The reference has no inference or serving story at
+all (SURVEY §0).
+
+Usage:
+  python examples/serve_http.py                 # train, serve, self-test
+  python examples/serve_http.py --port 8000 --keep-serving
+  python examples/serve_http.py --quant int4 --spec
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def train_char_lm(n_layer, n_embd, n_head, steps, seed):
+    """Byte-vocab quartet LM briefly trained on a repeating pangram corpus."""
+    import optax
+
+    from mop_tpu.models import TransformerConfig, create_gpt_quartet
+    from mop_tpu.utils import jitted_init
+
+    cfg = TransformerConfig(n_layer=n_layer, n_head=n_head, n_embd=n_embd,
+                            dropout=0.0, block_size=256)
+    model = create_gpt_quartet(256, cfg)
+    text = ("the quick brown fox jumps over the lazy dog. "
+            "pack my box with five dozen liquor jugs. ") * 64
+    data = np.frombuffer(text.encode(), np.uint8).astype(np.int64)
+    params = jitted_init(model, jax.random.PRNGKey(seed),
+                         jnp.zeros((1, 64), jnp.int32))
+    tx = optax.adamw(3e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, idx, tgt):
+        def lf(p):
+            _, loss = model.apply(p, idx, targets=tgt, train=False)
+            return loss
+        loss, g = jax.value_and_grad(lf)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, loss
+
+    rs = np.random.RandomState(seed)
+    t = 64
+    for s in range(steps):
+        i0 = rs.randint(0, data.size - t - 1, size=(32,))
+        batch = np.stack([data[i:i + t + 1] for i in i0])
+        params, opt, loss = step(
+            params, opt, jnp.asarray(batch[:, :-1], jnp.int32),
+            jnp.asarray(batch[:, 1:], jnp.int32))
+    return model, params, float(loss)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--max_batch", type=int, default=4)
+    ap.add_argument("--quant", choices=["none", "int8", "int4"],
+                    default="none")
+    ap.add_argument("--spec", action="store_true",
+                    help="serve with speculative decoding (2-layer draft)")
+    ap.add_argument("--keep-serving", action="store_true",
+                    help="stay up after the self-test (Ctrl-C to stop)")
+    args = ap.parse_args()
+
+    from mop_tpu.serving import DecodeEngine, ServingServer, SpecDecodeEngine
+
+    print(f"training target LM ({args.steps} steps)...", flush=True)
+    model, params, loss = train_char_lm(4, 128, 4, args.steps, seed=0)
+    print(f"target loss {loss:.3f}", flush=True)
+
+    if args.quant != "none":
+        from mop_tpu.ops.quant import quantize_params, quantized_bytes
+        bits = 8 if args.quant == "int8" else 4
+        params = quantize_params(params, bits=bits)
+        stored, fp32 = quantized_bytes(params)
+        print(f"{args.quant} weights: {stored / 1e6:.2f} MB stored "
+              f"(fp32 would be {fp32 / 1e6:.2f} MB)", flush=True)
+
+    if args.spec:
+        draft, dparams, dloss = train_char_lm(2, 64, 2, args.steps, seed=1)
+        print(f"draft loss {dloss:.3f}", flush=True)
+        eng = SpecDecodeEngine(model, params, draft, dparams,
+                               max_batch=args.max_batch, gamma=4)
+    else:
+        eng = DecodeEngine(model, params, max_batch=args.max_batch)
+
+    srv = ServingServer(eng, port=args.port)
+    srv.start()
+    print(f"serving on http://127.0.0.1:{srv.port}  "
+          f"(POST /generate, GET /health)", flush=True)
+
+    # self-test: three concurrent clients
+    prompts = ["the quick ", "pack my ", "five dozen "]
+    outs = [None] * len(prompts)
+
+    def client(i):
+        body = {"prompt": list(prompts[i].encode()), "max_new_tokens": 24}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/generate",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            outs[i] = json.loads(r.read())["tokens"]
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(len(prompts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for p, toks in zip(prompts, outs):
+        text = bytes(t for t in toks if 0 <= t < 256).decode(
+            errors="replace")
+        print(f"  {p!r} -> {text!r}", flush=True)
+
+    if args.keep_serving:
+        print("serving until Ctrl-C...", flush=True)
+        try:
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            pass
+    srv.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,7 @@ parity.
 
 from .engine import (DecodeEngine, SpecDecodeEngine, decode_chunk_rows,
                      decode_step_rows)
+from .http import ServingServer
 
-__all__ = ["DecodeEngine", "SpecDecodeEngine", "decode_chunk_rows",
-           "decode_step_rows"]
+__all__ = ["DecodeEngine", "ServingServer", "SpecDecodeEngine",
+           "decode_chunk_rows", "decode_step_rows"]

@@ -1,0 +1,137 @@
+"""Minimal HTTP front-end for the continuous-batching decode engine.
+
+Stdlib-only (``http.server`` + threads): concurrent clients POST token
+prompts; their requests are admitted into ONE shared `DecodeEngine` (or
+`SpecDecodeEngine`) slot pool, so unrelated HTTP requests batch onto the
+same fixed-shape device step — the serving deployment shape the engine was
+built for. A single worker thread owns all device work; handlers only
+submit and wait, so the engine needs no internal thread safety.
+
+The reference has no serving story at all (SURVEY §0 — its models stop at
+teacher-forced logits); this is part of the production surface around it.
+
+API:
+- ``POST /generate``  body ``{"prompt": [int, ...], "max_new_tokens": N}``
+  -> ``{"request_id": rid, "tokens": [int, ...]}`` (blocks until done)
+- ``GET /health`` -> ``{"status": "ok", "active": A, "queued": Q,
+  "completed": C}``
+
+Usage::
+
+    eng = DecodeEngine(model, params, max_batch=8, eos_id=eos)
+    srv = ServingServer(eng)
+    srv.start()                      # returns immediately
+    ...                              # POST to http://127.0.0.1:{srv.port}
+    srv.stop()
+
+See examples/serve_http.py for an end-to-end char-LM deployment.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+
+class ServingServer:
+    """HTTP wrapper around a decode engine; one device-worker thread."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
+                 poll_interval: float = 0.002):
+        self.engine = engine
+        self._lock = threading.Lock()          # guards engine access
+        self._completed = 0
+        self._running = False
+        self._poll = poll_interval
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence per-request stderr spam
+                pass
+
+            def _json(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path != "/health":
+                    return self._json(404, {"error": "unknown path"})
+                with outer._lock:
+                    self._json(200, {
+                        "status": "ok",
+                        "active": outer.engine.n_active,
+                        "queued": outer.engine.n_queued,
+                        "completed": outer._completed,
+                    })
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    return self._json(404, {"error": "unknown path"})
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n))
+                    prompt = req["prompt"]
+                    max_new = int(req.get("max_new_tokens", 32))
+                    if (not isinstance(prompt, list)
+                            or not all(isinstance(t, int) for t in prompt)):
+                        raise ValueError("prompt must be a list of ints")
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    return self._json(400, {"error": str(e)})
+                try:
+                    with outer._lock:
+                        rid = outer.engine.submit(prompt, max_new)
+                except ValueError as e:       # bad length / budget
+                    return self._json(400, {"error": str(e)})
+                toks = outer._wait(rid)
+                self._json(200, {"request_id": rid, "tokens": toks})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host = host
+        self.port = self._httpd.server_address[1]
+
+    # ---------------- lifecycle ----------------
+
+    def start(self) -> None:
+        """Start the HTTP listener and the device-worker thread."""
+        self._running = True
+        self._worker = threading.Thread(target=self._work, daemon=True)
+        self._worker.start()
+        self._http_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._http_thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._worker.join(timeout=5)
+
+    # ---------------- internals ----------------
+
+    def _work(self) -> None:
+        """The only thread that touches the device: steps the engine
+        whenever work is pending, sleeps briefly otherwise."""
+        while self._running:
+            with self._lock:
+                busy = self.engine.n_queued or self.engine.n_active
+                if busy:
+                    done_before = sum(self.engine._done.values())
+                    self.engine.step()
+                    self._completed += (
+                        sum(self.engine._done.values()) - done_before)
+            if not busy:
+                time.sleep(self._poll)
+
+    def _wait(self, rid: int):
+        while True:
+            with self._lock:
+                if self.engine.is_done(rid):
+                    return list(self.engine.results[rid])
+            time.sleep(self._poll)
