@@ -30,7 +30,7 @@ convs are non-causal, reference ``gpt_mop.py:35-47``).
 
 from __future__ import annotations
 
-from collections import deque
+from collections import OrderedDict, deque
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -186,7 +186,8 @@ class DecodeEngine:
                  top_k: Optional[int] = None,
                  rng: Optional[Array] = None,
                  cache_sharding=None,
-                 prefill_buckets: Optional[Sequence[int]] = None):
+                 prefill_buckets: Optional[Sequence[int]] = None,
+                 prefix_cache_entries: int = 0):
         """``cache_sharding``: optional ``jax.sharding.NamedSharding`` for
         the K/K2/V slot pools — e.g. heads over the mesh 'model' axis,
         ``NamedSharding(mesh, P(None, None, 'model', None, None))`` — for
@@ -200,7 +201,17 @@ class DecodeEngine:
         compiles once per bucket instead of once per distinct prompt
         length; prompts longer than the last bucket fall back to the exact
         per-length prefill. Emitted tokens are unchanged (pad columns are
-        masked out of the row statistics; tests/test_serving.py)."""
+        masked out of the row statistics; tests/test_serving.py).
+
+        ``prefix_cache_entries``: if > 0, keep an LRU of that many recent
+        prompts' K/K2/V rows; a new prompt sharing a prefix with a cached
+        one reuses the shared rows and runs ``decode_chunk_rows`` over
+        only the tail (EXACT — a position's K/K2/V and row statistics
+        depend only on the tokens at or before it, so shared-prefix rows
+        are identical whatever follows; equality pinned in
+        tests/test_serving_prefix.py). Wins when requests share a long
+        system prompt; stats in ``prefix_cache_hits`` /
+        ``prefix_tokens_reused``."""
         self.model = model
         self.params = params
         self.max_batch = max_batch
@@ -244,6 +255,18 @@ class DecodeEngine:
             self._prefill_padded_fn = jax.jit(
                 lambda params, prompt, t0: prefill_padded(
                     self.model, params, prompt, t0))
+        self._prefix_max = prefix_cache_entries
+        self._prefix_lru: "OrderedDict[bytes, dict]" = OrderedDict()
+        self.prefix_cache_hits = 0
+        self.prefix_tokens_reused = 0
+        if prefix_cache_entries:
+            def _chunk1(params, k, k2, v, tokens, t0):
+                cache1 = {"k": k, "k2": k2, "v": v, "len": t0}
+                logits, nc = decode_chunk_rows(
+                    self.model, params, cache1, tokens, t0)
+                return logits, nc["k"], nc["k2"], nc["v"]
+
+            self._chunk1_fn = jax.jit(_chunk1)
 
     def _run_prefill(self, params, prompt: np.ndarray,
                      exact_fn=None, padded_fn=None):
@@ -377,19 +400,93 @@ class DecodeEngine:
         except ValueError:
             return None
         rid, prompt, max_new = self._queue.popleft()
-        logits, pcache = self._run_prefill(self.params, prompt)
+        entry, lcp = self._prefix_lookup(prompt)
+        if entry is not None:
+            logits = self._admit_via_prefix(slot, prompt, entry, lcp)
+        else:
+            logits, pcache = self._run_prefill(self.params, prompt)
+            for key in ("k", "k2", "v"):
+                self._cache[key] = self._cache[key].at[:, slot].set(
+                    pcache[key][:, 0])
         self._rng, sub = jax.random.split(self._rng)
         tok0 = self._pick(logits, sub)  # (1,)
-        for key in ("k", "k2", "v"):
-            self._cache[key] = self._cache[key].at[:, slot].set(
-                pcache[key][:, 0])
         self._cache["len"] = self._cache["len"].at[slot].set(
             int(prompt.size))
         self._tokens = self._tokens.at[slot].set(tok0[0])
         self._slot_rid[slot] = rid
         self._budget[slot] = max_new  # tokens still to emit, incl. tok0
+        self._prefix_store(prompt, slot)
         self._on_admit(slot, prompt)
         return slot, rid, int(tok0[0]), int(prompt.size)
+
+    # ---------------- prefix cache ----------------
+
+    def _prefix_lookup(self, prompt: np.ndarray):
+        """Longest shared prefix between ``prompt`` and any cached entry.
+        Returns (entry, lcp) with 1 <= lcp <= len(prompt)-1, or (None, 0).
+        (Capped at len-1: the chunk continuation needs at least one tail
+        token to produce the admission logits.)"""
+        if not self._prefix_max:
+            return None, 0
+        best_key, best_lcp = None, 0
+        for key, entry in self._prefix_lru.items():
+            toks = entry["tokens"]
+            m = min(toks.size, prompt.size - 1)
+            if m <= best_lcp:
+                continue
+            neq = np.nonzero(toks[:m] != prompt[:m])[0]
+            lcp = int(neq[0]) if neq.size else m
+            if lcp > best_lcp:
+                best_key, best_lcp = key, lcp
+        if best_lcp < 1:
+            return None, 0
+        self._prefix_lru.move_to_end(best_key)
+        return self._prefix_lru[best_key], best_lcp
+
+    def _admit_via_prefix(self, slot: int, prompt: np.ndarray, entry: dict,
+                          lcp: int):
+        """Paste the entry's first ``lcp`` rows into ``slot`` and extend
+        over the prompt tail with one ``decode_chunk_rows`` call (padded to
+        a power of two so jit compiles O(log block) chunk shapes). Returns
+        the last-live-position logits (1, vocab)."""
+        t0 = int(prompt.size)
+        g = t0 - lcp
+        g_pad = 1 << (g - 1).bit_length() if g > 1 else 1
+        tail = np.zeros((1, g_pad), np.int32)
+        tail[0, :g] = prompt[lcp:]
+        for key in ("k", "k2", "v"):
+            self._cache[key] = self._cache[key].at[
+                :, slot, :, :lcp].set(entry[key][:, :, :lcp])
+        logits, nk, nk2, nv = self._chunk1_fn(
+            self.params,
+            self._cache["k"][:, slot:slot + 1],
+            self._cache["k2"][:, slot:slot + 1],
+            self._cache["v"][:, slot:slot + 1],
+            jnp.asarray(tail), jnp.full((1,), lcp, jnp.int32))
+        for key, new in (("k", nk), ("k2", nk2), ("v", nv)):
+            self._cache[key] = self._cache[key].at[:, slot].set(new[:, 0])
+        self.prefix_cache_hits += 1
+        self.prefix_tokens_reused += lcp
+        return logits[:, g - 1]
+
+    def _prefix_store(self, prompt: np.ndarray, slot: int) -> None:
+        """LRU-store this prompt's K/K2/V rows (sliced from the pool —
+        exact whether they came from prefill or a prefix continuation)."""
+        if not self._prefix_max:
+            return
+        key = prompt.tobytes()
+        if key in self._prefix_lru:
+            self._prefix_lru.move_to_end(key)
+            return
+        t0 = int(prompt.size)
+        self._prefix_lru[key] = {
+            "tokens": prompt.copy(),
+            "k": self._cache["k"][:, slot, :, :t0],
+            "k2": self._cache["k2"][:, slot, :, :t0],
+            "v": self._cache["v"][:, slot, :, :t0],
+        }
+        while len(self._prefix_lru) > self._prefix_max:
+            self._prefix_lru.popitem(last=False)
 
     def _on_admit(self, slot: int, prompt: np.ndarray) -> None:
         """Subclass hook: called after a request is pasted into ``slot``."""
@@ -417,10 +514,12 @@ class SpecDecodeEngine(DecodeEngine):
     def __init__(self, model, params, draft_model, draft_params,
                  max_batch: int = 8, gamma: int = 4,
                  eos_id: Optional[int] = None, cache_sharding=None,
-                 prefill_buckets: Optional[Sequence[int]] = None):
+                 prefill_buckets: Optional[Sequence[int]] = None,
+                 prefix_cache_entries: int = 0):
         super().__init__(model, params, max_batch=max_batch, eos_id=eos_id,
                          temperature=0.0, cache_sharding=cache_sharding,
-                         prefill_buckets=prefill_buckets)
+                         prefill_buckets=prefill_buckets,
+                         prefix_cache_entries=prefix_cache_entries)
         if gamma < 1:
             raise ValueError(f"gamma must be >= 1, got {gamma}")
         self.draft_model = draft_model
