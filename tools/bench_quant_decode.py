@@ -52,6 +52,28 @@ def main():
     variants.append(("int8", quantize_params(params)))
     variants.append(("int4 (group 64)", quantize_params(params, bits=4)))
 
+    def tf_agree(p, ref):
+        """Teacher-forced next-token agreement vs the fp32 greedy tokens:
+        every step sees the fp32-generated prefix, so one early flip does
+        not cascade (free-run agreement is a first-divergence metric)."""
+        logits0, cache = jax.jit(
+            lambda pp, s: prefill(model, pp, s))(p, ref[:, :T0])
+
+        def st(cache, tok):
+            lg, cache = decode_step(model, p, cache, tok)
+            return cache, jnp.argmax(lg, -1).astype(jnp.int32)
+
+        @jax.jit
+        def rest(p_, cache, toks):
+            del p_  # closed over via st; arg keeps the jit cache honest
+            return jax.lax.scan(st, cache, toks)[1]
+
+        preds_rest = rest(p, cache, jnp.swapaxes(ref[:, T0:-1], 0, 1))
+        preds = jnp.concatenate(
+            [jnp.argmax(logits0, -1).astype(jnp.int32)[None],
+             preds_rest], axis=0)
+        return float(np.mean(np.asarray(preds).T == np.asarray(ref[:, T0:])))
+
     rows = []
     ref_toks = None
     base_ms = None
@@ -77,13 +99,14 @@ def main():
                                             max_new_tokens=NEW))(p, prompt))
         if ref_toks is None:
             ref_toks, base_ms = toks, ms
-            agree = 1.0
+            agree, tf = 1.0, 1.0
         else:
             agree = float(np.mean(toks[:, T0:] == ref_toks[:, T0:]))
-        rows.append((name, stored / 1e6, ms, base_ms / ms, agree))
+            tf = tf_agree(p, jnp.asarray(ref_toks))
+        rows.append((name, stored / 1e6, ms, base_ms / ms, tf, agree))
         print(f"{name}: {stored / 1e6:,.0f} MB weights, {ms:.3f} ms/step "
-              f"({base_ms / ms:.2f}x), agreement vs fp32 {agree:.1%}",
-              flush=True)
+              f"({base_ms / ms:.2f}x), teacher-forced {tf:.1%}, free-run "
+              f"{agree:.1%}", flush=True)
 
     out = os.path.join(REPO, "benchmarks", "quant_decode.md")
     with open(out, "w") as f:
@@ -92,20 +115,26 @@ def main():
             "min-of-3)\n\n"
             "12-layer/1024-dim GPT-quartet (~170M params), batch 1, block "
             f"{BLOCK}, briefly trained (loss {loss:.3f}); scanned 100-step "
-            "decode, no dispatch overhead. Token agreement is greedy "
-            f"decode of {NEW} tokens vs the fp32 weights.\n\n"
-            "| weights | stored MB | ms/step | speedup | token agreement "
-            "vs fp32 |\n|---|---|---|---|---|\n")
-        for name, mb, ms, sp, ag in rows:
+            "decode, no dispatch overhead. Agreement is measured over "
+            f"{NEW} greedy tokens vs the fp32 weights, two ways: "
+            "TEACHER-FORCED (every step sees the fp32-generated prefix — "
+            "the per-step prediction quality) and FREE-RUN (the quantized "
+            "model continues its own output — effectively a "
+            "first-divergence position, since one early flip cascades "
+            "through greedy decoding forever).\n\n"
+            "| weights | stored MB | ms/step | speedup | teacher-forced | "
+            "free-run |\n|---|---|---|---|---|---|\n")
+        for name, mb, ms, sp, tf, ag in rows:
             f.write(f"| {name} | {mb:,.0f} | {ms:.3f} | {sp:.2f}x | "
-                    f"{ag:.1%} |\n")
+                    f"{tf:.1%} | {ag:.1%} |\n")
         f.write(
             "\nAt toy sizes (11M params, batch 8) the same quantized step "
             "measured 0.7-0.9x — dequant overhead beats the saved reads "
             "when weights don't dominate traffic (benchmarks/decode.md). "
             "Quantization is a large-model, small-batch tool; the "
             "dispatch is left to the caller, who knows the deployment "
-            "shape.\n")
+            "shape. Group size barely moves int4 quality (g16/g32/g64 "
+            "within 1pp teacher-forced); the default stays 64.\n")
     print(f"wrote {out}", flush=True)
 
 
