@@ -77,6 +77,8 @@ def main():
                     default="none")
     ap.add_argument("--spec", action="store_true",
                     help="serve with speculative decoding (2-layer draft)")
+    ap.add_argument("--prefix_cache", type=int, default=4,
+                    help="prefix-cache LRU entries (0 disables)")
     ap.add_argument("--keep-serving", action="store_true",
                     help="stay up after the self-test (Ctrl-C to stop)")
     args = ap.parse_args()
@@ -99,9 +101,11 @@ def main():
         draft, dparams, dloss = train_char_lm(2, 64, 2, args.steps, seed=1)
         print(f"draft loss {dloss:.3f}", flush=True)
         eng = SpecDecodeEngine(model, params, draft, dparams,
-                               max_batch=args.max_batch, gamma=4)
+                               max_batch=args.max_batch, gamma=4,
+                               prefix_cache_entries=args.prefix_cache)
     else:
-        eng = DecodeEngine(model, params, max_batch=args.max_batch)
+        eng = DecodeEngine(model, params, max_batch=args.max_batch,
+                           prefix_cache_entries=args.prefix_cache)
 
     srv = ServingServer(eng, port=args.port)
     srv.start()
@@ -131,6 +135,25 @@ def main():
         text = bytes(t for t in toks if 0 <= t < 256).decode(
             errors="replace")
         print(f"  {p!r} -> {text!r}", flush=True)
+
+    # streaming client: tokens arrive as SSE events while decoding runs
+    body = {"prompt": list(b"the quick "), "max_new_tokens": 24,
+            "stream": True}
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/generate",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    stream_toks = []
+    with urllib.request.urlopen(req, timeout=300) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                ev = json.loads(line[len("data: "):])
+                if not ev.get("done"):
+                    stream_toks.append(ev["token"])
+    text = bytes(t for t in stream_toks if 0 <= t < 256).decode(
+        errors="replace")
+    print(f"  streamed: 'the quick ' -> {text!r}", flush=True)
 
     if args.keep_serving:
         print("serving until Ctrl-C...", flush=True)

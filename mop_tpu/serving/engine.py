@@ -243,46 +243,81 @@ class DecodeEngine:
             return nxt, new_cache
 
         self._step_fn = jax.jit(_step)
-        self._prefill_fn = jax.jit(
-            lambda params, prompt: prefill(self.model, params, prompt))
         self.prefill_buckets = (
             sorted(prefill_buckets) if prefill_buckets else None)
-        if self.prefill_buckets:
-            if self.prefill_buckets[-1] > self.block_size:
-                raise ValueError(
-                    f"prefill bucket {self.prefill_buckets[-1]} exceeds "
-                    f"block_size {self.block_size}")
-            self._prefill_padded_fn = jax.jit(
-                lambda params, prompt, t0: prefill_padded(
-                    self.model, params, prompt, t0))
+        if self.prefill_buckets and self.prefill_buckets[-1] > self.block_size:
+            raise ValueError(
+                f"prefill bucket {self.prefill_buckets[-1]} exceeds "
+                f"block_size {self.block_size}")
         self._prefix_max = prefix_cache_entries
         self._prefix_lru: "OrderedDict[bytes, dict]" = OrderedDict()
         self.prefix_cache_hits = 0
         self.prefix_tokens_reused = 0
-        if prefix_cache_entries:
-            def _chunk1(params, k, k2, v, tokens, t0):
-                cache1 = {"k": k, "k2": k2, "v": v, "len": t0}
-                logits, nc = decode_chunk_rows(
-                    self.model, params, cache1, tokens, t0)
-                return logits, nc["k"], nc["k2"], nc["v"]
 
-            self._chunk1_fn = jax.jit(_chunk1)
+        # Fused single-dispatch admission (see _admit_one): prefill/chunk +
+        # pool paste + length/token update + store-row slice in ONE jitted
+        # call with donated pool buffers. Per-dispatch latency dominates
+        # admission cost on a remote/tunneled device, and donation lets XLA
+        # update the (L, B, H, block, dk) pools in place instead of copying
+        # them once per .at[].set.
+        def _finish(k, k2, v, lens, tokens, pc, logits, slot, t0, rng):
+            k = k.at[:, slot].set(pc["k"][:, 0])
+            k2 = k2.at[:, slot].set(pc["k2"][:, 0])
+            v = v.at[:, slot].set(pc["v"][:, 0])
+            lens = lens.at[slot].set(t0)
+            tok0 = self._pick(logits, rng)[0]
+            tokens = tokens.at[slot].set(tok0)
+            if self._prefix_max:
+                store = (k[:, slot], k2[:, slot], v[:, slot])
+            else:
+                store = ()
+            return (k, k2, v, lens, tokens, tok0) + store
 
-    def _run_prefill(self, params, prompt: np.ndarray,
-                     exact_fn=None, padded_fn=None):
-        """B=1 prefill: exact per-length jit, or — with ``prefill_buckets``
-        — padded to the smallest bucket >= len(prompt) so jit compiles once
-        per bucket instead of once per distinct prompt length."""
-        exact_fn = exact_fn or self._prefill_fn
-        padded_fn = padded_fn or getattr(self, "_prefill_padded_fn", None)
+        def _adm_exact(params, k, k2, v, lens, tokens, prompt, slot, rng):
+            logits, pc = prefill(self.model, params, prompt)
+            return _finish(k, k2, v, lens, tokens, pc, logits, slot,
+                           prompt.shape[1], rng)
+
+        def _adm_padded(params, k, k2, v, lens, tokens, prompt, t0, slot,
+                        rng):
+            logits, pc = prefill_padded(self.model, params, prompt, t0)
+            return _finish(k, k2, v, lens, tokens, pc, logits, slot, t0,
+                           rng)
+
+        def _adm_chunk(params, k, k2, v, lens, tokens, ek, ek2, ev, tail,
+                       lcp, g, slot, rng):
+            # paste the entry's full-width rows; columns past lcp are the
+            # OLD prompt's rows — the chunk overwrites [lcp, lcp+G) and
+            # anything further is past this row's length, so masked out of
+            # every softmax/standardization until overwritten by decode.
+            k = k.at[:, slot].set(ek)
+            k2 = k2.at[:, slot].set(ek2)
+            v = v.at[:, slot].set(ev)
+            sl = lambda b: jax.lax.dynamic_slice_in_dim(b, slot, 1, 1)
+            c1 = {"k": sl(k), "k2": sl(k2), "v": sl(v),
+                  "len": jnp.reshape(lcp, (1,))}
+            logits_all, nc = decode_chunk_rows(
+                self.model, params, c1, tail, c1["len"])
+            logits = jax.lax.dynamic_index_in_dim(
+                logits_all, g - 1, axis=1, keepdims=False)
+            pc = {key: nc[key] for key in ("k", "k2", "v")}
+            return _finish(k, k2, v, lens, tokens, pc, logits, slot,
+                           lcp + g, rng)
+
+        donate = (1, 2, 3, 4, 5)
+        self._adm_exact_fn = jax.jit(_adm_exact, donate_argnums=donate)
+        self._adm_padded_fn = jax.jit(_adm_padded, donate_argnums=donate)
+        self._adm_chunk_fn = jax.jit(_adm_chunk, donate_argnums=donate)
+
+    def _bucket_pad(self, prompt: np.ndarray):
+        """(padded (1, bucket) array, t0) if a bucket fits, else None."""
         t0 = int(prompt.size)
-        if (self.prefill_buckets and padded_fn is not None
-                and t0 <= self.prefill_buckets[-1]):
+        if self.prefill_buckets and t0 <= self.prefill_buckets[-1]:
             t_pad = next(b for b in self.prefill_buckets if b >= t0)
             padded = np.zeros((1, t_pad), np.int32)
             padded[0, :t0] = prompt
-            return padded_fn(params, jnp.asarray(padded), t0)
-        return exact_fn(params, prompt[None, :])
+            return jnp.asarray(padded), t0
+        return None
 
     # ---------------- sampling ----------------
 
@@ -369,8 +404,7 @@ class DecodeEngine:
                 jnp.asarray(mask), self._cache["len"],
                 jnp.zeros((self.max_batch,), jnp.int32))
             self._tokens = nxt
-            toks = np.asarray(nxt)
-            lens = np.asarray(self._cache["len"])
+            toks, lens = jax.device_get((nxt, self._cache["len"]))
             for s in active:
                 emit(s, self._slot_rid[s], int(toks[s]), int(lens[s]))
         return emitted
@@ -400,24 +434,38 @@ class DecodeEngine:
         except ValueError:
             return None
         rid, prompt, max_new = self._queue.popleft()
-        entry, lcp = self._prefix_lookup(prompt)
-        if entry is not None:
-            logits = self._admit_via_prefix(slot, prompt, entry, lcp)
-        else:
-            logits, pcache = self._run_prefill(self.params, prompt)
-            for key in ("k", "k2", "v"):
-                self._cache[key] = self._cache[key].at[:, slot].set(
-                    pcache[key][:, 0])
+        t0 = int(prompt.size)
+        c = self._cache
         self._rng, sub = jax.random.split(self._rng)
-        tok0 = self._pick(logits, sub)  # (1,)
-        self._cache["len"] = self._cache["len"].at[slot].set(
-            int(prompt.size))
-        self._tokens = self._tokens.at[slot].set(tok0[0])
+        entry, lcp = self._prefix_lookup(prompt)
+        slot_ = np.int32(slot)
+        pools = (self.params, c["k"], c["k2"], c["v"], c["len"],
+                 self._tokens)
+        if entry is not None:
+            g = t0 - lcp
+            g_pad = 1 << (g - 1).bit_length() if g > 1 else 1
+            tail = np.zeros((1, g_pad), np.int32)
+            tail[0, :g] = prompt[lcp:]
+            out = self._adm_chunk_fn(
+                *pools, entry["k"], entry["k2"], entry["v"],
+                jnp.asarray(tail), np.int32(lcp), np.int32(g), slot_, sub)
+            self.prefix_cache_hits += 1
+            self.prefix_tokens_reused += lcp
+        else:
+            padded = self._bucket_pad(prompt)
+            if padded is not None:
+                out = self._adm_padded_fn(*pools, padded[0],
+                                          np.int32(padded[1]), slot_, sub)
+            else:
+                out = self._adm_exact_fn(*pools, prompt[None, :], slot_,
+                                         sub)
+        (c["k"], c["k2"], c["v"], c["len"], self._tokens, tok0), store = \
+            out[:6], out[6:]
         self._slot_rid[slot] = rid
         self._budget[slot] = max_new  # tokens still to emit, incl. tok0
-        self._prefix_store(prompt, slot)
+        self._prefix_store(prompt, store)
         self._on_admit(slot, prompt)
-        return slot, rid, int(tok0[0]), int(prompt.size)
+        return slot, rid, int(tok0), t0
 
     # ---------------- prefix cache ----------------
 
@@ -443,47 +491,21 @@ class DecodeEngine:
         self._prefix_lru.move_to_end(best_key)
         return self._prefix_lru[best_key], best_lcp
 
-    def _admit_via_prefix(self, slot: int, prompt: np.ndarray, entry: dict,
-                          lcp: int):
-        """Paste the entry's first ``lcp`` rows into ``slot`` and extend
-        over the prompt tail with one ``decode_chunk_rows`` call (padded to
-        a power of two so jit compiles O(log block) chunk shapes). Returns
-        the last-live-position logits (1, vocab)."""
-        t0 = int(prompt.size)
-        g = t0 - lcp
-        g_pad = 1 << (g - 1).bit_length() if g > 1 else 1
-        tail = np.zeros((1, g_pad), np.int32)
-        tail[0, :g] = prompt[lcp:]
-        for key in ("k", "k2", "v"):
-            self._cache[key] = self._cache[key].at[
-                :, slot, :, :lcp].set(entry[key][:, :, :lcp])
-        logits, nk, nk2, nv = self._chunk1_fn(
-            self.params,
-            self._cache["k"][:, slot:slot + 1],
-            self._cache["k2"][:, slot:slot + 1],
-            self._cache["v"][:, slot:slot + 1],
-            jnp.asarray(tail), jnp.full((1,), lcp, jnp.int32))
-        for key, new in (("k", nk), ("k2", nk2), ("v", nv)):
-            self._cache[key] = self._cache[key].at[:, slot].set(new[:, 0])
-        self.prefix_cache_hits += 1
-        self.prefix_tokens_reused += lcp
-        return logits[:, g - 1]
-
-    def _prefix_store(self, prompt: np.ndarray, slot: int) -> None:
-        """LRU-store this prompt's K/K2/V rows (sliced from the pool —
-        exact whether they came from prefill or a prefix continuation)."""
-        if not self._prefix_max:
+    def _prefix_store(self, prompt: np.ndarray, store) -> None:
+        """LRU-store this prompt's full-width K/K2/V slot rows (the fused
+        admission's extra outputs — columns past len(prompt) are garbage
+        but a later reuse pastes the whole row and chunks from the shared
+        prefix, so they never enter any softmax). Entry HBM cost:
+        3 * L * H * block * dk * itemsize each."""
+        if not self._prefix_max or not store:
             return
         key = prompt.tobytes()
         if key in self._prefix_lru:
             self._prefix_lru.move_to_end(key)
             return
-        t0 = int(prompt.size)
         self._prefix_lru[key] = {
             "tokens": prompt.copy(),
-            "k": self._cache["k"][:, slot, :, :t0],
-            "k2": self._cache["k2"][:, slot, :, :t0],
-            "v": self._cache["v"][:, slot, :, :t0],
+            "k": store[0], "k2": store[1], "v": store[2],
         }
         while len(self._prefix_lru) > self._prefix_max:
             self._prefix_lru.popitem(last=False)
@@ -532,12 +554,26 @@ class SpecDecodeEngine(DecodeEngine):
                 f"{self.block_size}")
         self._dcache = init_decode_cache(dcfg, max_batch)
         self._dcache["len"] = jnp.zeros((max_batch,), jnp.int32)
-        self._dprefill_fn = jax.jit(
-            lambda params, prompt: prefill(self.draft_model, params, prompt))
-        self._dprefill_padded_fn = jax.jit(
-            lambda params, prompt, t0: prefill_padded(
-                self.draft_model, params, prompt, t0)
-        ) if self.prefill_buckets else None
+
+        # fused single-dispatch draft admission (mirrors the target's)
+        def _d_finish(k, k2, v, lens, pc, slot, t0):
+            k = k.at[:, slot].set(pc["k"][:, 0])
+            k2 = k2.at[:, slot].set(pc["k2"][:, 0])
+            v = v.at[:, slot].set(pc["v"][:, 0])
+            return k, k2, v, lens.at[slot].set(t0)
+
+        def _d_adm_exact(params, k, k2, v, lens, prompt, slot):
+            _, pc = prefill(self.draft_model, params, prompt)
+            return _d_finish(k, k2, v, lens, pc, slot, prompt.shape[1])
+
+        def _d_adm_padded(params, k, k2, v, lens, prompt, t0, slot):
+            _, pc = prefill_padded(self.draft_model, params, prompt, t0)
+            return _d_finish(k, k2, v, lens, pc, slot, t0)
+
+        donate = (1, 2, 3, 4)
+        self._d_adm_exact_fn = jax.jit(_d_adm_exact, donate_argnums=donate)
+        self._d_adm_padded_fn = jax.jit(_d_adm_padded,
+                                        donate_argnums=donate)
 
         gamma_ = gamma
 
@@ -577,14 +613,17 @@ class SpecDecodeEngine(DecodeEngine):
         self._spec_fn = jax.jit(_spec)
 
     def _on_admit(self, slot: int, prompt: np.ndarray) -> None:
-        _, pcache = self._run_prefill(self.draft_params, prompt,
-                                      self._dprefill_fn,
-                                      self._dprefill_padded_fn)
-        for key in ("k", "k2", "v"):
-            self._dcache[key] = self._dcache[key].at[:, slot].set(
-                pcache[key][:, 0])
-        self._dcache["len"] = self._dcache["len"].at[slot].set(
-            int(prompt.size))
+        d = self._dcache
+        pools = (self.draft_params, d["k"], d["k2"], d["v"], d["len"])
+        padded = self._bucket_pad(prompt)
+        if padded is not None:
+            out = self._d_adm_padded_fn(*pools, padded[0],
+                                        np.int32(padded[1]),
+                                        np.int32(slot))
+        else:
+            out = self._d_adm_exact_fn(*pools, prompt[None, :],
+                                       np.int32(slot))
+        d["k"], d["k2"], d["v"], d["len"] = out
 
     def step(self) -> Dict[int, List[int]]:
         """One engine iteration: admit, retire rows whose next speculative

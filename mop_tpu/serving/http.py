@@ -13,6 +13,12 @@ teacher-forced logits); this is part of the production surface around it.
 API:
 - ``POST /generate``  body ``{"prompt": [int, ...], "max_new_tokens": N}``
   -> ``{"request_id": rid, "tokens": [int, ...]}`` (blocks until done)
+- ``POST /generate`` with ``"stream": true`` -> Server-Sent Events
+  (``text/event-stream``): one ``data: {"token": t}`` event per generated
+  token AS IT LANDS, then ``data: {"done": true, "request_id": rid,
+  "tokens": [...]}``. Tokens equal the non-streamed response exactly
+  (same engine, same slot pool — streaming changes delivery, not
+  decoding).
 - ``GET /health`` -> ``{"status": "ok", "active": A, "queued": Q,
   "completed": C}``
 
@@ -79,6 +85,7 @@ class ServingServer:
                     req = json.loads(self.rfile.read(n))
                     prompt = req["prompt"]
                     max_new = int(req.get("max_new_tokens", 32))
+                    stream = bool(req.get("stream", False))
                     if (not isinstance(prompt, list)
                             or not all(isinstance(t, int) for t in prompt)):
                         raise ValueError("prompt must be a list of ints")
@@ -89,8 +96,38 @@ class ServingServer:
                         rid = outer.engine.submit(prompt, max_new)
                 except ValueError as e:       # bad length / budget
                     return self._json(400, {"error": str(e)})
+                if stream:
+                    return self._stream(rid)
                 toks = outer._wait(rid)
                 self._json(200, {"request_id": rid, "tokens": toks})
+
+            def _stream(self, rid: int) -> None:
+                """Server-Sent Events: one event per token as it lands
+                (close-delimited body — HTTP/1.0 semantics, no chunked
+                framing needed)."""
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                sent = 0
+                while True:
+                    with outer._lock:
+                        done = outer.engine.is_done(rid)
+                        toks = list(outer.engine.results[rid])
+                    for t in toks[sent:]:
+                        self.wfile.write(
+                            f"data: {json.dumps({'token': t})}\n\n".encode())
+                    if sent < len(toks):
+                        self.wfile.flush()
+                    sent = len(toks)
+                    if done:
+                        fin = {"done": True, "request_id": rid,
+                               "tokens": toks}
+                        self.wfile.write(
+                            f"data: {json.dumps(fin)}\n\n".encode())
+                        self.wfile.flush()
+                        return
+                    time.sleep(outer._poll)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host = host

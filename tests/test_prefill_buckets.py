@@ -66,7 +66,7 @@ def test_engine_buckets_same_tokens_one_compile_per_bucket():
                        prefill_buckets=[8, 16])
     assert _run(eng) == ref
     # 4 distinct prompt lengths but at most 2 padded-prefill compiles
-    assert eng._prefill_padded_fn._cache_size() <= 2
+    assert eng._adm_padded_fn._cache_size() <= 2
 
 
 def test_spec_engine_buckets_same_tokens():

@@ -88,6 +88,73 @@ def test_http_concurrent_clients_batch_correctly(server):
     assert results == expected
 
 
+def test_http_streaming_matches_blocking(server):
+    """SSE events carry exactly the tokens the blocking path returns, one
+    event per token plus a final done event."""
+    model, params, srv = server
+    prompt, max_new = [5, 9, 2, 6], 12
+    blocking = _post(srv.port, {"prompt": prompt, "max_new_tokens": max_new})
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/generate",
+        data=json.dumps({"prompt": prompt, "max_new_tokens": max_new,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[len("data: "):]))
+    assert events[-1].get("done") is True
+    streamed = [e["token"] for e in events[:-1]]
+    assert streamed == blocking["tokens"] == events[-1]["tokens"]
+
+
+def test_http_concurrent_stream_and_blocking(server):
+    """A streaming client and blocking clients share the slot pool."""
+    model, params, srv = server
+    jobs = [([3, 1, 4], 8), ([2, 7, 1], 8), ([9, 9], 6)]
+    direct = DecodeEngine(model, params, max_batch=3)
+    rids = [direct.submit(*j) for j in jobs]
+    res = direct.run()
+    expected = [res[r] for r in rids]
+
+    results = [None] * len(jobs)
+
+    def stream_client(i):
+        p, n = jobs[i]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/generate",
+            data=json.dumps({"prompt": p, "max_new_tokens": n,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        toks = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for raw in r:
+                line = raw.decode().strip()
+                if line.startswith("data: "):
+                    ev = json.loads(line[len("data: "):])
+                    if not ev.get("done"):
+                        toks.append(ev["token"])
+        results[i] = toks
+
+    def block_client(i):
+        p, n = jobs[i]
+        results[i] = _post(srv.port,
+                           {"prompt": p, "max_new_tokens": n})["tokens"]
+
+    threads = [threading.Thread(target=stream_client if i == 0
+                                else block_client, args=(i,))
+               for i in range(len(jobs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results == expected
+
+
 def test_http_rejects_bad_requests(server):
     _, _, srv = server
     for payload in ({"prompt": "abc"}, {"max_new_tokens": 4},

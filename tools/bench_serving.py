@@ -48,8 +48,8 @@ def build():
 
 
 def mixed_jobs(n, rs, t_lo=48, t_hi=250, new=64):
-    return [(list(rs.randint(0, VOCAB, rs.randint(t_lo, t_hi))), new)
-            for _ in range(n)]
+    return [([int(t) for t in rs.randint(0, VOCAB, rs.randint(t_lo, t_hi))],
+             new) for _ in range(n)]
 
 
 def run_engine(eng, jobs):
@@ -71,48 +71,53 @@ def main():
     jobs = mixed_jobs(32, rs)
 
     # ---- 1. continuous-batching scaling over slot-pool size ----
+    # warm and time the SAME engine (jit caches are per-instance; a real
+    # server stays up, so steady-state is the honest number)
     batch_rows = []
     for mb in (1, 2, 4, 8, 16):
         eng = DecodeEngine(model, params, max_batch=mb,
                            prefill_buckets=BUCKETS)
         run_engine(eng, jobs[:2 * mb])  # warm every compile (prefill+step)
-        eng2 = DecodeEngine(model, params, max_batch=mb,
-                            prefill_buckets=BUCKETS)
-        dt, toks = run_engine(eng2, jobs)
+        dt, toks = run_engine(eng, jobs)
         batch_rows.append((mb, toks, dt, toks / dt))
         print(f"max_batch={mb}: {toks} tokens in {dt:.2f}s -> "
               f"{toks / dt:,.0f} tok/s", flush=True)
     base_tps = batch_rows[0][3]
 
     # ---- 2. prefix caching with a shared system prompt ----
-    sys_prompt = list(rs.randint(0, VOCAB, 384))
-    tails = [list(rs.randint(0, VOCAB, 8)) for _ in range(16)]
-    shared_jobs = [(sys_prompt + t, 32) for t in tails]
+    sys_prompt = [int(t) for t in rs.randint(0, VOCAB, 384)]
+    mk_wave = lambda: [(sys_prompt + [int(t) for t in
+                                      rs.randint(0, VOCAB, 8)], 32)
+                       for _ in range(16)]
     prefix_rows = []
     for label, kw in (("no prefix cache", {}),
                       ("prefix cache (4 entries)",
                        {"prefix_cache_entries": 4})):
         eng = DecodeEngine(model, params, max_batch=8,
                            prefill_buckets=BUCKETS, **kw)
-        run_engine(eng, shared_jobs[:4])  # warm compiles incl. chunk path
-        eng2 = DecodeEngine(model, params, max_batch=8,
-                            prefill_buckets=BUCKETS, **kw)
-        dt, toks = run_engine(eng2, shared_jobs)
-        reused = eng2.prefix_tokens_reused
+        # full-wave warmup: compiles (incl. donated-layout recompiles on
+        # back-to-back admissions) AND the LRU — steady state. The timed
+        # wave is FRESH requests sharing only the system prompt (the
+        # workload prefix caching exists for).
+        run_engine(eng, mk_wave())
+        reused0 = eng.prefix_tokens_reused
+        dt, toks = run_engine(eng, mk_wave())
+        reused = eng.prefix_tokens_reused - reused0
         prefix_rows.append((label, toks, dt, toks / dt, reused))
         print(f"{label}: {toks} tokens in {dt:.2f}s -> {toks / dt:,.0f} "
               f"tok/s (prefix tokens reused: {reused})", flush=True)
 
     # ---- 3. HTTP front-end vs direct engine drive ----
     http_jobs = jobs[:16]
-    eng = DecodeEngine(model, params, max_batch=8, prefill_buckets=BUCKETS)
-    run_engine(eng, http_jobs[:4])  # warm
     eng_direct = DecodeEngine(model, params, max_batch=8,
                               prefill_buckets=BUCKETS)
+    run_engine(eng_direct, http_jobs[:4])  # warm
     dt_direct, toks_direct = run_engine(eng_direct, http_jobs)
 
     eng_http = DecodeEngine(model, params, max_batch=8,
                             prefill_buckets=BUCKETS)
+    rids = [eng_http.submit(p, n) for p, n in http_jobs[:4]]  # warm
+    eng_http.run()
     srv = ServingServer(eng_http)
     srv.start()
     out_toks = [0] * len(http_jobs)
@@ -156,6 +161,13 @@ def main():
             f.write(f"| {mb} | {toks} | {dt:.2f} | {tps:,.0f} | "
                     f"{tps / base_tps:.2f}x |\n")
         f.write(
+            "\nAbsolute tok/s is dominated by per-step dispatch latency "
+            "(each engine step is one host-driven device call — inflated "
+            "here by the remote-device tunnel); the SCALING column is the "
+            "portable result: batching N requests costs about the same "
+            "wall time as one. Kernel-level single-stream decode "
+            "throughput is in benchmarks/decode.md.\n")
+        f.write(
             "\n## Prefix caching: 16 requests sharing a 384-token system "
             "prompt (8-token tails, 32 new each)\n\n"
             "| engine | tokens | wall s | tok/s | prefix tokens reused |\n"
@@ -163,6 +175,13 @@ def main():
         for label, toks, dt, tps, reused in prefix_rows:
             f.write(f"| {label} | {toks} | {dt:.2f} | {tps:,.0f} | "
                     f"{reused} |\n")
+        f.write(
+            "\nAt this model scale a single admission is dispatch-latency-"
+            "bound (~34 ms measured for BOTH the bucketed 512-token "
+            "prefill and the 8-token chunk continuation), so prefix "
+            "caching buys wall time only once prefill is compute-bound "
+            "(bigger model, longer prompt); what it always buys is the "
+            "avoided prefill compute itself — the reused-tokens column.\n")
         f.write(
             f"\n## HTTP front-end (16 concurrent clients, one engine)\n\n"
             f"| path | tok/s |\n|---|---|\n"
