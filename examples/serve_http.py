@@ -149,11 +149,20 @@ def main():
             line = raw.decode().strip()
             if line.startswith("data: "):
                 ev = json.loads(line[len("data: "):])
-                if not ev.get("done"):
+                if "token" in ev:
                     stream_toks.append(ev["token"])
     text = bytes(t for t in stream_toks if 0 <= t < 256).decode(
         errors="replace")
     print(f"  streamed: 'the quick ' -> {text!r}", flush=True)
+
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics", timeout=30) as r:
+        metrics = r.read().decode()
+    counters = dict(line.split() for line in metrics.splitlines()
+                    if not line.startswith("#"))
+    print(f"  /metrics: {counters['mop_requests_completed_total']} "
+          f"requests, {counters['mop_tokens_generated_total']} tokens, "
+          f"{counters['mop_engine_steps_total']} engine steps", flush=True)
 
     if args.keep_serving:
         print("serving until Ctrl-C...", flush=True)

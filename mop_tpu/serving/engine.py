@@ -235,6 +235,8 @@ class DecodeEngine:
         self._results: Dict[int, List[int]] = {}
         self._done: Dict[int, bool] = {}
         self._next_rid = 0
+        self.tokens_generated = 0
+        self.engine_steps = 0
 
         def _step(params, cache, tokens, lens, rng):
             logits, new_cache = decode_step_rows(
@@ -362,6 +364,7 @@ class DecodeEngine:
                     rid: int, tok: int, new_len: int) -> bool:
         """Record one emitted token; retire the slot on EOS / window-full /
         budget-exhausted. Returns whether the request is still live."""
+        self.tokens_generated += 1
         self._results[rid].append(tok)
         emitted.setdefault(rid, []).append(tok)
         self._budget[slot] -= 1
@@ -379,6 +382,7 @@ class DecodeEngine:
         whose first token is EOS completes without ever decoding), then
         advance all live rows one token. Returns this iteration's
         ``{rid: [tokens]}`` (a request admitted this call emits up to 2)."""
+        self.engine_steps += 1
         emitted: Dict[int, List[int]] = {}
         emit = lambda *a: self._emit_token(emitted, *a)
 
@@ -422,6 +426,25 @@ class DecodeEngine:
 
     def is_done(self, rid: int) -> bool:
         return self._done[rid]
+
+    def cancel(self, rid: int) -> bool:
+        """Cancel a request. Queued: removed before ever touching the
+        device. Active: its slot is freed for the next queued request (the
+        fixed-shape step keeps running for the other rows; the freed row's
+        length is zeroed on the next step like any retired slot). Tokens
+        already emitted stay in ``results``. Returns False if ``rid`` is
+        unknown or already finished — cancellation is then a no-op."""
+        if self._done.get(rid, True):
+            return False
+        for i, item in enumerate(self._queue):
+            if item[0] == rid:
+                del self._queue[i]
+                self._done[rid] = True
+                return True
+        slot = self._slot_rid.index(rid)  # not done, not queued -> active
+        self._slot_rid[slot] = -1
+        self._done[rid] = True
+        return True
 
     # ---------------- internals ----------------
 
@@ -629,6 +652,7 @@ class SpecDecodeEngine(DecodeEngine):
         """One engine iteration: admit, retire rows whose next speculative
         round would overflow the window, then advance every live row by
         1..gamma+1 tokens with one draft scan + one target verify."""
+        self.engine_steps += 1
         emitted: Dict[int, List[int]] = {}
 
         while self._queue:

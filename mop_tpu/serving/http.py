@@ -19,8 +19,16 @@ API:
   "tokens": [...]}``. Tokens equal the non-streamed response exactly
   (same engine, same slot pool — streaming changes delivery, not
   decoding).
+  The FIRST event is ``data: {"request_id": rid}`` so the client can
+  cancel mid-stream; a client that disconnects mid-stream cancels its
+  request automatically (the slot frees for the next queued request).
+- ``POST /cancel`` body ``{"request_id": rid}`` -> ``{"request_id": rid,
+  "cancelled": bool}`` (false = unknown rid or already finished).
 - ``GET /health`` -> ``{"status": "ok", "active": A, "queued": Q,
   "completed": C}``
+- ``GET /metrics`` -> Prometheus text format (requests
+  completed/cancelled/active/queued, tokens generated, engine steps,
+  prefix-cache hits and reused tokens).
 
 Usage::
 
@@ -50,6 +58,7 @@ class ServingServer:
         self.engine = engine
         self._lock = threading.Lock()          # guards engine access
         self._completed = 0
+        self._cancelled = 0
         self._running = False
         self._poll = poll_interval
         outer = self
@@ -67,6 +76,8 @@ class ServingServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                if self.path == "/metrics":
+                    return self._metrics()
                 if self.path != "/health":
                     return self._json(404, {"error": "unknown path"})
                 with outer._lock:
@@ -77,7 +88,60 @@ class ServingServer:
                         "completed": outer._completed,
                     })
 
+            def _metrics(self) -> None:
+                eng = outer.engine
+                with outer._lock:
+                    rows = [
+                        ("requests_completed_total", "counter",
+                         "Requests fully completed.", outer._completed),
+                        ("requests_cancelled_total", "counter",
+                         "Requests cancelled via /cancel or client "
+                         "disconnect.", outer._cancelled),
+                        ("requests_active", "gauge",
+                         "Requests currently occupying a decode slot.",
+                         eng.n_active),
+                        ("requests_queued", "gauge",
+                         "Requests waiting for a free slot.", eng.n_queued),
+                        ("tokens_generated_total", "counter",
+                         "Tokens emitted across all requests.",
+                         eng.tokens_generated),
+                        ("engine_steps_total", "counter",
+                         "Engine iterations (one fixed-shape device step "
+                         "each, plus admissions).", eng.engine_steps),
+                        ("prefix_cache_hits_total", "counter",
+                         "Admissions that reused a cached prefix.",
+                         eng.prefix_cache_hits),
+                        ("prefix_tokens_reused_total", "counter",
+                         "Prompt tokens whose prefill was skipped via the "
+                         "prefix cache.", eng.prefix_tokens_reused),
+                    ]
+                out = []
+                for name, kind, help_, val in rows:
+                    out.append(f"# HELP mop_{name} {help_}")
+                    out.append(f"# TYPE mop_{name} {kind}")
+                    out.append(f"mop_{name} {val}")
+                body = ("\n".join(out) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_POST(self):
+                if self.path == "/cancel":
+                    try:
+                        n = int(self.headers.get("Content-Length", 0))
+                        rid = int(json.loads(self.rfile.read(n))
+                                  ["request_id"])
+                    except (KeyError, ValueError,
+                            json.JSONDecodeError) as e:
+                        return self._json(400, {"error": str(e)})
+                    with outer._lock:
+                        ok = outer.engine.cancel(rid)
+                        outer._cancelled += ok
+                    return self._json(200, {"request_id": rid,
+                                            "cancelled": ok})
                 if self.path != "/generate":
                     return self._json(404, {"error": "unknown path"})
                 try:
@@ -104,30 +168,41 @@ class ServingServer:
             def _stream(self, rid: int) -> None:
                 """Server-Sent Events: one event per token as it lands
                 (close-delimited body — HTTP/1.0 semantics, no chunked
-                framing needed)."""
+                framing needed). First event carries the request_id; a
+                failed write (client went away) cancels the request so its
+                slot frees immediately."""
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
                 sent = 0
-                while True:
+                try:
+                    self.wfile.write(
+                        f"data: {json.dumps({'request_id': rid})}\n\n"
+                        .encode())
+                    self.wfile.flush()
+                    while True:
+                        with outer._lock:
+                            done = outer.engine.is_done(rid)
+                            toks = list(outer.engine.results[rid])
+                        for t in toks[sent:]:
+                            self.wfile.write(
+                                f"data: {json.dumps({'token': t})}\n\n"
+                                .encode())
+                        if sent < len(toks):
+                            self.wfile.flush()
+                        sent = len(toks)
+                        if done:
+                            fin = {"done": True, "request_id": rid,
+                                   "tokens": toks}
+                            self.wfile.write(
+                                f"data: {json.dumps(fin)}\n\n".encode())
+                            self.wfile.flush()
+                            return
+                        time.sleep(outer._poll)
+                except OSError:  # client disconnected mid-stream
                     with outer._lock:
-                        done = outer.engine.is_done(rid)
-                        toks = list(outer.engine.results[rid])
-                    for t in toks[sent:]:
-                        self.wfile.write(
-                            f"data: {json.dumps({'token': t})}\n\n".encode())
-                    if sent < len(toks):
-                        self.wfile.flush()
-                    sent = len(toks)
-                    if done:
-                        fin = {"done": True, "request_id": rid,
-                               "tokens": toks}
-                        self.wfile.write(
-                            f"data: {json.dumps(fin)}\n\n".encode())
-                        self.wfile.flush()
-                        return
-                    time.sleep(outer._poll)
+                        outer._cancelled += outer.engine.cancel(rid)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host = host

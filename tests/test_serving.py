@@ -136,3 +136,55 @@ def test_submit_validates_inputs():
         eng.submit(list(range(16)), 4)  # t0 == block
     with pytest.raises(ValueError, match="max_new_tokens"):
         eng.submit([1, 2], 0)
+
+def test_cancel_queued_request_never_runs():
+    model, params = _setup()
+    eng = DecodeEngine(model, params, max_batch=1)
+    r0 = eng.submit([1, 2, 3], 6)
+    r1 = eng.submit([4, 5], 6)       # queued behind r0 (one slot)
+    r2 = eng.submit([6, 7, 8], 6)
+    assert eng.cancel(r1)
+    results = eng.run()
+    assert eng.is_done(r1) and results[r1] == []
+    # the surviving requests are unaffected
+    assert results[r0] == _reference_tokens(model, params, [1, 2, 3], 6)
+    assert results[r2] == _reference_tokens(model, params, [6, 7, 8], 6)
+
+
+def test_cancel_active_request_frees_slot():
+    model, params = _setup()
+    eng = DecodeEngine(model, params, max_batch=1)
+    r0 = eng.submit([1, 2, 3], 20)
+    r1 = eng.submit([4, 5], 5)        # waits for the only slot
+    eng.step()
+    eng.step()
+    got = len(eng.results[r0])
+    assert 0 < got < 20
+    assert eng.cancel(r0)
+    results = eng.run()
+    # partial tokens retained and correct (a prefix of the solo stream)
+    want = _reference_tokens(model, params, [1, 2, 3], 20)
+    assert results[r0] == want[:got] and eng.is_done(r0)
+    # the freed slot served the queued request, tokens unaffected
+    assert results[r1] == _reference_tokens(model, params, [4, 5], 5)
+
+
+def test_cancel_unknown_or_finished_is_noop():
+    model, params = _setup()
+    eng = DecodeEngine(model, params, max_batch=1)
+    rid = eng.submit([1, 2], 3)
+    eng.run()
+    assert not eng.cancel(rid)
+    assert not eng.cancel(999)
+    assert eng.results[rid] == _reference_tokens(model, params, [1, 2], 3)
+
+
+def test_token_and_step_counters():
+    model, params = _setup()
+    eng = DecodeEngine(model, params, max_batch=2)
+    eng.submit([1, 2, 3], 4)
+    eng.submit([4, 5], 6)
+    eng.run()
+    assert eng.tokens_generated == 10
+    # the longer stream: 1 admission-emitted token + 5 decode rounds
+    assert eng.engine_steps == 5

@@ -7,6 +7,7 @@ driven directly, including when several clients hit the server at once
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -108,7 +109,8 @@ def test_http_streaming_matches_blocking(server):
             if line.startswith("data: "):
                 events.append(json.loads(line[len("data: "):]))
     assert events[-1].get("done") is True
-    streamed = [e["token"] for e in events[:-1]]
+    assert "request_id" in events[0]
+    streamed = [e["token"] for e in events if "token" in e]
     assert streamed == blocking["tokens"] == events[-1]["tokens"]
 
 
@@ -136,7 +138,7 @@ def test_http_concurrent_stream_and_blocking(server):
                 line = raw.decode().strip()
                 if line.startswith("data: "):
                     ev = json.loads(line[len("data: "):])
-                    if not ev.get("done"):
+                    if "token" in ev:
                         toks.append(ev["token"])
         results[i] = toks
 
@@ -164,3 +166,99 @@ def test_http_rejects_bad_requests(server):
             assert False, f"expected 400 for {payload}"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+
+def _post_path(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def _metrics(port):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    return {line.split()[0]: float(line.split()[1])
+            for line in body.splitlines() if not line.startswith("#")}
+
+
+@pytest.fixture()
+def long_server():
+    """Big context window so long-budget requests stay in flight long
+    enough for a client to cancel them deterministically."""
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=512)
+    model = create_gpt_quartet(VOCAB, cfg)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+    eng = DecodeEngine(model, params, max_batch=2)
+    srv = ServingServer(eng)
+    srv.start()
+    yield eng, srv
+    srv.stop()
+
+
+def _open_stream(port, prompt, max_new):
+    """Open an SSE stream; return (response, request_id)."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/generate",
+        data=json.dumps({"prompt": prompt, "max_new_tokens": max_new,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    resp = urllib.request.urlopen(req, timeout=120)
+    while True:
+        line = resp.readline().decode().strip()
+        if line.startswith("data: "):
+            ev = json.loads(line[len("data: "):])
+            return resp, ev["request_id"]
+
+
+def test_http_cancel_mid_stream(long_server):
+    eng, srv = long_server
+    resp, rid = _open_stream(srv.port, [3, 1, 4], 400)
+    out = _post_path(srv.port, "/cancel", {"request_id": rid})
+    assert out == {"request_id": rid, "cancelled": True}
+    events = []
+    for raw in resp:
+        line = raw.decode().strip()
+        if line.startswith("data: "):
+            events.append(json.loads(line[len("data: "):]))
+    resp.close()
+    assert events[-1].get("done") is True
+    assert len(events[-1]["tokens"]) < 400  # stopped early
+    assert eng.is_done(rid)
+    # cancelling again (or an unknown rid) reports false, HTTP 200
+    assert _post_path(srv.port, "/cancel",
+                      {"request_id": rid})["cancelled"] is False
+    assert _post_path(srv.port, "/cancel",
+                      {"request_id": 10 ** 9})["cancelled"] is False
+
+
+def test_http_client_disconnect_cancels(long_server):
+    eng, srv = long_server
+    resp, rid = _open_stream(srv.port, [2, 7, 1], 400)
+    resp.close()  # client goes away mid-decode
+    deadline = time.time() + 60
+    while not eng.is_done(rid):
+        assert time.time() < deadline, "disconnect never cancelled request"
+        time.sleep(0.01)
+    assert len(eng.results[rid]) < 400
+    m = _metrics(srv.port)
+    assert m["mop_requests_cancelled_total"] >= 1
+
+
+def test_http_metrics_counters(server):
+    model, params, srv = server
+    before = _metrics(srv.port)
+    out = _post(srv.port, {"prompt": [1, 2, 3], "max_new_tokens": 7})
+    assert len(out["tokens"]) == 7
+    m = _metrics(srv.port)
+    assert m["mop_requests_completed_total"] == \
+        before["mop_requests_completed_total"] + 1
+    assert m["mop_tokens_generated_total"] >= \
+        before["mop_tokens_generated_total"] + 7
+    assert m["mop_requests_active"] == 0 and m["mop_requests_queued"] == 0
+    assert m["mop_engine_steps_total"] > 0
