@@ -21,6 +21,18 @@ from .layers import gelu_tanh
 Array = jax.Array
 
 
+def _top_p_mask(scaled: Array, top_p: float) -> Array:
+    """Nucleus filter: keep the smallest set of tokens whose probability
+    mass reaches ``top_p`` (the top token is always kept), -inf the rest.
+    ``scaled``: (B, vocab) temperature-scaled logits."""
+    srt = jnp.sort(scaled, -1)[:, ::-1]  # descending
+    probs = jax.nn.softmax(srt, -1)
+    cum = jnp.cumsum(probs, -1)
+    keep = (cum - probs) < top_p  # keep while mass BEFORE this token < p
+    thr = jnp.min(jnp.where(keep, srt, jnp.inf), -1, keepdims=True)
+    return jnp.where(scaled >= thr, scaled, -jnp.inf)
+
+
 def generate(
     model,
     params,
@@ -29,6 +41,7 @@ def generate(
     rng: Optional[Array] = None,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
 ) -> Array:
     """Generate ``max_new_tokens`` continuations for a (B, T0) prompt.
 
@@ -69,6 +82,8 @@ def generate(
             if top_k is not None:
                 kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
                 scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+            if top_p is not None and top_p < 1.0:
+                scaled = _top_p_mask(scaled, top_p)
             rng, sub = jax.random.split(rng)
             nxt = jax.random.categorical(sub, scaled).astype(jnp.int32)
 
@@ -501,6 +516,7 @@ def generate_cached(
     rng: Optional[Array] = None,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
 ) -> Array:
     """KV-cached greedy/sampled decode for TinyTransformerLM (approximate —
     see the module comment; measured divergence in benchmarks/decode.md).
@@ -526,6 +542,8 @@ def generate_cached(
         if top_k is not None:
             kth = jnp.sort(scaled, -1)[:, -top_k][:, None]
             scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        if top_p is not None and top_p < 1.0:
+            scaled = _top_p_mask(scaled, top_p)
         rng, sub = jax.random.split(rng)
         return jax.random.categorical(sub, scaled).astype(jnp.int32), rng
 

@@ -183,7 +183,7 @@ class DecodeEngine:
 
     def __init__(self, model, params, max_batch: int = 8,
                  eos_id: Optional[int] = None, temperature: float = 0.0,
-                 top_k: Optional[int] = None,
+                 top_k: Optional[int] = None, top_p: Optional[float] = None,
                  rng: Optional[Array] = None,
                  cache_sharding=None,
                  prefill_buckets: Optional[Sequence[int]] = None,
@@ -218,6 +218,7 @@ class DecodeEngine:
         self.eos_id = eos_id
         self.temperature = temperature
         self.top_k = top_k
+        self.top_p = top_p
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         cfg = model.config
         self.block_size = cfg.block_size
@@ -231,6 +232,14 @@ class DecodeEngine:
         self._tokens = jnp.zeros((max_batch,), jnp.int32)
         self._slot_rid: List[int] = [-1] * max_batch
         self._budget = np.zeros((max_batch,), np.int64)
+        # per-slot sampling params (set at admission from the request's
+        # overrides; the batched picker consumes them as (B,) vectors so
+        # requests with different temperature/top_k/top_p/eos share one
+        # fixed-shape step)
+        self._slot_temp = np.zeros((max_batch,), np.float32)
+        self._slot_topk = np.zeros((max_batch,), np.int32)   # 0 = off
+        self._slot_topp = np.ones((max_batch,), np.float32)  # 1.0 = off
+        self._slot_eos = np.full((max_batch,), -1, np.int64)  # -1 = none
         self._queue: deque = deque()
         self._results: Dict[int, List[int]] = {}
         self._done: Dict[int, bool] = {}
@@ -238,10 +247,10 @@ class DecodeEngine:
         self.tokens_generated = 0
         self.engine_steps = 0
 
-        def _step(params, cache, tokens, lens, rng):
+        def _step(params, cache, tokens, lens, rng, temp, topk, topp):
             logits, new_cache = decode_step_rows(
                 self.model, params, cache, tokens, lens)
-            nxt = self._pick(logits, rng)
+            nxt = self._pick_rows(logits, rng, temp, topk, topp)
             return nxt, new_cache
 
         self._step_fn = jax.jit(_step)
@@ -262,12 +271,14 @@ class DecodeEngine:
         # admission cost on a remote/tunneled device, and donation lets XLA
         # update the (L, B, H, block, dk) pools in place instead of copying
         # them once per .at[].set.
-        def _finish(k, k2, v, lens, tokens, pc, logits, slot, t0, rng):
+        def _finish(k, k2, v, lens, tokens, pc, logits, slot, t0, rng, sp):
             k = k.at[:, slot].set(pc["k"][:, 0])
             k2 = k2.at[:, slot].set(pc["k2"][:, 0])
             v = v.at[:, slot].set(pc["v"][:, 0])
             lens = lens.at[slot].set(t0)
-            tok0 = self._pick(logits, rng)[0]
+            tok0 = self._pick_rows(
+                logits, rng, jnp.reshape(sp[0], (1,)),
+                jnp.reshape(sp[1], (1,)), jnp.reshape(sp[2], (1,)))[0]
             tokens = tokens.at[slot].set(tok0)
             if self._prefix_max:
                 store = (k[:, slot], k2[:, slot], v[:, slot])
@@ -275,19 +286,20 @@ class DecodeEngine:
                 store = ()
             return (k, k2, v, lens, tokens, tok0) + store
 
-        def _adm_exact(params, k, k2, v, lens, tokens, prompt, slot, rng):
+        def _adm_exact(params, k, k2, v, lens, tokens, prompt, slot, rng,
+                       sp):
             logits, pc = prefill(self.model, params, prompt)
             return _finish(k, k2, v, lens, tokens, pc, logits, slot,
-                           prompt.shape[1], rng)
+                           prompt.shape[1], rng, sp)
 
         def _adm_padded(params, k, k2, v, lens, tokens, prompt, t0, slot,
-                        rng):
+                        rng, sp):
             logits, pc = prefill_padded(self.model, params, prompt, t0)
             return _finish(k, k2, v, lens, tokens, pc, logits, slot, t0,
-                           rng)
+                           rng, sp)
 
         def _adm_chunk(params, k, k2, v, lens, tokens, ek, ek2, ev, tail,
-                       lcp, g, slot, rng):
+                       lcp, g, slot, rng, sp):
             # paste the entry's full-width rows; columns past lcp are the
             # OLD prompt's rows — the chunk overwrites [lcp, lcp+G) and
             # anything further is past this row's length, so masked out of
@@ -304,7 +316,7 @@ class DecodeEngine:
                 logits_all, g - 1, axis=1, keepdims=False)
             pc = {key: nc[key] for key in ("k", "k2", "v")}
             return _finish(k, k2, v, lens, tokens, pc, logits, slot,
-                           lcp + g, rng)
+                           lcp + g, rng, sp)
 
         donate = (1, 2, 3, 4, 5)
         self._adm_exact_fn = jax.jit(_adm_exact, donate_argnums=donate)
@@ -323,21 +335,43 @@ class DecodeEngine:
 
     # ---------------- sampling ----------------
 
-    def _pick(self, logits, rng):
-        if self.temperature == 0.0:
-            return jnp.argmax(logits, -1).astype(jnp.int32)
-        scaled = logits / max(self.temperature, 1e-6)
-        if self.top_k is not None:
-            kth = jnp.sort(scaled, -1)[:, -self.top_k][:, None]
-            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
-        return jax.random.categorical(rng, scaled).astype(jnp.int32)
+    @staticmethod
+    def _pick_rows(logits, rng, temp, topk, topp):
+        """Per-row sampler: each row has its own temperature (0 = greedy),
+        top_k (0 = off), and top_p (1.0 = off), so requests with different
+        sampling params batch into one fixed-shape step. Sampled in
+        sorted-logit space: mask ranks >= top_k and tokens beyond the
+        nucleus, draw, map back through argsort."""
+        b, v = logits.shape
+        greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+        scaled = logits / jnp.maximum(temp, 1e-6)[:, None]
+        order = jnp.argsort(scaled, -1)[:, ::-1]  # descending
+        srt = jnp.take_along_axis(scaled, order, -1)
+        ranks = jnp.arange(v)[None, :]
+        keep = ranks < jnp.where(topk > 0, topk, v)[:, None]
+        probs = jax.nn.softmax(jnp.where(keep, srt, -jnp.inf), -1)
+        cum = jnp.cumsum(probs, -1)
+        keep &= (cum - probs) < topp[:, None]  # top token always kept
+        choice = jax.random.categorical(
+            rng, jnp.where(keep, srt, -jnp.inf))
+        sampled = jnp.take_along_axis(order, choice[:, None], -1)[:, 0]
+        return jnp.where(temp <= 0.0, greedy, sampled).astype(jnp.int32)
 
     # ---------------- public API ----------------
 
-    def submit(self, prompt, max_new_tokens: int) -> int:
+    def submit(self, prompt, max_new_tokens: int,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None,
+               eos_id: Optional[int] = None) -> int:
         """Queue a request. ``prompt``: 1-D int sequence, 1 <= len <
         block_size. Generation stops at ``max_new_tokens``, EOS, or the
-        context window, whichever first."""
+        context window, whichever first.
+
+        ``temperature``/``top_k``/``top_p``/``eos_id`` override the engine
+        defaults FOR THIS REQUEST (None = use the engine's). Requests with
+        different sampling params share the same fixed-shape batched step —
+        the picker consumes them as per-row vectors."""
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if not 1 <= prompt.size < self.block_size:
             raise ValueError(
@@ -345,9 +379,22 @@ class DecodeEngine:
                 f"{self.block_size})")
         if max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
+        temp = self.temperature if temperature is None else temperature
+        tk = self.top_k if top_k is None else top_k
+        tp = self.top_p if top_p is None else top_p
+        eos = self.eos_id if eos_id is None else eos_id
+        if temp < 0:
+            raise ValueError(f"temperature must be >= 0, got {temp}")
+        if tk is not None and tk < 0:
+            raise ValueError(f"top_k must be >= 0, got {tk}")
+        if tp is not None and not 0.0 < tp <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1], got {tp}")
+        sp = (np.float32(temp), np.int32(tk or 0),
+              np.float32(1.0 if tp is None else tp),
+              np.int64(-1 if eos is None else eos))
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append((rid, prompt, max_new_tokens))
+        self._queue.append((rid, prompt, max_new_tokens, sp))
         self._results[rid] = []
         self._done[rid] = False
         return rid
@@ -368,7 +415,7 @@ class DecodeEngine:
         self._results[rid].append(tok)
         emitted.setdefault(rid, []).append(tok)
         self._budget[slot] -= 1
-        hit_eos = self.eos_id is not None and tok == self.eos_id
+        hit_eos = tok == self._slot_eos[slot]
         # the next decode would append at position new_len
         if hit_eos or new_len >= self.block_size or self._budget[slot] <= 0:
             self._slot_rid[slot] = -1
@@ -399,7 +446,8 @@ class DecodeEngine:
             self._rng, sub = jax.random.split(self._rng)
             nxt, self._cache = self._step_fn(
                 self.params, self._cache, self._tokens,
-                self._cache["len"], sub)
+                self._cache["len"], sub, jnp.asarray(self._slot_temp),
+                jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp))
             # inactive rows advanced too (fixed-shape step); reset their
             # lengths so their garbage rows stay out of any future prefix
             mask = np.zeros((self.max_batch,), bool)
@@ -456,12 +504,15 @@ class DecodeEngine:
             slot = self._slot_rid.index(-1)
         except ValueError:
             return None
-        rid, prompt, max_new = self._queue.popleft()
+        rid, prompt, max_new, sp = self._queue.popleft()
         t0 = int(prompt.size)
         c = self._cache
         self._rng, sub = jax.random.split(self._rng)
         entry, lcp = self._prefix_lookup(prompt)
         slot_ = np.int32(slot)
+        self._slot_temp[slot], self._slot_topk[slot], \
+            self._slot_topp[slot], self._slot_eos[slot] = sp
+        sp3 = sp[:3]
         pools = (self.params, c["k"], c["k2"], c["v"], c["len"],
                  self._tokens)
         if entry is not None:
@@ -471,17 +522,19 @@ class DecodeEngine:
             tail[0, :g] = prompt[lcp:]
             out = self._adm_chunk_fn(
                 *pools, entry["k"], entry["k2"], entry["v"],
-                jnp.asarray(tail), np.int32(lcp), np.int32(g), slot_, sub)
+                jnp.asarray(tail), np.int32(lcp), np.int32(g), slot_, sub,
+                sp3)
             self.prefix_cache_hits += 1
             self.prefix_tokens_reused += lcp
         else:
             padded = self._bucket_pad(prompt)
             if padded is not None:
                 out = self._adm_padded_fn(*pools, padded[0],
-                                          np.int32(padded[1]), slot_, sub)
+                                          np.int32(padded[1]), slot_, sub,
+                                          sp3)
             else:
                 out = self._adm_exact_fn(*pools, prompt[None, :], slot_,
-                                         sub)
+                                         sub, sp3)
         (c["k"], c["k2"], c["v"], c["len"], self._tokens, tok0), store = \
             out[:6], out[6:]
         self._slot_rid[slot] = rid
@@ -634,6 +687,21 @@ class SpecDecodeEngine(DecodeEngine):
             return emit, n_acc, tc2, dc3, corr[:, 0]
 
         self._spec_fn = jax.jit(_spec)
+
+    def submit(self, prompt, max_new_tokens: int,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None,
+               eos_id: Optional[int] = None) -> int:
+        """Greedy-only: speculative verification compares the target's
+        argmax against the draft's, so per-request sampling overrides other
+        than ``eos_id`` are rejected."""
+        if temperature not in (None, 0, 0.0) or top_k is not None or \
+                top_p not in (None, 1.0):
+            raise ValueError(
+                "SpecDecodeEngine is greedy-only; per-request temperature/"
+                "top_k/top_p are not supported (use DecodeEngine)")
+        return super().submit(prompt, max_new_tokens, eos_id=eos_id)
 
     def _on_admit(self, slot: int, prompt: np.ndarray) -> None:
         d = self._dcache

@@ -12,7 +12,10 @@ teacher-forced logits); this is part of the production surface around it.
 
 API:
 - ``POST /generate``  body ``{"prompt": [int, ...], "max_new_tokens": N}``
-  -> ``{"request_id": rid, "tokens": [int, ...]}`` (blocks until done)
+  -> ``{"request_id": rid, "tokens": [int, ...]}`` (blocks until done).
+  Optional per-request sampling fields: ``temperature`` (0 = greedy),
+  ``top_k``, ``top_p``, ``eos_id`` — requests with different sampling
+  params still batch onto the same device step.
 - ``POST /generate`` with ``"stream": true`` -> Server-Sent Events
   (``text/event-stream``): one ``data: {"token": t}`` event per generated
   token AS IT LANDS, then ``data: {"done": true, "request_id": rid,
@@ -150,15 +153,22 @@ class ServingServer:
                     prompt = req["prompt"]
                     max_new = int(req.get("max_new_tokens", 32))
                     stream = bool(req.get("stream", False))
+                    kw = {}
+                    for key, cast in (("temperature", float),
+                                      ("top_p", float), ("top_k", int),
+                                      ("eos_id", int)):
+                        if req.get(key) is not None:
+                            kw[key] = cast(req[key])
                     if (not isinstance(prompt, list)
                             or not all(isinstance(t, int) for t in prompt)):
                         raise ValueError("prompt must be a list of ints")
-                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                except (KeyError, ValueError, TypeError,
+                        json.JSONDecodeError) as e:
                     return self._json(400, {"error": str(e)})
                 try:
                     with outer._lock:
-                        rid = outer.engine.submit(prompt, max_new)
-                except ValueError as e:       # bad length / budget
+                        rid = outer.engine.submit(prompt, max_new, **kw)
+                except ValueError as e:  # bad length / budget / sampling
                     return self._json(400, {"error": str(e)})
                 if stream:
                     return self._stream(rid)

@@ -145,3 +145,44 @@ def test_whisper_transcribe_cached_matches_uncached():
                                   max_tokens=8)
     assert b.shape == (2, 8)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_top_p_tiny_nucleus_equals_greedy():
+    """top_p small enough keeps only the top token -> equals greedy even
+    at high temperature, for both the full-window and cached samplers."""
+    from mop_tpu.models import generate_cached
+
+    model, params, prompt = _setup()
+    ref = generate(model, params, prompt, max_new_tokens=8)
+    out = generate(model, params, prompt, max_new_tokens=8,
+                   rng=jax.random.PRNGKey(3), temperature=3.0, top_p=1e-9)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    ref_c = generate_cached(model, params, prompt, max_new_tokens=8)
+    out_c = generate_cached(model, params, prompt, max_new_tokens=8,
+                            rng=jax.random.PRNGKey(3), temperature=3.0,
+                            top_p=1e-9)
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(ref_c))
+
+
+def test_top_p_sampling_stays_in_nucleus():
+    """With top_p=0.7 every sampled token must lie in the smallest set of
+    tokens covering 70% probability mass at its step (checked by replaying
+    the model over the sampled prefix)."""
+    from mop_tpu.models.generate import _top_p_mask
+
+    model, params, prompt = _setup()
+    out = generate(model, params, prompt, max_new_tokens=6,
+                   rng=jax.random.PRNGKey(5), temperature=1.0, top_p=0.7)
+    seq = np.asarray(out)
+    t0 = prompt.shape[1]
+    for step in range(6):
+        ctx = jnp.asarray(seq[:, :t0 + step])
+        window = jnp.zeros((2, 16), jnp.int32).at[:, :ctx.shape[1]].set(ctx)
+        logits, _ = model.apply(params, window, train=False)
+        last = logits[:, ctx.shape[1] - 1]
+        allowed = np.asarray(_top_p_mask(last, 0.7)) > -np.inf
+        for b in range(2):
+            tok = seq[b, t0 + step]
+            assert allowed[b, tok], (
+                f"step {step} row {b}: token {tok} outside the 0.7 nucleus")

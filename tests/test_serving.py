@@ -188,3 +188,41 @@ def test_token_and_step_counters():
     assert eng.tokens_generated == 10
     # the longer stream: 1 admission-emitted token + 5 decode rounds
     assert eng.engine_steps == 5
+
+def test_per_request_sampling_params_batched():
+    """Greedy rows are unaffected by sampled neighbors; top_k=1 and a
+    tiny top_p nucleus both reduce to greedy even at high temperature."""
+    model, params = _setup()
+    p0, p1, p2, p3 = [1, 2, 3], [7, 8, 9, 10], [40, 41], [5, 6, 7]
+    eng = DecodeEngine(model, params, max_batch=4)
+    r0 = eng.submit(p0, 8)                               # engine default: greedy
+    r1 = eng.submit(p1, 8, temperature=1.5, top_k=8)     # genuinely sampled
+    r2 = eng.submit(p2, 8, temperature=5.0, top_k=1)     # degenerates to greedy
+    r3 = eng.submit(p3, 8, temperature=2.0, top_p=1e-9)  # nucleus = top token
+    res = eng.run()
+    assert res[r0] == _reference_tokens(model, params, p0, 8)
+    assert res[r2] == _reference_tokens(model, params, p2, 8)
+    assert res[r3] == _reference_tokens(model, params, p3, 8)
+    assert len(res[r1]) == 8 and all(0 <= t < 50 for t in res[r1])
+
+
+def test_per_request_eos():
+    model, params = _setup()
+    ref = _reference_tokens(model, params, [1, 2, 3], 10)
+    eos = ref[3]
+    stop = ref.index(eos)  # first occurrence ends the stream
+    eng = DecodeEngine(model, params, max_batch=2)
+    r0 = eng.submit([1, 2, 3], 10, eos_id=eos)
+    r1 = eng.submit([1, 2, 3], 10)  # same prompt, no eos: runs to budget
+    res = eng.run()
+    assert res[r0] == ref[:stop + 1]
+    assert res[r1] == ref
+
+
+def test_sampling_param_validation():
+    model, params = _setup()
+    eng = DecodeEngine(model, params, max_batch=1)
+    for kw in ({"temperature": -1.0}, {"top_k": -2},
+               {"top_p": 0.0}, {"top_p": 1.5}):
+        with pytest.raises(ValueError):
+            eng.submit([1, 2], 4, **kw)

@@ -262,3 +262,19 @@ def test_http_metrics_counters(server):
         before["mop_tokens_generated_total"] + 7
     assert m["mop_requests_active"] == 0 and m["mop_requests_queued"] == 0
     assert m["mop_engine_steps_total"] > 0
+
+
+def test_http_per_request_sampling(server):
+    model, params, srv = server
+    base = _post(srv.port, {"prompt": [3, 1, 4], "max_new_tokens": 8})
+    degen = _post(srv.port, {"prompt": [3, 1, 4], "max_new_tokens": 8,
+                             "temperature": 9.0, "top_k": 1})
+    assert degen["tokens"] == base["tokens"]  # top_k=1 == greedy
+    sampled = _post(srv.port, {"prompt": [3, 1, 4], "max_new_tokens": 8,
+                               "temperature": 1.0, "top_p": 0.9})
+    assert len(sampled["tokens"]) == 8
+    try:
+        _post(srv.port, {"prompt": [1], "max_new_tokens": 4, "top_p": 0})
+        assert False, "expected 400 for top_p=0"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -136,3 +136,13 @@ def test_spec_engine_validates_inputs():
     small_draft, sd_params = _model(n_layer=1, block=32, seed=2)
     with pytest.raises(ValueError, match="block_size"):
         SpecDecodeEngine(target, tparams, small_draft, sd_params)
+
+
+def test_spec_engine_rejects_sampling_overrides():
+    target, tparams = _model()
+    draft, dparams = _model(seed=2)
+    spec = SpecDecodeEngine(target, tparams, draft, dparams, max_batch=1)
+    with pytest.raises(ValueError, match="greedy-only"):
+        spec.submit([1, 2, 3], 4, temperature=1.0)
+    with pytest.raises(ValueError, match="greedy-only"):
+        spec.submit([1, 2, 3], 4, top_k=5)
