@@ -2,6 +2,7 @@
 
 from .trainer import Trainer, train_model
 from .utils import (
+    AsyncCheckpointManager,
     AverageMeter,
     EarlyStopping,
     cosine_lr,
@@ -32,5 +33,6 @@ __all__ = [
     "save_checkpoint_orbax",
     "load_checkpoint_orbax",
     "restore_checkpoint_sharded",
+    "AsyncCheckpointManager",
     "print_model_info",
 ]
