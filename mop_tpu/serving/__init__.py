@@ -9,6 +9,9 @@ parity.
 from .engine import (DecodeEngine, SpecDecodeEngine, decode_chunk_rows,
                      decode_step_rows)
 from .http import ServingServer
+from .paged import (PagedDecodeEngine, init_paged_pool,
+                    paged_decode_step_rows)
 
-__all__ = ["DecodeEngine", "ServingServer", "SpecDecodeEngine",
-           "decode_chunk_rows", "decode_step_rows"]
+__all__ = ["DecodeEngine", "PagedDecodeEngine", "ServingServer",
+           "SpecDecodeEngine", "decode_chunk_rows", "decode_step_rows",
+           "init_paged_pool", "paged_decode_step_rows"]

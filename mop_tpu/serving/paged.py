@@ -1,0 +1,384 @@
+"""Paged KV cache for the serving engine (vLLM-style block tables).
+
+The dense ``DecodeEngine`` reserves a full ``block_size``-row KV slab per
+slot, so cache HBM = ``max_batch x block_size`` rows even when every live
+request is short. This module virtualizes that: K/K2/V live in a pool of
+fixed-size PAGES, each slot holds a page table, pages are allocated lazily
+as a request's sequence grows and freed at retirement — so concurrency is
+bounded by the pool's page count (tokens actually resident), not by
+``max_batch x block_size``. When the pool runs dry mid-decode the engine
+PREEMPTS the youngest request (frees its pages, re-queues it; its tokens
+re-prefill exactly on re-admission — position state depends only on the
+token prefix, so greedy results are unchanged), which is the vLLM recovery
+policy adapted to XLA's static shapes.
+
+Shapes stay fixed for jit: the page table is (max_batch, pages_per_slot)
+and the per-step gather materializes each row's table-ordered KV window at
+``block_size`` width, masked by per-row lengths — identical math to
+``decode_step_rows`` (token equality pinned in tests/test_serving_paged.py,
+including under forced preemption). What paging buys on TPU is cache
+MEMORY (over-subscription: serve more concurrent requests than dense slabs
+would fit), not bandwidth — the gather reads the same bytes; the honest
+accounting is in ``cache_bytes()`` / ``benchmarks/serving.md``.
+
+The reference has no serving stack at all (SURVEY §0); scope matches
+``DecodeEngine`` (TinyTransformerLM base + quartet), greedy or per-request
+sampling. Prefix cache and speculative decoding remain dense-engine
+features.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.generate import _attn_step, _kv_rows, _lin, _ln, prefill, \
+    prefill_padded
+from ..models.layers import gelu_tanh
+from .engine import DecodeEngine
+
+Array = jax.Array
+
+
+def init_paged_pool(config, n_pages: int, page_size: int,
+                    dtype=jnp.float32) -> dict:
+    """K/K2/V page pools of shape (L, n_pages + 1, H, page_size, dk).
+
+    Physical page 0 is the SCRATCH page: every unallocated page-table entry
+    points at it, so inactive/garbage rows write there harmlessly and the
+    fixed-shape gather always reads valid indices. Usable pages are
+    1..n_pages."""
+    L, h = config.n_layer, config.n_head
+    dk = config.n_embd // h
+    shape = (L, n_pages + 1, h, page_size, dk)
+    return {"k": jnp.zeros(shape, dtype), "k2": jnp.zeros(shape, dtype),
+            "v": jnp.zeros(shape, dtype)}
+
+
+def paged_decode_step_rows(model, params, pool, table, tokens, lens):
+    """Advance every row one token against PAGED caches.
+
+    table: (B, P) int32 physical page ids (unallocated entries = scratch 0).
+    tokens/lens: (B,) as in ``decode_step_rows``. Returns
+    (logits (B, vocab), new pool). Row b's new K/K2/V land in page
+    ``table[b, lens[b] // page_size]`` at offset ``lens[b] % page_size``
+    (the engine guarantees that page is allocated); attention runs over the
+    table-ordered ``P * page_size``-wide window masked to ``lens[b] + 1``
+    live columns — exactly ``decode_step_rows``'s math with the window
+    assembled by gather instead of resident per-slot."""
+    cfg = model.config
+    p = params["params"]
+    b = tokens.shape[0]
+    ps = pool["k"].shape[3]
+    n_valid = lens + 1
+    x = p["wte"]["embedding"][tokens][:, None, :]
+    if cfg.use_abs_pos_emb:
+        x = x + p["wpe"]["embedding"][lens][:, None, :]
+
+    page_ids = jnp.take_along_axis(table, (lens // ps)[:, None], 1)[:, 0]
+    off = lens % ps
+    h_ = cfg.n_head
+    dk = cfg.n_embd // h_
+
+    def gather(buf_i):
+        # (n_pages+1, H, ps, dk)[table] -> (B, P, H, ps, dk) -> (B, H, P*ps, dk)
+        g = buf_i[table]
+        bsz, pmax = table.shape
+        return g.transpose(0, 2, 1, 3, 4).reshape(bsz, h_, pmax * ps, dk)
+
+    new = dict(pool)
+    for i in range(cfg.n_layer):
+        bp = p[f"blocks_{i}"]
+        h = _ln(x, bp["ln1"])
+        k_new, k2_new, v_new = _kv_rows(bp["attn"], cfg, h)  # (B, H, 1, dk)
+        wr = lambda buf, row: buf.at[i, page_ids, :, off, :].set(
+            row[:, :, 0, :].astype(buf.dtype))
+        new["k"] = wr(new["k"], k_new)
+        new["k2"] = wr(new["k2"], k2_new)
+        new["v"] = wr(new["v"], v_new)
+        a = _attn_step(bp["attn"], cfg, h, gather(new["k"][i]),
+                       gather(new["k2"][i]), gather(new["v"][i]), n_valid)
+        x = x + a
+        hm = _ln(x, bp["ln2"])
+        x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
+
+    x = _ln(x, p["ln_f"])
+    logits = (x @ p["wte"]["embedding"].T)[:, 0, :]
+    return logits, new
+
+
+class PagedDecodeEngine(DecodeEngine):
+    """Continuous batching over a PAGED KV pool with preemption.
+
+    >>> eng = PagedDecodeEngine(model, params, max_batch=8,
+    ...                         n_pages=48, page_size=16)
+    >>> rid = eng.submit([5, 17, 3], max_new_tokens=32)
+    >>> eng.run()
+
+    Cache HBM is ``n_pages x page_size`` token rows regardless of
+    ``max_batch`` (vs the dense engine's ``max_batch x block_size``) —
+    see :meth:`cache_bytes`. Requires ``n_pages >= block_size /
+    page_size`` so a maximal single request always fits; preemption
+    (youngest-first) guarantees the oldest request progresses.
+    ``preemptions`` / ``pages_in_use`` / ``peak_pages_in_use`` expose the
+    accounting."""
+
+    def __init__(self, model, params, max_batch: int = 8,
+                 n_pages: int = 64, page_size: int = 16,
+                 eos_id: Optional[int] = None, temperature: float = 0.0,
+                 top_k: Optional[int] = None, top_p: Optional[float] = None,
+                 rng: Optional[Array] = None,
+                 prefill_buckets: Optional[Sequence[int]] = None,
+                 kv_dtype=jnp.float32):
+        cfg = model.config
+        if cfg.block_size % page_size != 0:
+            raise ValueError(
+                f"page_size {page_size} must divide block_size "
+                f"{cfg.block_size}")
+        self.page_size = page_size
+        self.pages_per_slot = cfg.block_size // page_size
+        if n_pages < self.pages_per_slot:
+            raise ValueError(
+                f"n_pages {n_pages} < pages_per_slot {self.pages_per_slot}:"
+                f" a full-window request could never fit; preemption could "
+                f"not guarantee progress")
+        self.n_pages = n_pages
+        super().__init__(model, params, max_batch=max_batch, eos_id=eos_id,
+                         temperature=temperature, top_k=top_k, top_p=top_p,
+                         rng=rng, prefill_buckets=prefill_buckets,
+                         kv_dtype=kv_dtype)
+        # replace the dense slot pool with the page pool
+        self._cache = None
+        self._pool = init_paged_pool(cfg, n_pages, page_size, kv_dtype)
+        self._free: List[int] = list(range(n_pages, 0, -1))  # stack; 0=scratch
+        self._table = np.zeros((max_batch, self.pages_per_slot), np.int32)
+        self._n_alloc = np.zeros((max_batch,), np.int32)  # pages per slot
+        self._lens = np.zeros((max_batch,), np.int32)
+        self._slot_prompt: List[Optional[np.ndarray]] = [None] * max_batch
+        # results[rid] length at admission: tokens past this index were
+        # generated since the (re-)admitted prefix (preemption bookkeeping)
+        self._slot_res_base = np.zeros((max_batch,), np.int64)
+        self.preemptions = 0
+        self.peak_pages_in_use = 0
+
+        def _step(params_, pool, table, tokens, lens, rng_, temp, topk,
+                  topp):
+            logits, new = paged_decode_step_rows(
+                self.model, params_, pool, table, tokens, lens)
+            nxt = self._pick_rows(logits, rng_, temp, topk, topp)
+            return nxt, new
+
+        self._pstep_fn = jax.jit(_step, donate_argnums=(1,))
+
+        npb = self.pages_per_slot
+
+        def _padm_finish(pool, pc, logits, pages, tokens, slot, rng_, sp):
+            # slice the prefill's full-width rows into the allocated pages
+            n_alloc = pages.shape[0]
+            for key in ("k", "k2", "v"):
+                rows = pc[key][:, 0]  # (L, H, block, dk)
+                L, H, _, dk = rows.shape
+                chunk = rows.reshape(L, H, npb, page_size, dk)
+                chunk = chunk.transpose(0, 2, 1, 3, 4)  # (L, npb, H, ps, dk)
+                pool = dict(pool)
+                pool[key] = pool[key].at[:, pages].set(
+                    chunk[:, :n_alloc].astype(pool[key].dtype))
+            tok0 = self._pick_rows(
+                logits, rng_, jnp.reshape(sp[0], (1,)),
+                jnp.reshape(sp[1], (1,)), jnp.reshape(sp[2], (1,)))[0]
+            tokens = tokens.at[slot].set(tok0)
+            return pool, tokens, tok0
+
+        def _padm_exact(params_, pool, tokens, prompt, pages, slot, rng_,
+                        sp):
+            logits, pc = prefill(self.model, params_, prompt)
+            return _padm_finish(pool, pc, logits, pages, tokens, slot, rng_,
+                                sp)
+
+        def _padm_padded(params_, pool, tokens, prompt, t0, pages, slot,
+                         rng_, sp):
+            logits, pc = prefill_padded(self.model, params_, prompt, t0)
+            return _padm_finish(pool, pc, logits, pages, tokens, slot, rng_,
+                                sp)
+
+        self._padm_exact_fn = jax.jit(_padm_exact, donate_argnums=(1, 2))
+        self._padm_padded_fn = jax.jit(_padm_padded, donate_argnums=(1, 2))
+
+    # ---------------- accounting ----------------
+
+    @property
+    def pages_in_use(self) -> int:
+        return self.n_pages - len(self._free)
+
+    def cache_bytes(self) -> int:
+        """Actual cache HBM held by this engine (page pools incl. scratch)."""
+        return sum(int(self._pool[k].size) * self._pool[k].dtype.itemsize
+                   for k in ("k", "k2", "v"))
+
+    def dense_equivalent_bytes(self) -> int:
+        """What the dense engine's slot slabs would hold at this
+        ``max_batch`` (the over-subscription comparison)."""
+        cfg = self.model.config
+        dk = cfg.n_embd // cfg.n_head
+        per = cfg.n_layer * self.max_batch * cfg.n_head * cfg.block_size * dk
+        return 3 * per * jnp.dtype(self.kv_dtype).itemsize
+
+    # ---------------- page bookkeeping (host) ----------------
+
+    def _alloc_page(self) -> Optional[int]:
+        if not self._free:
+            return None
+        pg = self._free.pop()
+        self.peak_pages_in_use = max(self.peak_pages_in_use,
+                                     self.pages_in_use)
+        return pg
+
+    def _free_slot_pages(self, slot: int) -> None:
+        n = int(self._n_alloc[slot])
+        for j in range(n):
+            self._free.append(int(self._table[slot, j]))
+        self._table[slot] = 0
+        self._n_alloc[slot] = 0
+        self._lens[slot] = 0
+        self._slot_prompt[slot] = None
+
+    def _reclaim_retired(self) -> None:
+        for s in range(self.max_batch):
+            if self._slot_rid[s] < 0 and self._n_alloc[s] > 0:
+                self._free_slot_pages(s)
+
+    def _preempt_youngest(self, protect: int) -> bool:
+        """Evict the most recently admitted active slot (except
+        ``protect``): free its pages and push it back on the queue FRONT
+        with its full token prefix (original prompt + tokens emitted so
+        far) and remaining budget. Re-admission re-prefills that prefix —
+        position state depends only on the prefix, so greedy continuation
+        is exact."""
+        cands = [s for s in range(self.max_batch)
+                 if s != protect and self._slot_rid[s] >= 0]
+        if not cands:
+            return False
+        victim = max(cands, key=lambda s: self._slot_rid[s])
+        rid = self._slot_rid[victim]
+        sp = (np.float32(self._slot_temp[victim]),
+              np.int32(self._slot_topk[victim]),
+              np.float32(self._slot_topp[victim]),
+              np.int64(self._slot_eos[victim]))
+        new_toks = self._results[rid][int(self._slot_res_base[victim]):]
+        prefix = np.concatenate([
+            self._slot_prompt[victim],
+            np.asarray(new_toks, np.int32)])
+        self._queue.appendleft(
+            (rid, prefix.astype(np.int32), int(self._budget[victim]), sp))
+        self._slot_rid[victim] = -1
+        self._free_slot_pages(victim)
+        self.preemptions += 1
+        return True
+
+    def _ensure_growth_pages(self) -> None:
+        """Every active row writes its next K/V at position ``lens``; make
+        sure that page exists, preempting youngest-first when the pool is
+        dry."""
+        for s in range(self.max_batch):
+            if self._slot_rid[s] < 0:
+                continue
+            need = int(self._lens[s]) // self.page_size
+            while need >= int(self._n_alloc[s]):
+                pg = self._alloc_page()
+                if pg is None:
+                    if not self._preempt_youngest(protect=s):
+                        raise RuntimeError(
+                            "paged pool exhausted by a single request — "
+                            "unreachable given n_pages >= pages_per_slot")
+                    if self._slot_rid[s] < 0:  # preempted itself? never
+                        break
+                    continue
+                self._table[s, int(self._n_alloc[s])] = pg
+                self._n_alloc[s] += 1
+
+    # ---------------- admission ----------------
+
+    def _admit_one(self) -> Optional[Tuple[int, int, int, int]]:
+        try:
+            slot = self._slot_rid.index(-1)
+        except ValueError:
+            return None
+        if not self._queue:
+            return None
+        self._reclaim_retired()
+        rid, prompt, max_new, sp = self._queue[0]
+        t0 = int(prompt.size)
+        # pages covering positions 0..t0 (t0 = where tok0's K lands next)
+        n_need = t0 // self.page_size + 1
+        if n_need > len(self._free):
+            return None  # wait for retirements; actives always drain
+        self._queue.popleft()
+        pages = [self._alloc_page() for _ in range(n_need)]
+        self._table[slot, :] = 0
+        self._table[slot, :n_need] = pages
+        self._n_alloc[slot] = n_need
+        self._lens[slot] = t0
+        self._slot_prompt[slot] = prompt.copy()
+        self._slot_res_base[slot] = len(self._results[rid])
+        self._slot_temp[slot], self._slot_topk[slot], \
+            self._slot_topp[slot], self._slot_eos[slot] = sp
+        self._rng, sub = jax.random.split(self._rng)
+        pages_j = jnp.asarray(np.asarray(pages, np.int32))
+        padded = self._bucket_pad(prompt)
+        if padded is not None:
+            self._pool, self._tokens, tok0 = self._padm_padded_fn(
+                self.params, self._pool, self._tokens, padded[0],
+                np.int32(padded[1]), pages_j, np.int32(slot), sub, sp[:3])
+        else:
+            self._pool, self._tokens, tok0 = self._padm_exact_fn(
+                self.params, self._pool, self._tokens, prompt[None, :],
+                pages_j, np.int32(slot), sub, sp[:3])
+        self._slot_rid[slot] = rid
+        self._budget[slot] = max_new
+        return slot, rid, int(tok0), t0
+
+    # ---------------- engine loop ----------------
+
+    def step(self) -> Dict[int, List[int]]:
+        self.engine_steps += 1
+        emitted: Dict[int, List[int]] = {}
+        self._reclaim_retired()
+
+        while self._queue:
+            adm = self._admit_one()
+            if adm is None:
+                break
+            if not self._emit_token(emitted, *adm):
+                self._reclaim_retired()
+
+        active = [s for s, r in enumerate(self._slot_rid) if r >= 0]
+        if active:
+            self._ensure_growth_pages()
+            # preemption may have retired slots; refresh
+            active = [s for s, r in enumerate(self._slot_rid) if r >= 0]
+        if active:
+            self._rng, sub = jax.random.split(self._rng)
+            lens_j = jnp.asarray(self._lens)
+            nxt, self._pool = self._pstep_fn(
+                self.params, self._pool, jnp.asarray(self._table),
+                self._tokens, lens_j, sub, jnp.asarray(self._slot_temp),
+                jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp))
+            self._tokens = nxt
+            toks = jax.device_get(nxt)
+            active_set = set(active)
+            for s in range(self.max_batch):
+                self._lens[s] = self._lens[s] + 1 if s in active_set else 0
+            for s in active:
+                if not self._emit_token(emitted, s, self._slot_rid[s],
+                                        int(toks[s]), int(self._lens[s])):
+                    self._free_slot_pages(s)
+        return emitted
+
+    def cancel(self, rid: int) -> bool:
+        ok = super().cancel(rid)
+        if ok:
+            self._reclaim_retired()
+        return ok
