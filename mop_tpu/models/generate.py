@@ -367,14 +367,19 @@ def decode_chunk(model, params, cache, tokens):
     return logits, new_cache
 
 
-def prefill(model, params, prompt):
+def prefill(model, params, prompt, kv_dtype=jnp.float32):
     """Dense prefill: one full forward over the (B, T0) prompt with prefix
     (T0-column) standardization semantics, capturing per-layer K/K2/V into
-    a fresh cache and returning (last-position logits, cache)."""
+    a fresh cache and returning (last-position logits, cache).
+
+    ``kv_dtype``: storage dtype of the K/K2/V caches (compute stays fp32).
+    bfloat16 halves cache HBM and read bandwidth — the dominant decode-step
+    traffic once the context is long (benchmarks/decode.md measures the
+    win and the greedy-agreement cost)."""
     cfg = model.config
     p = params["params"]
     b, t0 = prompt.shape
-    cache = init_decode_cache(cfg, b)
+    cache = init_decode_cache(cfg, b, kv_dtype)
     x = p["wte"]["embedding"][prompt]
     if cfg.use_abs_pos_emb:
         x = x + p["wpe"]["embedding"][jnp.arange(t0)][None]
@@ -416,9 +421,10 @@ def prefill(model, params, prompt):
         x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
         pad = cfg.block_size - t0
         put = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        cache["k"] = cache["k"].at[i].set(put(k))
-        cache["k2"] = cache["k2"].at[i].set(put(k2))
-        cache["v"] = cache["v"].at[i].set(put(v))
+        kd = cache["k"].dtype
+        cache["k"] = cache["k"].at[i].set(put(k).astype(kd))
+        cache["k2"] = cache["k2"].at[i].set(put(k2).astype(kd))
+        cache["v"] = cache["v"].at[i].set(put(v).astype(kd))
 
     x = _ln(x, p["ln_f"])
     logits = (x @ p["wte"]["embedding"].T)[:, -1, :]
@@ -426,7 +432,7 @@ def prefill(model, params, prompt):
     return logits, cache
 
 
-def prefill_padded(model, params, prompt_padded, t0):
+def prefill_padded(model, params, prompt_padded, t0, kv_dtype=jnp.float32):
     """Exact prefill over a PADDED prompt: ``prompt_padded`` is (B, T_pad)
     with the real prompt in the first ``t0`` columns (``t0`` may be a
     traced scalar — ONE compile serves every prompt length up to T_pad).
@@ -446,7 +452,7 @@ def prefill_padded(model, params, prompt_padded, t0):
     p = params["params"]
     b, t_pad = prompt_padded.shape
     t0 = jnp.asarray(t0, jnp.int32)
-    cache = init_decode_cache(cfg, b)
+    cache = init_decode_cache(cfg, b, kv_dtype)
     x = p["wte"]["embedding"][prompt_padded]
     if cfg.use_abs_pos_emb:
         x = x + p["wpe"]["embedding"][jnp.arange(t_pad)][None]
@@ -497,9 +503,10 @@ def prefill_padded(model, params, prompt_padded, t0):
         x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
         pad = cfg.block_size - t_pad
         put = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        cache["k"] = cache["k"].at[i].set(put(k))
-        cache["k2"] = cache["k2"].at[i].set(put(k2))
-        cache["v"] = cache["v"].at[i].set(put(v))
+        kd = cache["k"].dtype
+        cache["k"] = cache["k"].at[i].set(put(k).astype(kd))
+        cache["k2"] = cache["k2"].at[i].set(put(k2).astype(kd))
+        cache["v"] = cache["v"].at[i].set(put(v).astype(kd))
 
     x = _ln(x, p["ln_f"])
     last = jax.lax.dynamic_index_in_dim(x, t0 - 1, axis=1, keepdims=False)
@@ -517,9 +524,16 @@ def generate_cached(
     temperature: float = 1.0,
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
+    kv_dtype=jnp.float32,
 ) -> Array:
     """KV-cached greedy/sampled decode for TinyTransformerLM (approximate —
     see the module comment; measured divergence in benchmarks/decode.md).
+
+    ``kv_dtype=jnp.bfloat16`` stores the K/K2/V caches in bf16 (compute
+    stays fp32): half the cache HBM and half the per-step KV read traffic —
+    the dominant decode cost at long context — at a small extra score
+    perturbation on top of the cache approximation itself (both measured in
+    benchmarks/decode.md).
 
     Requires t0 + max_new_tokens <= block_size (no ring eviction: evicting
     would invalidate the frozen prefix statistics silently)."""
@@ -533,7 +547,8 @@ def generate_cached(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    logits0, cache = prefill(model, params, prompt.astype(jnp.int32))
+    logits0, cache = prefill(model, params, prompt.astype(jnp.int32),
+                             kv_dtype=kv_dtype)
 
     def pick(logits, rng):
         if greedy:
@@ -589,11 +604,14 @@ def whisper_transcribe_cached(
     mel: Array,
     bos_token: int,
     max_tokens: int,
+    kv_dtype=jnp.float32,
 ) -> Array:
     """Greedy transcription with exact per-layer KV caches.
 
     Produces the same tokens as ``whisper_transcribe`` (equality pinned in
     tests/test_generate.py) at O(T) per-token cost. Returns (B, max_tokens).
+    ``kv_dtype=jnp.bfloat16`` halves self- and cross-attention KV storage
+    and read traffic (compute stays fp32).
     """
     from ..ops.quant import Q4Tensor, QTensor, dequantize_params
 
@@ -629,11 +647,11 @@ def whisper_transcribe_cached(
         cv = lin(enc_out, cp["v_proj"]).reshape(b, tk, h, dh).transpose(
             0, 2, 1, 3)
         cross_kv.append((ck, cv))
-    cross_k = jnp.stack([kv[0] for kv in cross_kv])
-    cross_v = jnp.stack([kv[1] for kv in cross_kv])
+    cross_k = jnp.stack([kv[0] for kv in cross_kv]).astype(kv_dtype)
+    cross_v = jnp.stack([kv[1] for kv in cross_kv]).astype(kv_dtype)
 
-    k0 = jnp.zeros((L, b, h, win, dh), jnp.float32)
-    v0 = jnp.zeros((L, b, h, win, dh), jnp.float32)
+    k0 = jnp.zeros((L, b, h, win, dh), kv_dtype)
+    v0 = jnp.zeros((L, b, h, win, dh), kv_dtype)
 
     def step(carry, i):
         tok, ks, vs = carry

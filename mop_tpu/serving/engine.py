@@ -187,7 +187,8 @@ class DecodeEngine:
                  rng: Optional[Array] = None,
                  cache_sharding=None,
                  prefill_buckets: Optional[Sequence[int]] = None,
-                 prefix_cache_entries: int = 0):
+                 prefix_cache_entries: int = 0,
+                 kv_dtype=jnp.float32):
         """``cache_sharding``: optional ``jax.sharding.NamedSharding`` for
         the K/K2/V slot pools — e.g. heads over the mesh 'model' axis,
         ``NamedSharding(mesh, P(None, None, 'model', None, None))`` — for
@@ -202,6 +203,10 @@ class DecodeEngine:
         length; prompts longer than the last bucket fall back to the exact
         per-length prefill. Emitted tokens are unchanged (pad columns are
         masked out of the row statistics; tests/test_serving.py).
+
+        ``kv_dtype``: storage dtype of the K/K2/V slot pools (compute stays
+        fp32). ``jnp.bfloat16`` halves cache HBM and per-step KV reads;
+        divergence is measured in benchmarks/decode.md.
 
         ``prefix_cache_entries``: if > 0, keep an LRU of that many recent
         prompts' K/K2/V rows; a new prompt sharing a prefix with a cached
@@ -222,7 +227,8 @@ class DecodeEngine:
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         cfg = model.config
         self.block_size = cfg.block_size
-        self._cache = init_decode_cache(cfg, max_batch)
+        self.kv_dtype = kv_dtype
+        self._cache = init_decode_cache(cfg, max_batch, kv_dtype)
         if cache_sharding is not None:
             for key in ("k", "k2", "v"):
                 self._cache[key] = jax.device_put(
@@ -272,9 +278,9 @@ class DecodeEngine:
         # update the (L, B, H, block, dk) pools in place instead of copying
         # them once per .at[].set.
         def _finish(k, k2, v, lens, tokens, pc, logits, slot, t0, rng, sp):
-            k = k.at[:, slot].set(pc["k"][:, 0])
-            k2 = k2.at[:, slot].set(pc["k2"][:, 0])
-            v = v.at[:, slot].set(pc["v"][:, 0])
+            k = k.at[:, slot].set(pc["k"][:, 0].astype(k.dtype))
+            k2 = k2.at[:, slot].set(pc["k2"][:, 0].astype(k2.dtype))
+            v = v.at[:, slot].set(pc["v"][:, 0].astype(v.dtype))
             lens = lens.at[slot].set(t0)
             tok0 = self._pick_rows(
                 logits, rng, jnp.reshape(sp[0], (1,)),
@@ -613,11 +619,12 @@ class SpecDecodeEngine(DecodeEngine):
                  max_batch: int = 8, gamma: int = 4,
                  eos_id: Optional[int] = None, cache_sharding=None,
                  prefill_buckets: Optional[Sequence[int]] = None,
-                 prefix_cache_entries: int = 0):
+                 prefix_cache_entries: int = 0, kv_dtype=jnp.float32):
         super().__init__(model, params, max_batch=max_batch, eos_id=eos_id,
                          temperature=0.0, cache_sharding=cache_sharding,
                          prefill_buckets=prefill_buckets,
-                         prefix_cache_entries=prefix_cache_entries)
+                         prefix_cache_entries=prefix_cache_entries,
+                         kv_dtype=kv_dtype)
         if gamma < 1:
             raise ValueError(f"gamma must be >= 1, got {gamma}")
         self.draft_model = draft_model
@@ -628,14 +635,14 @@ class SpecDecodeEngine(DecodeEngine):
             raise ValueError(
                 f"draft block_size {dcfg.block_size} must be >= target's "
                 f"{self.block_size}")
-        self._dcache = init_decode_cache(dcfg, max_batch)
+        self._dcache = init_decode_cache(dcfg, max_batch, kv_dtype)
         self._dcache["len"] = jnp.zeros((max_batch,), jnp.int32)
 
         # fused single-dispatch draft admission (mirrors the target's)
         def _d_finish(k, k2, v, lens, pc, slot, t0):
-            k = k.at[:, slot].set(pc["k"][:, 0])
-            k2 = k2.at[:, slot].set(pc["k2"][:, 0])
-            v = v.at[:, slot].set(pc["v"][:, 0])
+            k = k.at[:, slot].set(pc["k"][:, 0].astype(k.dtype))
+            k2 = k2.at[:, slot].set(pc["k2"][:, 0].astype(k2.dtype))
+            v = v.at[:, slot].set(pc["v"][:, 0].astype(v.dtype))
             return k, k2, v, lens.at[slot].set(t0)
 
         def _d_adm_exact(params, k, k2, v, lens, prompt, slot):

@@ -109,21 +109,29 @@ def main():
             lambda p, pr: generate(model, p, pr, max_new_tokens=new))
         cached_fn = jax.jit(
             lambda p, pr: generate_cached(model, p, pr, max_new_tokens=new))
+        cached16_fn = jax.jit(
+            lambda p, pr: generate_cached(model, p, pr, max_new_tokens=new,
+                                          kv_dtype=jnp.bfloat16))
 
         out_e, dt_e = timed(exact_fn, params, prompt)
         out_c, dt_c = timed(cached_fn, params, prompt)
+        out_c16, dt_c16 = timed(cached16_fn, params, prompt)
         qparams = quantize_params(params)
         out_q, dt_q = timed(cached_fn, qparams, prompt)
         q4params = quantize_params(params, bits=4)
         out_q4, dt_q4 = timed(cached_fn, q4params, prompt)
         tok_e = B * new / dt_e
         tok_c = B * new / dt_c
+        tok_c16 = B * new / dt_c16
         tok_q = B * new / dt_q
         tok_q4 = B * new / dt_q4
-        rows.append((block, new, tok_e, tok_c, tok_c / tok_e, tok_q,
-                     tok_q / tok_c, tok_q4, tok_q4 / tok_c))
+        rows.append((block, new, tok_e, tok_c, tok_c / tok_e, tok_c16,
+                     tok_c16 / tok_c, tok_q, tok_q / tok_c, tok_q4,
+                     tok_q4 / tok_c))
         print(f"block={block}: full-window {tok_e:,.0f} tok/s, cached "
-              f"{tok_c:,.0f} tok/s ({tok_c / tok_e:.1f}x), int8 cached "
+              f"{tok_c:,.0f} tok/s ({tok_c / tok_e:.1f}x), bf16-KV "
+              f"{tok_c16:,.0f} tok/s ({tok_c16 / tok_c:.2f}x vs cached), "
+              f"int8 cached "
               f"{tok_q:,.0f} tok/s ({tok_q / tok_c:.2f}x vs cached), int4 "
               f"{tok_q4:,.0f} tok/s ({tok_q4 / tok_c:.2f}x vs cached)",
               flush=True)
@@ -153,6 +161,8 @@ def main():
         generate_prefix_exact(model, params, promptd, newd)[:, t0d:])
     full = np.asarray(generate(model, params, promptd, newd)[:, t0d:])
     cach = np.asarray(generate_cached(model, params, promptd, newd)[:, t0d:])
+    cach16 = np.asarray(generate_cached(
+        model, params, promptd, newd, kv_dtype=jnp.bfloat16)[:, t0d:])
     from mop_tpu.ops.quant import quantize_params
 
     quant = np.asarray(generate_cached(
@@ -163,11 +173,13 @@ def main():
         newd)[:, t0d:])
     ag_full = float(np.mean(full == oracle))
     ag_cach = float(np.mean(cach == oracle))
+    ag_cach16 = float(np.mean(cach16 == oracle))
     ag_quant = float(np.mean(quant == oracle))
     ag_quant4 = float(np.mean(quant4 == oracle))
     print(f"divergence vs prefix-exact oracle (trained model, loss "
           f"{final_loss:.3f}, {newd} greedy tokens): full-window "
-          f"{ag_full:.1%}, cached {ag_cach:.1%}, int8 cached "
+          f"{ag_full:.1%}, cached {ag_cach:.1%}, bf16-KV cached "
+          f"{ag_cach16:.1%}, int8 cached "
           f"{ag_quant:.1%}, int4 cached {ag_quant4:.1%}", flush=True)
 
     # Whisper transcription at reference scale (n_audio_ctx=1500).
@@ -210,11 +222,12 @@ def main():
         f.write(f"Platform `{platform}` ({jax.devices()[0].device_kind}); "
                 "min-of-3 windows, host-transfer barrier.\n\n")
         f.write("| block T | new tokens | full-window tok/s | cached tok/s | "
-                "speedup | int8 tok/s | vs cached | int4 tok/s | vs cached "
-                "|\n")
-        f.write("|---|---|---|---|---|---|---|---|---|\n")
-        for (blk, new, te, tc, sp, tq, spq, tq4, spq4) in rows:
+                "speedup | bf16-KV tok/s | vs cached | int8 tok/s | vs "
+                "cached | int4 tok/s | vs cached |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|---|---|\n")
+        for (blk, new, te, tc, sp, tc16, sp16, tq, spq, tq4, spq4) in rows:
             f.write(f"| {blk} | {new} | {te:,.0f} | {tc:,.0f} | {sp:.1f}x "
+                    f"| {tc16:,.0f} | {sp16:.2f}x "
                     f"| {tq:,.0f} | {spq:.2f}x | {tq4:,.0f} | {spq4:.2f}x "
                     f"|\n")
         f.write(
@@ -259,6 +272,7 @@ length; bench-only):
 |---|---|---|
 | `generate` (full {cfg.block_size}-window) | O(T^2 d) | {ag_full:.1%} |
 | `generate_cached` (prefix KV cache) | O(T d) | {ag_cach:.1%} |
+| `generate_cached` + bf16 KV storage | O(T d), 2x less KV HBM | {ag_cach16:.1%} |
 | `generate_cached` + int8 weights | O(T d), 4x less weight HBM | {ag_quant:.1%} |
 | `generate_cached` + int4 weights (group 64) | O(T d), 8x less weight HBM | {ag_quant4:.1%} |
 
