@@ -46,11 +46,19 @@ def make_classifier_train_step(
     grad_clip: Optional[float] = None,
     compute_dtype=jnp.bfloat16,
     n_classes: Optional[int] = None,
+    accum_steps: int = 1,
 ):
     """Build a jitted, sharded train step for an image classifier.
 
     Returns ``step(params, opt_state, x_u8, y, rng) -> (params, opt_state,
     metrics)`` where x_u8 is a uint8 NCHW batch (host or device).
+
+    ``accum_steps > 1``: gradient accumulation — the batch is split into
+    that many microbatches scanned sequentially (activation memory drops to
+    one microbatch's worth; fp32 grads accumulate across the scan), then ONE
+    optimizer update fires. Semantically a plain step on the full batch up
+    to fp32 reassociation and per-microbatch rng folding
+    (tests/test_grad_accum.py pins equality at augment off / dropout 0).
     """
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
@@ -77,11 +85,42 @@ def make_classifier_train_step(
         acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
         return loss, acc
 
+    def _grads(params, x_u8, y, rng):
+        if accum_steps == 1:
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, x_u8, y, rng
+            )
+            return loss, acc, cast_floats(grads, jnp.float32)
+        b = x_u8.shape[0]
+        if b % accum_steps != 0:
+            raise ValueError(
+                f"batch {b} not divisible by accum_steps {accum_steps}")
+        mb = NamedSharding(mesh, P(None, DATA_AXIS))
+        xs = jax.lax.with_sharding_constraint(
+            x_u8.reshape(accum_steps, b // accum_steps, *x_u8.shape[1:]), mb)
+        ys = jax.lax.with_sharding_constraint(
+            y.reshape(accum_steps, b // accum_steps), mb)
+
+        def body(carry, inp):
+            g_acc, l_acc, a_acc = carry
+            xb, yb, i = inp
+            (l, a), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, xb, yb, jax.random.fold_in(rng, i))
+            g_acc = jax.tree_util.tree_map(
+                lambda s, gg: s + gg.astype(jnp.float32), g_acc, g)
+            return (g_acc, l_acc + l, a_acc + a), None
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(jnp.shape(p), jnp.float32), params)
+        (g, l, a), _ = jax.lax.scan(
+            body, (zeros, jnp.float32(0.0), jnp.float32(0.0)),
+            (xs, ys, jnp.arange(accum_steps)))
+        inv = 1.0 / accum_steps
+        grads = jax.tree_util.tree_map(lambda t: t * inv, g)
+        return l * inv, a * inv, grads
+
     def step(params, opt_state, x_u8, y, rng):
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, x_u8, y, rng
-        )
-        grads = cast_floats(grads, jnp.float32)
+        loss, acc, grads = _grads(params, x_u8, y, rng)
         if grad_clip is not None:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
@@ -287,10 +326,14 @@ def make_imagenet_train_step(
 
 
 def make_lm_train_step(model, tx, mesh, grad_clip: Optional[float] = None,
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16, accum_steps: int = 1):
     """Jitted data-parallel causal-LM train step (GPT family).
 
     step(params, opt_state, idx, targets, rng) -> (params, opt_state, metrics)
+
+    ``accum_steps > 1``: gradient accumulation over sequentially-scanned
+    microbatches (one optimizer update per call; activation memory of one
+    microbatch). See ``make_classifier_train_step``.
     """
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
@@ -301,9 +344,41 @@ def make_lm_train_step(model, tx, mesh, grad_clip: Optional[float] = None,
                               rngs={"dropout": rng})
         return loss.astype(jnp.float32)
 
+    def _grads(params, idx, targets, rng):
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, idx, targets, rng)
+            return loss, cast_floats(grads, jnp.float32)
+        b = idx.shape[0]
+        if b % accum_steps != 0:
+            raise ValueError(
+                f"batch {b} not divisible by accum_steps {accum_steps}")
+        mb = NamedSharding(mesh, P(None, DATA_AXIS))
+        xs = jax.lax.with_sharding_constraint(
+            idx.reshape(accum_steps, b // accum_steps, *idx.shape[1:]), mb)
+        ts = jax.lax.with_sharding_constraint(
+            targets.reshape(accum_steps, b // accum_steps,
+                            *targets.shape[1:]), mb)
+
+        def body(carry, inp):
+            g_acc, l_acc = carry
+            xb, tb, i = inp
+            l, g = jax.value_and_grad(loss_fn)(
+                params, xb, tb, jax.random.fold_in(rng, i))
+            g_acc = jax.tree_util.tree_map(
+                lambda s, gg: s + gg.astype(jnp.float32), g_acc, g)
+            return (g_acc, l_acc + l), None
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(jnp.shape(p), jnp.float32), params)
+        (g, l), _ = jax.lax.scan(
+            body, (zeros, jnp.float32(0.0)),
+            (xs, ts, jnp.arange(accum_steps)))
+        inv = 1.0 / accum_steps
+        return l * inv, jax.tree_util.tree_map(lambda t: t * inv, g)
+
     def step(params, opt_state, idx, targets, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, idx, targets, rng)
-        grads = cast_floats(grads, jnp.float32)
+        loss, grads = _grads(params, idx, targets, rng)
         if grad_clip is not None:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
