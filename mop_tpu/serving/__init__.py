@@ -11,7 +11,9 @@ from .engine import (DecodeEngine, SpecDecodeEngine, decode_chunk_rows,
 from .http import ServingServer
 from .paged import (PagedDecodeEngine, init_paged_pool,
                     paged_decode_step_rows)
+from .whisper import WhisperServingEngine, whisper_decode_step_rows
 
 __all__ = ["DecodeEngine", "PagedDecodeEngine", "ServingServer",
-           "SpecDecodeEngine", "decode_chunk_rows", "decode_step_rows",
-           "init_paged_pool", "paged_decode_step_rows"]
+           "SpecDecodeEngine", "WhisperServingEngine", "decode_chunk_rows",
+           "decode_step_rows", "init_paged_pool", "paged_decode_step_rows",
+           "whisper_decode_step_rows"]
