@@ -23,9 +23,12 @@ BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 DIM, DEPTH, HEADS, NVIEWS, NKERNELS = 224, 6, 4, 5, 3  # abcd_5m.log B config
 NCLASSES = 100
 PER_CHIP_BATCH = 256
-WARMUP_STEPS = 10
-TIMED_STEPS = 100
-SCAN_STEPS = 10  # device-side lax.scan steps per dispatch
+WARMUP_STEPS = 20
+TIMED_STEPS = 200
+SCAN_STEPS = 20  # device-side lax.scan steps per dispatch (measured sweep:
+                 # K=10 -> 34.6k, K=20 -> 35.2k, K=50 -> 35.3k img/s; K=20
+                 # captures the dispatch amortization without inflating the
+                 # staged super-batch)
 TIMED_WINDOWS = 3  # report the best window (axon tunnel jitter is up to 2x)
 
 def log(*a):
