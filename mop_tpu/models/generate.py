@@ -525,6 +525,7 @@ def generate_cached(
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
     kv_dtype=jnp.float32,
+    grow_window: bool = False,
 ) -> Array:
     """KV-cached greedy/sampled decode for TinyTransformerLM (approximate —
     see the module comment; measured divergence in benchmarks/decode.md).
@@ -534,6 +535,22 @@ def generate_cached(
     the dominant decode cost at long context — at a small extra score
     perturbation on top of the cache approximation itself (both measured in
     benchmarks/decode.md).
+
+    ``grow_window=True``: window-doubling decode — the KV window starts at
+    the smallest power of two holding the prompt and DOUBLES as the
+    sequence fills it, so each step's KV reads and score/standardization
+    width track the live length instead of paying full ``block_size`` from
+    step one. Mathematically identical (columns beyond the live prefix are
+    masked out of every statistic; bit-exact equality pinned on CPU in
+    tests/test_grow_window.py — on TPU the narrower einsum tiles reduce in
+    a different order, perturbing scores at the float ulp level exactly
+    like any re-tiling of the same computation). Measured on v5e: 1.19x /
+    1.32x at block 1024/2048 (1.60x/1.63x combined with bf16 KV); at block
+    <= 512 the extra per-segment dispatches cost more than the saved
+    traffic — keep the single-scan path there (benchmarks/decode.md).
+    Tradeoffs: one XLA compile per window size (log2(block) of them), and
+    the OUTER call can no longer be wrapped in a single jax.jit (each
+    segment is jitted internally).
 
     Requires t0 + max_new_tokens <= block_size (no ring eviction: evicting
     would invalidate the frozen prefix statistics silently)."""
@@ -564,6 +581,11 @@ def generate_cached(
 
     tok0, rng = pick(logits0, rng)
 
+    if grow_window:
+        return _generate_grow_window(
+            model, params, prompt, max_new_tokens, cache, tok0, rng,
+            greedy, temperature, top_k, top_p)
+
     def step(carry, _):
         tok, cache, rng = carry
         logits, cache = decode_step(model, params, cache, tok)
@@ -573,6 +595,88 @@ def generate_cached(
     (last, _, _), toks = jax.lax.scan(
         step, (tok0, cache, rng), None, length=max_new_tokens - 1)
     out = jnp.concatenate([toks.T, last[:, None]], axis=1)
+    return jnp.concatenate([prompt.astype(jnp.int32), out], axis=1)
+
+
+_GROW_SEG_CACHE: dict = {}
+
+
+def _grow_segment_fn(model, greedy, temperature, top_k, top_p):
+    """Jitted n-step decode segment for window-doubling decode, cached per
+    (model VALUE, sampler config) so repeat generate_cached calls reuse
+    compiles. Keyed on the module's dataclass repr (value-based and stable
+    — TransformerConfig is a plain dataclass, so flax's __hash__ raises),
+    never on object identity (a freed id can be reused). jit specializes
+    further on (window, n)."""
+    key = (type(model).__qualname__, repr(model), bool(greedy),
+           float(temperature), top_k, top_p)
+    cached = _GROW_SEG_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def pick(logits, rng):
+        if greedy:
+            return jnp.argmax(logits, -1).astype(jnp.int32), rng
+        scaled = logits / jnp.maximum(temperature, 1e-6)
+        if top_k is not None:
+            kth = jnp.sort(scaled, -1)[:, -top_k][:, None]
+            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        if top_p is not None and top_p < 1.0:
+            scaled = _top_p_mask(scaled, top_p)
+        rng, sub = jax.random.split(rng)
+        return jax.random.categorical(sub, scaled).astype(jnp.int32), rng
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def seg(params, carry, n):
+        def body(c, _):
+            tok, cache, rng = c
+            logits, cache = decode_step(model, params, cache, tok)
+            nxt, rng = pick(logits, rng)
+            return (nxt, cache, rng), tok
+
+        return jax.lax.scan(body, carry, None, length=n)
+
+    _GROW_SEG_CACHE[key] = seg
+    return seg
+
+
+def _generate_grow_window(model, params, prompt, max_new_tokens, cache,
+                          tok0, rng, greedy, temperature, top_k, top_p):
+    """Window-doubling decode loop for :func:`generate_cached`.
+
+    The cache's column axis is kept at a power of two >= the live length;
+    math over masked columns is inert, so every segment is exactly the
+    full-window computation restricted to a prefix — outputs are
+    bit-identical, traffic tracks the live length. Host loop over
+    log2-many jitted segments (lax.scan inside each)."""
+    t0 = prompt.shape[1]
+    block = cache["k"].shape[3]
+    seg = _grow_segment_fn(model, greedy, temperature, top_k, top_p)
+    w = min(1 << max(6, t0.bit_length()), block)  # pow2 >= t0+1, floor 64
+    sl = lambda v: v[:, :, :, :w, :]
+    cache = dict(cache, k=sl(cache["k"]), k2=sl(cache["k2"]),
+                 v=sl(cache["v"]))
+    carry = (tok0, cache, rng)
+    pos = t0
+    remaining = max_new_tokens - 1
+    toks_parts = []
+    while remaining > 0:
+        n = min(remaining, w - pos)  # steps before the window fills
+        carry, toks = seg(params, carry, n)
+        toks_parts.append(toks)
+        pos += n
+        remaining -= n
+        if remaining > 0:
+            nw = min(2 * w, block)
+            pad = lambda v: jnp.pad(
+                v, ((0, 0), (0, 0), (0, 0), (0, nw - w), (0, 0)))
+            tok, c, r = carry
+            c = dict(c, k=pad(c["k"]), k2=pad(c["k2"]), v=pad(c["v"]))
+            carry = (tok, c, r)
+            w = nw
+    last = carry[0]
+    out = jnp.concatenate([t.T for t in toks_parts] + [last[:, None]],
+                          axis=1)
     return jnp.concatenate([prompt.astype(jnp.int32), out], axis=1)
 
 
