@@ -567,18 +567,7 @@ def generate_cached(
     logits0, cache = prefill(model, params, prompt.astype(jnp.int32),
                              kv_dtype=kv_dtype)
 
-    def pick(logits, rng):
-        if greedy:
-            return jnp.argmax(logits, -1).astype(jnp.int32), rng
-        scaled = logits / jnp.maximum(temperature, 1e-6)
-        if top_k is not None:
-            kth = jnp.sort(scaled, -1)[:, -top_k][:, None]
-            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
-        if top_p is not None and top_p < 1.0:
-            scaled = _top_p_mask(scaled, top_p)
-        rng, sub = jax.random.split(rng)
-        return jax.random.categorical(sub, scaled).astype(jnp.int32), rng
-
+    pick = _make_pick(greedy, temperature, top_k, top_p)
     tok0, rng = pick(logits0, rng)
 
     if grow_window:
@@ -598,21 +587,9 @@ def generate_cached(
     return jnp.concatenate([prompt.astype(jnp.int32), out], axis=1)
 
 
-_GROW_SEG_CACHE: dict = {}
-
-
-def _grow_segment_fn(model, greedy, temperature, top_k, top_p):
-    """Jitted n-step decode segment for window-doubling decode, cached per
-    (model VALUE, sampler config) so repeat generate_cached calls reuse
-    compiles. Keyed on the module's dataclass repr (value-based and stable
-    — TransformerConfig is a plain dataclass, so flax's __hash__ raises),
-    never on object identity (a freed id can be reused). jit specializes
-    further on (window, n)."""
-    key = (type(model).__qualname__, repr(model), bool(greedy),
-           float(temperature), top_k, top_p)
-    cached = _GROW_SEG_CACHE.get(key)
-    if cached is not None:
-        return cached
+def _make_pick(greedy, temperature, top_k, top_p):
+    """The shared greedy/temperature/top-k/top-p token picker — one
+    definition so the plain and grow-window paths cannot drift."""
 
     def pick(logits, rng):
         if greedy:
@@ -626,6 +603,29 @@ def _grow_segment_fn(model, greedy, temperature, top_k, top_p):
         rng, sub = jax.random.split(rng)
         return jax.random.categorical(sub, scaled).astype(jnp.int32), rng
 
+    return pick
+
+
+_GROW_SEG_CACHE: "dict" = {}
+_GROW_SEG_CACHE_MAX = 32  # FIFO bound: each entry pins a jit + compiles
+
+
+def _grow_segment_fn(model, greedy, temperature, top_k, top_p):
+    """Jitted n-step decode segment for window-doubling decode, cached per
+    (model VALUE, sampler config) so repeat generate_cached calls reuse
+    compiles. Keyed on the module's dataclass repr (value-based and stable
+    — TransformerConfig is a plain dataclass, so flax's __hash__ raises),
+    never on object identity (a freed id can be reused). jit specializes
+    further on (window, n). FIFO-bounded: long-lived processes sweeping
+    sampler configs don't accumulate compiled closures without bound."""
+    key = (type(model).__qualname__, repr(model), bool(greedy),
+           float(temperature), top_k, top_p)
+    cached = _GROW_SEG_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    pick = _make_pick(greedy, temperature, top_k, top_p)
+
     @functools.partial(jax.jit, static_argnums=(2,))
     def seg(params, carry, n):
         def body(c, _):
@@ -636,6 +636,8 @@ def _grow_segment_fn(model, greedy, temperature, top_k, top_p):
 
         return jax.lax.scan(body, carry, None, length=n)
 
+    while len(_GROW_SEG_CACHE) >= _GROW_SEG_CACHE_MAX:
+        _GROW_SEG_CACHE.pop(next(iter(_GROW_SEG_CACHE)))
     _GROW_SEG_CACHE[key] = seg
     return seg
 

@@ -96,10 +96,15 @@ def make_classifier_train_step(
             raise ValueError(
                 f"batch {b} not divisible by accum_steps {accum_steps}")
         mb = NamedSharding(mesh, P(None, DATA_AXIS))
-        xs = jax.lax.with_sharding_constraint(
-            x_u8.reshape(accum_steps, b // accum_steps, *x_u8.shape[1:]), mb)
-        ys = jax.lax.with_sharding_constraint(
-            y.reshape(accum_steps, b // accum_steps), mb)
+        # Interleaved split (row r -> microbatch r % accum): every device's
+        # contiguous batch shard contributes equally to every microbatch,
+        # so the regroup is device-local — a contiguous split would need a
+        # cross-device all-to-all of the whole batch each step. Grouping is
+        # irrelevant to the result (grads sum over the full batch).
+        ilv = lambda a: a.reshape(b // accum_steps, accum_steps,
+                                  *a.shape[1:]).swapaxes(0, 1)
+        xs = jax.lax.with_sharding_constraint(ilv(x_u8), mb)
+        ys = jax.lax.with_sharding_constraint(ilv(y), mb)
 
         def body(carry, inp):
             g_acc, l_acc, a_acc = carry
@@ -354,11 +359,11 @@ def make_lm_train_step(model, tx, mesh, grad_clip: Optional[float] = None,
             raise ValueError(
                 f"batch {b} not divisible by accum_steps {accum_steps}")
         mb = NamedSharding(mesh, P(None, DATA_AXIS))
-        xs = jax.lax.with_sharding_constraint(
-            idx.reshape(accum_steps, b // accum_steps, *idx.shape[1:]), mb)
-        ts = jax.lax.with_sharding_constraint(
-            targets.reshape(accum_steps, b // accum_steps,
-                            *targets.shape[1:]), mb)
+        # interleaved split: device-local regroup (see classifier step)
+        ilv = lambda a: a.reshape(b // accum_steps, accum_steps,
+                                  *a.shape[1:]).swapaxes(0, 1)
+        xs = jax.lax.with_sharding_constraint(ilv(idx), mb)
+        ts = jax.lax.with_sharding_constraint(ilv(targets), mb)
 
         def body(carry, inp):
             g_acc, l_acc = carry

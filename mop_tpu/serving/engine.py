@@ -228,13 +228,8 @@ class DecodeEngine:
         cfg = model.config
         self.block_size = cfg.block_size
         self.kv_dtype = kv_dtype
-        self._cache = init_decode_cache(cfg, max_batch, kv_dtype)
-        if cache_sharding is not None:
-            for key in ("k", "k2", "v"):
-                self._cache[key] = jax.device_put(
-                    self._cache[key], cache_sharding)
-        # per-row length vector replaces the scalar shared 'len'
-        self._cache["len"] = jnp.zeros((max_batch,), jnp.int32)
+        self._cache = self._make_cache(cfg, max_batch, kv_dtype,
+                                       cache_sharding)
         self._tokens = jnp.zeros((max_batch,), jnp.int32)
         self._slot_rid: List[int] = [-1] * max_batch
         self._budget = np.zeros((max_batch,), np.int64)
@@ -328,6 +323,18 @@ class DecodeEngine:
         self._adm_exact_fn = jax.jit(_adm_exact, donate_argnums=donate)
         self._adm_padded_fn = jax.jit(_adm_padded, donate_argnums=donate)
         self._adm_chunk_fn = jax.jit(_adm_chunk, donate_argnums=donate)
+
+    def _make_cache(self, cfg, max_batch, kv_dtype, cache_sharding):
+        """Allocate the per-slot KV state. Subclasses with a different
+        cache layout (PagedDecodeEngine) override this so the dense
+        ``max_batch x block_size`` slabs are never materialized."""
+        cache = init_decode_cache(cfg, max_batch, kv_dtype)
+        if cache_sharding is not None:
+            for key in ("k", "k2", "v"):
+                cache[key] = jax.device_put(cache[key], cache_sharding)
+        # per-row length vector replaces the scalar shared 'len'
+        cache["len"] = jnp.zeros((max_batch,), jnp.int32)
+        return cache
 
     def _bucket_pad(self, prompt: np.ndarray):
         """(padded (1, bucket) array, t0) if a bucket fits, else None."""

@@ -150,8 +150,8 @@ class PagedDecodeEngine(DecodeEngine):
                          temperature=temperature, top_k=top_k, top_p=top_p,
                          rng=rng, prefill_buckets=prefill_buckets,
                          kv_dtype=kv_dtype)
-        # replace the dense slot pool with the page pool
-        self._cache = None
+        # the page pool replaces the dense slot slabs (which _make_cache
+        # below prevents from ever being allocated)
         self._pool = init_paged_pool(cfg, n_pages, page_size, kv_dtype)
         self._free: List[int] = list(range(n_pages, 0, -1))  # stack; 0=scratch
         self._table = np.zeros((max_batch, self.pages_per_slot), np.int32)
@@ -176,8 +176,11 @@ class PagedDecodeEngine(DecodeEngine):
         npb = self.pages_per_slot
 
         def _padm_finish(pool, pc, logits, pages, tokens, slot, rng_, sp):
-            # slice the prefill's full-width rows into the allocated pages
-            n_alloc = pages.shape[0]
+            # Slice the prefill's full-width rows into the allocated pages.
+            # ``pages`` is always the full (pages_per_slot,) row — entries
+            # past the allocation point at scratch page 0, whose duplicate
+            # garbage writes are harmless by design — so admission compiles
+            # once per prefill bucket, NOT once per page count.
             for key in ("k", "k2", "v"):
                 rows = pc[key][:, 0]  # (L, H, block, dk)
                 L, H, _, dk = rows.shape
@@ -185,7 +188,7 @@ class PagedDecodeEngine(DecodeEngine):
                 chunk = chunk.transpose(0, 2, 1, 3, 4)  # (L, npb, H, ps, dk)
                 pool = dict(pool)
                 pool[key] = pool[key].at[:, pages].set(
-                    chunk[:, :n_alloc].astype(pool[key].dtype))
+                    chunk.astype(pool[key].dtype))
             tok0 = self._pick_rows(
                 logits, rng_, jnp.reshape(sp[0], (1,)),
                 jnp.reshape(sp[1], (1,)), jnp.reshape(sp[2], (1,)))[0]
@@ -206,6 +209,11 @@ class PagedDecodeEngine(DecodeEngine):
 
         self._padm_exact_fn = jax.jit(_padm_exact, donate_argnums=(1, 2))
         self._padm_padded_fn = jax.jit(_padm_padded, donate_argnums=(1, 2))
+
+    def _make_cache(self, cfg, max_batch, kv_dtype, cache_sharding):
+        """No dense slabs: the whole point of paging is that the
+        ``max_batch x block_size`` reservation never exists."""
+        return None
 
     # ---------------- accounting ----------------
 
@@ -250,18 +258,12 @@ class PagedDecodeEngine(DecodeEngine):
             if self._slot_rid[s] < 0 and self._n_alloc[s] > 0:
                 self._free_slot_pages(s)
 
-    def _preempt_youngest(self, protect: int) -> bool:
-        """Evict the most recently admitted active slot (except
-        ``protect``): free its pages and push it back on the queue FRONT
-        with its full token prefix (original prompt + tokens emitted so
-        far) and remaining budget. Re-admission re-prefills that prefix —
-        position state depends only on the prefix, so greedy continuation
-        is exact."""
-        cands = [s for s in range(self.max_batch)
-                 if s != protect and self._slot_rid[s] >= 0]
-        if not cands:
-            return False
-        victim = max(cands, key=lambda s: self._slot_rid[s])
+    def _preempt_slot(self, victim: int) -> None:
+        """Evict ``victim``: free its pages and push it back on the queue
+        FRONT with its full token prefix (original prompt + tokens emitted
+        so far) and remaining budget. Re-admission re-prefills that prefix
+        — position state depends only on the prefix, so greedy
+        continuation is exact."""
         rid = self._slot_rid[victim]
         sp = (np.float32(self._slot_temp[victim]),
               np.int32(self._slot_topk[victim]),
@@ -276,7 +278,24 @@ class PagedDecodeEngine(DecodeEngine):
         self._slot_rid[victim] = -1
         self._free_slot_pages(victim)
         self.preemptions += 1
-        return True
+
+    def _preempt_for(self, needy: int) -> None:
+        """Free pages so slot ``needy`` (or the queue, after ``needy``
+        itself is evicted) can progress. Victims must be RE-ADMISSIBLE:
+        a slot whose token prefix already fills the whole context window
+        (``lens + 1 == block_size`` — one emission from retiring) cannot
+        be re-prefilled, so it is skipped; youngest eligible first. If no
+        other slot is eligible, ``needy`` evicts ITSELF (always
+        re-admissible: a slot needing a growth page has
+        ``lens < block_size - page_size + 1``) — the remaining full-window
+        slots retire within one step and the queue drains after them."""
+        cands = [s for s in range(self.max_batch)
+                 if s != needy and self._slot_rid[s] >= 0
+                 and int(self._lens[s]) + 1 < self.block_size]
+        if cands:
+            self._preempt_slot(max(cands, key=lambda s: self._slot_rid[s]))
+        else:
+            self._preempt_slot(needy)
 
     def _ensure_growth_pages(self) -> None:
         """Every active row writes its next K/V at position ``lens``; make
@@ -286,15 +305,10 @@ class PagedDecodeEngine(DecodeEngine):
             if self._slot_rid[s] < 0:
                 continue
             need = int(self._lens[s]) // self.page_size
-            while need >= int(self._n_alloc[s]):
+            while self._slot_rid[s] >= 0 and need >= int(self._n_alloc[s]):
                 pg = self._alloc_page()
                 if pg is None:
-                    if not self._preempt_youngest(protect=s):
-                        raise RuntimeError(
-                            "paged pool exhausted by a single request — "
-                            "unreachable given n_pages >= pages_per_slot")
-                    if self._slot_rid[s] < 0:  # preempted itself? never
-                        break
+                    self._preempt_for(s)  # may evict s itself
                     continue
                 self._table[s, int(self._n_alloc[s])] = pg
                 self._n_alloc[s] += 1
@@ -326,7 +340,10 @@ class PagedDecodeEngine(DecodeEngine):
         self._slot_temp[slot], self._slot_topk[slot], \
             self._slot_topp[slot], self._slot_eos[slot] = sp
         self._rng, sub = jax.random.split(self._rng)
-        pages_j = jnp.asarray(np.asarray(pages, np.int32))
+        # full-width page row (scratch-padded) -> one compile per bucket
+        pages_full = np.zeros((self.pages_per_slot,), np.int32)
+        pages_full[:n_need] = pages
+        pages_j = jnp.asarray(pages_full)
         padded = self._bucket_pad(prompt)
         if padded is not None:
             self._pool, self._tokens, tok0 = self._padm_padded_fn(

@@ -116,6 +116,16 @@ class WhisperServingEngine:
                  kv_dtype=jnp.float32):
         self.model = model
         self.params = params
+        # The flax encoder module cannot consume int8/int4 QTensor leaves;
+        # keep a dequantized copy for the one encoder pass per admission
+        # (the decode loop reads quantized weights through _lin) — the same
+        # split whisper_transcribe_cached makes.
+        from ..ops.quant import Q4Tensor, QTensor, dequantize_params
+
+        is_q = lambda l: isinstance(l, (QTensor, Q4Tensor))
+        has_q = any(is_q(l) for l in jax.tree_util.tree_leaves(
+            params, is_leaf=is_q))
+        self._enc_params = dequantize_params(params) if has_q else params
         self.max_batch = max_batch
         self.bos_token = bos_token
         self.eos_id = eos_id
@@ -148,9 +158,9 @@ class WhisperServingEngine:
 
         self._step_fn = jax.jit(_step, donate_argnums=(3, 4))
 
-        def _admit(params_, ck, cv, mel, slot):
+        def _admit(enc_params_, params_, ck, cv, mel, slot):
             # one encoder pass; freeze this request's cross K/V into `slot`
-            enc_out, _ = self.model.apply(params_, mel,
+            enc_out, _ = self.model.apply(enc_params_, mel,
                                           method=self.model.encode)
             p = params_["params"]
             tk = enc_out.shape[1]
@@ -164,7 +174,7 @@ class WhisperServingEngine:
                 cv = cv.at[li, slot].set(v[0].astype(cv.dtype))
             return ck, cv
 
-        self._admit_fn = jax.jit(_admit, donate_argnums=(1, 2))
+        self._admit_fn = jax.jit(_admit, donate_argnums=(2, 3))
 
     # ---------------- public API ----------------
 
@@ -217,8 +227,8 @@ class WhisperServingEngine:
                 break
             rid, mel, max_new, eos = self._queue.popleft()
             self._ck, self._cv = self._admit_fn(
-                self.params, self._ck, self._cv, jnp.asarray(mel),
-                np.int32(slot))
+                self._enc_params, self.params, self._ck, self._cv,
+                jnp.asarray(mel), np.int32(slot))
             self._slot_rid[slot] = rid
             self._slot_eos[slot] = eos
             self._budget[slot] = max_new

@@ -100,6 +100,39 @@ def test_preemption_exact_greedy():
     assert eng.pages_in_use == 0
 
 
+def test_preemption_skips_full_window_victims():
+    """A victim whose prefix already fills the context window cannot be
+    re-prefilled (prompt length must stay < block_size): the preemptor
+    must skip it — self-preempting the growing request if needed — and
+    every stream must still finish with the un-preempted tokens.
+    Regression: this used to crash with a page-table broadcast error."""
+    model, params = _setup(block=8)
+    # r0 runs to lens = block-1 (prefix = 8 = block -> ineligible victim);
+    # r1 then needs a growth page from a dry pool.
+    jobs = [([5, 17, 3, 41, 2], 3, {}),   # t0=5, fills to len 8 exactly
+            ([1, 2], 6, {})]              # t0=2, crosses pages mid-flight
+    want = _dense_run(model, params, jobs, max_batch=2)
+    eng = PagedDecodeEngine(model, params, max_batch=2, n_pages=5,
+                            page_size=2)
+    rids = [eng.submit(p, n) for p, n, _ in jobs]
+    res = eng.run()
+    assert [res[r] for r in rids] == want
+    assert eng.pages_in_use == 0
+
+
+def test_admission_compiles_once_per_bucket():
+    """Admission pads the page vector to full width, so distinct prompt
+    lengths inside one bucket reuse ONE compiled admission function."""
+    model, params = _setup()
+    eng = PagedDecodeEngine(model, params, max_batch=4, n_pages=16,
+                            page_size=4, prefill_buckets=[8])
+    for p in ([1, 2], [1, 2, 3, 4, 5], [9, 8, 7, 6, 5, 4, 3]):
+        eng.submit(p, 3)
+    eng.run()
+    sizes = eng._padm_padded_fn._cache_size()
+    assert sizes == 1, f"expected 1 admission compile, got {sizes}"
+
+
 def test_oversubscribed_memory_footprint():
     """The headline: serve MORE concurrent slots than the dense slab could
     at the same cache HBM. 8 slots x block 64 dense = 512 rows; the paged

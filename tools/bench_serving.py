@@ -162,10 +162,11 @@ def main():
     ):
         eng = mk_eng()
         run_engine(eng, jobs[:8])  # warm compiles
+        pre0 = getattr(eng, "preemptions", 0)
         dt, toks = run_engine(eng, jobs[:16])
         gb = (eng.cache_bytes() if hasattr(eng, "cache_bytes") else
               3 * 6 * 8 * 8 * BLOCK * 64 * 4) / 1e9
-        pre = getattr(eng, "preemptions", 0)
+        pre = getattr(eng, "preemptions", 0) - pre0  # timed run only
         paged_rows.append((label, toks, dt, toks / dt, gb, pre))
         print(f"{label}: {toks} tokens in {dt:.2f}s -> {toks / dt:,.0f} "
               f"tok/s, cache {gb:.3f} GB, preemptions {pre}", flush=True)
