@@ -192,21 +192,45 @@ def _standardize_rows(s, n_valid, eps):
 
 
 def init_decode_cache(config, batch: int, dtype=jnp.float32):
-    """Per-layer (k, k2, v) ring caches of shape (L, B, H, block, dk)."""
+    """Per-layer (k, k2, v) ring caches of shape (L, B, H, block, dk).
+
+    ``dtype=jnp.int8`` selects the QUANTIZED cache layout: int8 rows plus
+    per-row fp32 scales ``k_s/k2_s/v_s`` of shape (L, B, H, block) —
+    4x less KV HBM than fp32 at ~3% overhead for the scales. Writers
+    quantize with :func:`_q8_rows`; :func:`_attn_step` applies the scales
+    after its dots, so the int8 rows feed the MXU directly."""
     L, h = config.n_layer, config.n_head
     dk = config.n_embd // h
     shape = (L, batch, h, config.block_size, dk)
-    return {
+    cache = {
         "k": jnp.zeros(shape, dtype),
         "k2": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
         "len": jnp.zeros((), jnp.int32),
     }
+    if dtype == jnp.int8:
+        for key in ("k_s", "k2_s", "v_s"):
+            cache[key] = jnp.ones(shape[:4], jnp.float32)
+    return cache
 
 
-def _attn_step(p, cfg, x, k_all, k2_all, v_all, n_valid):
+def _q8_rows(rows):
+    """Symmetric per-row int8 quantization: (..., T, dk) fp32 ->
+    (int8 rows, (..., T) fp32 scales). All-zero rows get scale 1."""
+    s = jnp.max(jnp.abs(rows), axis=-1) / 127.0
+    s = jnp.where(s == 0.0, 1.0, s)
+    q = jnp.round(rows / s[..., None]).astype(jnp.int8)
+    return q, s
+
+
+def _attn_step(p, cfg, x, k_all, k2_all, v_all, n_valid, scales=None):
     """One-token attention against caches that ALREADY hold this token's
     k/k2/v rows at position ``n_valid - 1``. x: (B, 1, C) -> (B, 1, C).
+
+    ``scales``: optional (k_s, k2_s, v_s) per-row fp32 scales of shape
+    (B, H, T) for int8 caches — K scales multiply the score columns after
+    the dot; V scales fold into the attention weights before the value
+    dot, so the int8 rows are consumed without a dequantized copy.
 
     (The caller writes the single new row with ``lax.dynamic_update_slice``
     — O(d) traffic — instead of a onehot-``where`` over the whole window,
@@ -220,11 +244,17 @@ def _attn_step(p, cfg, x, k_all, k2_all, v_all, n_valid):
     q = split(_lin(x, p["q_proj"]))
     scale = 1.0 / jnp.sqrt(dk).astype(jnp.float32)
 
-    qk = jnp.einsum("bhqd,bhkd->bhqk", q, k_all) * scale
+    col = lambda s: s[:, :, None, :]  # (B,H,T) -> broadcast over queries
+    qk = jnp.einsum("bhqd,bhkd->bhqk", q, k_all.astype(q.dtype)) * scale
+    if scales is not None:
+        qk = qk * col(scales[0])
     eps = cfg.score_norm_eps
     if cfg.use_quartet:
         q2 = split(_lin(x, p["q2_proj"]))
-        q2k2 = jnp.einsum("bhqd,bhkd->bhqk", q2, k2_all) * scale
+        q2k2 = jnp.einsum("bhqd,bhkd->bhqk", q2,
+                          k2_all.astype(q2.dtype)) * scale
+        if scales is not None:
+            q2k2 = q2k2 * col(scales[1])
         m = jax.nn.sigmoid(p["mixture"][0])
         s1 = _standardize_rows(qk, n_valid, eps)
         s2 = _standardize_rows(q2k2, n_valid, eps)
@@ -235,7 +265,9 @@ def _attn_step(p, cfg, x, k_all, k2_all, v_all, n_valid):
     cols = _cols_mask(k_all.shape[2], n_valid)
     scores = jnp.where(cols, scores, -jnp.inf)
     att = jax.nn.softmax(scores, axis=-1)
-    y = jnp.einsum("bhqk,bhkd->bhqd", att, v_all)
+    if scales is not None:
+        att = att * col(scales[2])
+    y = jnp.einsum("bhqk,bhkd->bhqd", att, v_all.astype(att.dtype))
     y = y.transpose(0, 2, 1, 3).reshape(b, 1, c)
     return _lin(y, p["o_proj"])
 
@@ -274,11 +306,23 @@ def decode_step(model, params, cache, token):
         k_new, k2_new, v_new = _kv_rows(bp["attn"], cfg, h)
         wr = lambda buf, row: jax.lax.dynamic_update_slice(
             buf, row[None].astype(buf.dtype), (i, 0, 0, pos, 0))
-        new_cache["k"] = wr(new_cache["k"], k_new)
-        new_cache["k2"] = wr(new_cache["k2"], k2_new)
-        new_cache["v"] = wr(new_cache["v"], v_new)
+        if "k_s" in cache:  # int8 cache: quantize the new rows per-row
+            wr_s = lambda buf, s: jax.lax.dynamic_update_slice(
+                buf, s[None], (i, 0, 0, pos))
+            for key, row in (("k", k_new), ("k2", k2_new), ("v", v_new)):
+                q8, s8 = _q8_rows(row)
+                new_cache[key] = wr(new_cache[key], q8)
+                new_cache[key + "_s"] = wr_s(new_cache[key + "_s"], s8)
+            scales = (new_cache["k_s"][i], new_cache["k2_s"][i],
+                      new_cache["v_s"][i])
+        else:
+            new_cache["k"] = wr(new_cache["k"], k_new)
+            new_cache["k2"] = wr(new_cache["k2"], k2_new)
+            new_cache["v"] = wr(new_cache["v"], v_new)
+            scales = None
         a = _attn_step(bp["attn"], cfg, h, new_cache["k"][i],
-                       new_cache["k2"][i], new_cache["v"][i], n_valid)
+                       new_cache["k2"][i], new_cache["v"][i], n_valid,
+                       scales=scales)
         x = x + a
         hm = _ln(x, bp["ln2"])
         x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
@@ -307,6 +351,10 @@ def decode_chunk(model, params, cache, tokens):
     h = cfg.n_head
     c = cfg.n_embd
     dk = c // h
+    if "k_s" in cache:
+        raise NotImplementedError(
+            "decode_chunk does not support the int8 KV layout; use fp32 or "
+            "bfloat16 caches for chunked/speculative decode")
     pos0 = cache["len"]
     positions = pos0 + jnp.arange(g)
     x = p["wte"]["embedding"][tokens]
@@ -422,9 +470,17 @@ def prefill(model, params, prompt, kv_dtype=jnp.float32):
         pad = cfg.block_size - t0
         put = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
         kd = cache["k"].dtype
-        cache["k"] = cache["k"].at[i].set(put(k).astype(kd))
-        cache["k2"] = cache["k2"].at[i].set(put(k2).astype(kd))
-        cache["v"] = cache["v"].at[i].set(put(v).astype(kd))
+        if "k_s" in cache:  # int8 cache: per-row quantized rows + scales
+            put_s = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, pad)),
+                                      constant_values=1.0)
+            for key, t in (("k", k), ("k2", k2), ("v", v)):
+                q8, s8 = _q8_rows(t)
+                cache[key] = cache[key].at[i].set(put(q8))
+                cache[key + "_s"] = cache[key + "_s"].at[i].set(put_s(s8))
+        else:
+            cache["k"] = cache["k"].at[i].set(put(k).astype(kd))
+            cache["k2"] = cache["k2"].at[i].set(put(k2).astype(kd))
+            cache["v"] = cache["v"].at[i].set(put(v).astype(kd))
 
     x = _ln(x, p["ln_f"])
     logits = (x @ p["wte"]["embedding"].T)[:, -1, :]
@@ -504,9 +560,17 @@ def prefill_padded(model, params, prompt_padded, t0, kv_dtype=jnp.float32):
         pad = cfg.block_size - t_pad
         put = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
         kd = cache["k"].dtype
-        cache["k"] = cache["k"].at[i].set(put(k).astype(kd))
-        cache["k2"] = cache["k2"].at[i].set(put(k2).astype(kd))
-        cache["v"] = cache["v"].at[i].set(put(v).astype(kd))
+        if "k_s" in cache:  # int8 cache: per-row quantized rows + scales
+            put_s = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, pad)),
+                                      constant_values=1.0)
+            for key, t in (("k", k), ("k2", k2), ("v", v)):
+                q8, s8 = _q8_rows(t)
+                cache[key] = cache[key].at[i].set(put(q8))
+                cache[key + "_s"] = cache[key + "_s"].at[i].set(put_s(s8))
+        else:
+            cache["k"] = cache["k"].at[i].set(put(k).astype(kd))
+            cache["k2"] = cache["k2"].at[i].set(put(k2).astype(kd))
+            cache["v"] = cache["v"].at[i].set(put(v).astype(kd))
 
     x = _ln(x, p["ln_f"])
     last = jax.lax.dynamic_index_in_dim(x, t0 - 1, axis=1, keepdims=False)
@@ -534,7 +598,9 @@ def generate_cached(
     stays fp32): half the cache HBM and half the per-step KV read traffic —
     the dominant decode cost at long context — at a small extra score
     perturbation on top of the cache approximation itself (both measured in
-    benchmarks/decode.md).
+    benchmarks/decode.md). ``kv_dtype=jnp.int8`` quantizes each cached row
+    symmetrically with a per-row fp32 scale (4x less KV HBM; scales applied
+    after the dots, see :func:`_attn_step`).
 
     ``grow_window=True``: window-doubling decode — the KV window starts at
     the smallest power of two holding the prompt and DOUBLES as the
@@ -655,9 +721,26 @@ def _generate_grow_window(model, params, prompt, max_new_tokens, cache,
     block = cache["k"].shape[3]
     seg = _grow_segment_fn(model, greedy, temperature, top_k, top_p)
     w = min(1 << max(6, t0.bit_length()), block)  # pow2 >= t0+1, floor 64
-    sl = lambda v: v[:, :, :, :w, :]
-    cache = dict(cache, k=sl(cache["k"]), k2=sl(cache["k2"]),
-                 v=sl(cache["v"]))
+
+    def _resize(c, new_w, cur_w):
+        """Slice (new_w < cur_w) or zero-pad the column axis of every KV
+        buffer — rows (axis 3 of 5) and, for int8 caches, the per-row
+        scale arrays (axis 3 of 4)."""
+        out = dict(c)
+        for key in ("k", "k2", "v", "k_s", "k2_s", "v_s"):
+            if key not in c:
+                continue
+            v = c[key]
+            if new_w < cur_w:
+                out[key] = v[:, :, :, :new_w] if v.ndim == 4 \
+                    else v[:, :, :, :new_w, :]
+            else:
+                padw = [(0, 0)] * v.ndim
+                padw[3] = (0, new_w - cur_w)
+                out[key] = jnp.pad(v, padw)
+        return out
+
+    cache = _resize(cache, w, block)
     carry = (tok0, cache, rng)
     pos = t0
     remaining = max_new_tokens - 1
@@ -670,11 +753,8 @@ def _generate_grow_window(model, params, prompt, max_new_tokens, cache,
         remaining -= n
         if remaining > 0:
             nw = min(2 * w, block)
-            pad = lambda v: jnp.pad(
-                v, ((0, 0), (0, 0), (0, 0), (0, nw - w), (0, 0)))
             tok, c, r = carry
-            c = dict(c, k=pad(c["k"]), k2=pad(c["k2"]), v=pad(c["v"]))
-            carry = (tok, c, r)
+            carry = (tok, _resize(c, nw, w), r)
             w = nw
     last = carry[0]
     out = jnp.concatenate([t.T for t in toks_parts] + [last[:, None]],

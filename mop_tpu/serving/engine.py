@@ -227,6 +227,10 @@ class DecodeEngine:
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         cfg = model.config
         self.block_size = cfg.block_size
+        if kv_dtype == jnp.int8:
+            raise ValueError(
+                "the serving engines support fp32/bfloat16 KV pools; the "
+                "int8 per-row-scale layout is a generate_cached feature")
         self.kv_dtype = kv_dtype
         self._cache = self._make_cache(cfg, max_batch, kv_dtype,
                                        cache_sharding)

@@ -59,6 +59,47 @@ def test_generate_cached_bf16_runs():
     assert out.dtype == jnp.int32
 
 
+def test_prefill_int8_cache_layout_and_exact_logits():
+    model, params = _setup()
+    prompt = jnp.asarray([[5, 17, 3, 41, 2, 9]], jnp.int32)
+    lo32, c32 = prefill(model, params, prompt)
+    lo8, c8 = prefill(model, params, prompt, kv_dtype=jnp.int8)
+    assert c8["k"].dtype == jnp.int8 and c8["v"].dtype == jnp.int8
+    assert c8["k_s"].dtype == jnp.float32
+    assert c8["k_s"].shape == c8["k"].shape[:4]
+    np.testing.assert_array_equal(np.asarray(lo32), np.asarray(lo8))
+    # dequantized rows reconstruct the fp32 rows to within one quant step
+    recon = np.asarray(c8["k"], np.float32) * np.asarray(c8["k_s"])[..., None]
+    ref = np.asarray(c32["k"])
+    step = np.asarray(c8["k_s"])[..., None]
+    assert np.all(np.abs(recon - ref) <= 0.5 * step + 1e-6)
+
+
+def test_decode_step_int8_perturbation_bounded():
+    model, params = _setup()
+    prompt = jnp.asarray([[5, 17, 3, 41, 2, 9]], jnp.int32)
+    _, c32 = prefill(model, params, prompt)
+    _, c8 = prefill(model, params, prompt, kv_dtype=jnp.int8)
+    tok = jnp.asarray([7], jnp.int32)
+    lo32, nc32 = decode_step(model, params, c32, tok)
+    lo8, nc8 = decode_step(model, params, c8, tok)
+    assert nc8["k"].dtype == jnp.int8  # appended row stays quantized
+    diff = float(jnp.max(jnp.abs(lo32 - lo8)))
+    spread = float(jnp.max(lo32) - jnp.min(lo32))
+    assert diff < 0.15 * max(spread, 1.0), (diff, spread)
+
+
+def test_generate_cached_int8_runs_and_grow_matches():
+    model, params = _setup(block=256)
+    prompt = jnp.asarray([[5, 17, 3, 41]], jnp.int32)
+    base = generate_cached(model, params, prompt, max_new_tokens=150,
+                           kv_dtype=jnp.int8)
+    assert base.shape == (1, 154)
+    grow = generate_cached(model, params, prompt, max_new_tokens=150,
+                           kv_dtype=jnp.int8, grow_window=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(grow))
+
+
 def test_whisper_cached_bf16_runs():
     from mop_tpu.models import WhisperConfig, create_whisper_mop
     from mop_tpu.models.generate import whisper_transcribe_cached
