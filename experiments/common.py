@@ -382,6 +382,7 @@ class ModelRun:
             model, lr, mesh=mesh, mean=mean, std=std, steps=steps,
             warmup_frac=warmup_frac, weight_decay=weight_decay,
             augment=augment, grad_clip=grad_clip)
+        self.mesh = mesh
         self.params = replicate(params, mesh)
         self.opt_state = replicate(tx.init(params), mesh)
         self.rng = rng
@@ -413,6 +414,8 @@ class ModelRun:
     def evaluate(self, batches) -> float:
         correct, total = 0.0, 0.0
         for xb, yb, mb in batches:
+            xb, yb, mb = shard_batch(
+                (np.asarray(xb), np.asarray(yb), np.asarray(mb)), self.mesh)
             c, t = self.eval_step(self.params, xb, yb, mb)
             correct += float(c)
             total += float(t)
@@ -433,16 +436,24 @@ class ModelRun:
             model = self.model
             mean, std = self._mean_std
 
+            from mop_tpu.parallel import batch_sharding, replicated
+
             # fp32 on purpose: McNemar per-sample stats must not pick up
             # bf16 argmax flips on borderline samples (torch ref is fp32).
-            @jax.jit
+            # Output replicated: the per-sample vector must be host-readable
+            # on every process under a multihost launch.
             def pred(params, xb, yb):
                 x = cifar_eval_transform(xb, mean, std)
                 logits = model.apply(params, x, train=False)
                 return jnp.argmax(logits, -1) == yb
 
-            self._pred_fn = pred
-        return self._pred_fn(self.params, jnp.asarray(xb), jnp.asarray(yb))
+            bsh = batch_sharding(self.mesh)
+            self._pred_fn = jax.jit(
+                pred,
+                in_shardings=(replicated(self.mesh), bsh, bsh),
+                out_shardings=replicated(self.mesh))
+        xb, yb = shard_batch((np.asarray(xb), np.asarray(yb)), self.mesh)
+        return self._pred_fn(self.params, xb, yb)
 
     def save(self, path: str, step: int) -> None:
         """Persist params + opt state + step (SURVEY §5.4: the reference has
@@ -554,7 +565,17 @@ def bootstrap_delta(correct_a, correct_b, n_boot: int = 1000, seed: int = 0):
 # ----------------------------- output -----------------------------
 
 
+def _is_writer_process() -> bool:
+    """Under a multi-process (multihost) launch every process computes the
+    same replicated results; only process 0 writes artifacts."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def save_csv(path: str, header: List[str], rows: List[List]) -> None:
+    if not _is_writer_process():
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as f:
         f.write(",".join(header) + "\n")
@@ -563,6 +584,8 @@ def save_csv(path: str, header: List[str], rows: List[List]) -> None:
 
 
 def save_val_curve_plot(path, hist, title):
+    if not _is_writer_process():
+        return
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -582,6 +605,8 @@ def save_val_curve_plot(path, hist, title):
 
 
 def save_test_bar_plot(path, labels, vals, title):
+    if not _is_writer_process():
+        return
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt

@@ -73,6 +73,54 @@ def _setup_compilation_cache() -> None:
 _setup_compilation_cache()
 
 
+def _setup_platform() -> None:
+    """``MOP_TPU_PLATFORM=cpu`` forces the jax platform before backend init
+    (the JAX_PLATFORMS env var alone can be too late: this environment's
+    sitecustomize imports jax at interpreter startup). Set by
+    ``tools/launch_multihost.py`` so every experiment CLI can run under an
+    emulated multi-process pod topology on CPU unchanged."""
+    plat = os.environ.get("MOP_TPU_PLATFORM", "")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:  # pragma: no cover - backend already initialized
+        pass
+
+
+_setup_platform()
+
+
+def _setup_distributed() -> None:
+    """Bootstrap ``jax.distributed`` at import when the multihost env
+    contract is present (MOP_TPU_COORDINATOR / MOP_TPU_NUM_PROCESSES /
+    MOP_TPU_PROCESS_ID — the ``tools/launch_multihost.py`` contract).
+
+    Must run before ANY backend use, which is why it lives here (every
+    experiment CLI imports mop_tpu first) instead of inside make_mesh.
+    ``mop_tpu.parallel.multihost.init_distributed`` detects this
+    bootstrap and is a no-op afterwards."""
+    coord = os.environ.get("MOP_TPU_COORDINATOR")
+    nproc = os.environ.get("MOP_TPU_NUM_PROCESSES")
+    pid = os.environ.get("MOP_TPU_PROCESS_ID")
+    if not (coord and nproc and pid) or int(nproc) < 2:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # pragma: no cover - older jax
+        pass
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=int(nproc),
+                               process_id=int(pid))
+
+
+_setup_distributed()
+
+
 def use_fused_attention() -> bool:
     return config.fused_attention
 

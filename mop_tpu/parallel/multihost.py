@@ -69,6 +69,14 @@ def init_distributed(
     global _initialized
     if _initialized:
         return True
+    try:  # already bootstrapped (e.g. mop_tpu.config at import)? no-op.
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            _initialized = True
+            return True
+    except Exception:  # pragma: no cover - private-module fallback
+        pass
     coordinator_address = coordinator_address or os.environ.get(
         "MOP_TPU_COORDINATOR")
     if num_processes is None and "MOP_TPU_NUM_PROCESSES" in os.environ:
