@@ -33,6 +33,36 @@ def _top_p_mask(scaled: Array, top_p: float) -> Array:
     return jnp.where(scaled >= thr, scaled, -jnp.inf)
 
 
+def _min_p_mask(scaled: Array, min_p: float) -> Array:
+    """min-p filter: keep tokens whose probability is at least
+    ``min_p * max_prob``. In logit space that is exactly
+    ``logit >= max_logit + log(min_p)`` (softmax is shift-invariant), so no
+    softmax materializes. ``scaled``: (B, vocab) temperature-scaled logits."""
+    thr = jnp.max(scaled, -1, keepdims=True) + jnp.log(min_p)
+    return jnp.where(scaled >= thr, scaled, -jnp.inf)
+
+
+def _apply_penalties(logits: Array, out_counts: Array, seen: Array,
+                     repetition_penalty, presence_penalty,
+                     frequency_penalty) -> Array:
+    """Repetition/presence/frequency penalties on raw (B, vocab) logits.
+
+    Follows the vLLM convention: ``repetition_penalty`` (CTRL-style —
+    positive logits divided by r, negative multiplied) considers tokens seen
+    in the PROMPT OR the output (``seen``: (B, vocab) bool); presence and
+    frequency penalties (OpenAI-style additive) consider OUTPUT token counts
+    only (``out_counts``: (B, vocab) int)."""
+    if repetition_penalty is not None and repetition_penalty != 1.0:
+        r = jnp.float32(repetition_penalty)
+        penalized = jnp.where(logits > 0, logits / r, logits * r)
+        logits = jnp.where(seen, penalized, logits)
+    if presence_penalty is not None and presence_penalty != 0.0:
+        logits = logits - presence_penalty * (out_counts > 0)
+    if frequency_penalty is not None and frequency_penalty != 0.0:
+        logits = logits - frequency_penalty * out_counts
+    return logits
+
+
 def generate(
     model,
     params,
@@ -42,12 +72,18 @@ def generate(
     temperature: float = 1.0,
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
+    min_p: Optional[float] = None,
+    repetition_penalty: Optional[float] = None,
+    presence_penalty: Optional[float] = None,
+    frequency_penalty: Optional[float] = None,
 ) -> Array:
     """Generate ``max_new_tokens`` continuations for a (B, T0) prompt.
 
-    Greedy when ``temperature == 0`` or no rng given. The context is a fixed
-    (B, block_size) ring: static shapes throughout, so the whole loop jits as
-    one ``lax.scan``. Returns (B, T0 + max_new_tokens).
+    Greedy when ``temperature == 0`` or no rng given (penalties still apply
+    under greedy; see :func:`_apply_penalties` for the min-p / penalty
+    conventions). The context is a fixed (B, block_size) ring: static shapes
+    throughout, so the whole loop jits as one ``lax.scan``. Returns
+    (B, T0 + max_new_tokens).
 
     Design note (why no KV cache): the reference's attention standardizes
     each score row over ALL columns BEFORE the causal mask
@@ -63,6 +99,16 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
+    pick = _make_pick(greedy, temperature, top_k, top_p, min_p,
+                      repetition_penalty, presence_penalty,
+                      frequency_penalty)
+    if pick.uses_counts:
+        pcounts = _prompt_counts(prompt.astype(jnp.int32), model.vocab_size)
+        ocounts0 = jnp.zeros_like(pcounts)
+    else:
+        pcounts = jnp.zeros((b, 1), jnp.int32)
+        ocounts0 = pcounts
+
     # Fixed window holding the most recent `block` tokens, plus a length.
     window = jnp.zeros((b, block), jnp.int32)
     window = jax.lax.dynamic_update_slice(
@@ -70,22 +116,14 @@ def generate(
     cur_len = min(t0, block)
 
     def step(carry, _):
-        window, length, rng = carry
+        window, length, rng, oc = carry
         logits, _ = model.apply(params, window, train=False)
         # Logits at the last valid position (same position for every row).
         last = jax.lax.dynamic_index_in_dim(
             logits, length - 1, axis=1, keepdims=False)  # (B, vocab)
-        if greedy:
-            nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
-        else:
-            scaled = last / jnp.maximum(temperature, 1e-6)
-            if top_k is not None:
-                kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
-                scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
-            if top_p is not None and top_p < 1.0:
-                scaled = _top_p_mask(scaled, top_p)
-            rng, sub = jax.random.split(rng)
-            nxt = jax.random.categorical(sub, scaled).astype(jnp.int32)
+        nxt, rng = pick(last, rng, oc, pcounts)
+        if pick.uses_counts:
+            oc = oc.at[jnp.arange(b), nxt].add(1)
 
         # Append: shift left if the window is full, else write at `length`.
         full = length >= block
@@ -94,11 +132,11 @@ def generate(
         onehot = (jnp.arange(block) == write_at).astype(window.dtype)
         new_window = shifted * (1 - onehot)[None, :] + nxt[:, None] * onehot[None, :]
         new_len = jnp.minimum(length + 1, block)
-        return (new_window, new_len, rng), nxt
+        return (new_window, new_len, rng, oc), nxt
 
     length0 = jnp.asarray(cur_len, jnp.int32)
-    (_, _, _), toks = jax.lax.scan(
-        step, (window, length0, rng), None, length=max_new_tokens)
+    (_, _, _, _), toks = jax.lax.scan(
+        step, (window, length0, rng, ocounts0), None, length=max_new_tokens)
     return jnp.concatenate([prompt.astype(jnp.int32), toks.T], axis=1)
 
 
@@ -590,9 +628,19 @@ def generate_cached(
     top_p: Optional[float] = None,
     kv_dtype=jnp.float32,
     grow_window: bool = False,
+    min_p: Optional[float] = None,
+    repetition_penalty: Optional[float] = None,
+    presence_penalty: Optional[float] = None,
+    frequency_penalty: Optional[float] = None,
 ) -> Array:
     """KV-cached greedy/sampled decode for TinyTransformerLM (approximate —
     see the module comment; measured divergence in benchmarks/decode.md).
+
+    ``min_p`` keeps only tokens with probability >= min_p * max_prob;
+    ``repetition_penalty`` (CTRL-style, applies to prompt+output tokens),
+    ``presence_penalty`` and ``frequency_penalty`` (OpenAI-style additive,
+    output tokens only) follow the vLLM conventions and also apply under
+    greedy decoding (see :func:`_apply_penalties`).
 
     ``kv_dtype=jnp.bfloat16`` stores the K/K2/V caches in bf16 (compute
     stays fp32): half the cache HBM and half the per-step KV read traffic —
@@ -633,31 +681,57 @@ def generate_cached(
     logits0, cache = prefill(model, params, prompt.astype(jnp.int32),
                              kv_dtype=kv_dtype)
 
-    pick = _make_pick(greedy, temperature, top_k, top_p)
-    tok0, rng = pick(logits0, rng)
+    pick = _make_pick(greedy, temperature, top_k, top_p, min_p,
+                      repetition_penalty, presence_penalty,
+                      frequency_penalty)
+    if pick.uses_counts:
+        pcounts = _prompt_counts(prompt.astype(jnp.int32), model.vocab_size)
+        ocounts0 = jnp.zeros_like(pcounts)
+    else:  # (B, 1) dummies keep one carry shape; pick ignores them
+        pcounts = jnp.zeros((b, 1), jnp.int32)
+        ocounts0 = pcounts
+    tok0, rng = pick(logits0, rng, ocounts0, pcounts)
+    ocounts = ocounts0.at[jnp.arange(b), tok0].add(1) \
+        if pick.uses_counts else ocounts0
 
     if grow_window:
         return _generate_grow_window(
             model, params, prompt, max_new_tokens, cache, tok0, rng,
-            greedy, temperature, top_k, top_p)
+            greedy, temperature, top_k, top_p, min_p, repetition_penalty,
+            presence_penalty, frequency_penalty, ocounts, pcounts)
 
     def step(carry, _):
-        tok, cache, rng = carry
+        tok, cache, rng, oc = carry
         logits, cache = decode_step(model, params, cache, tok)
-        nxt, rng = pick(logits, rng)
-        return (nxt, cache, rng), tok
+        nxt, rng = pick(logits, rng, oc, pcounts)
+        if pick.uses_counts:
+            oc = oc.at[jnp.arange(b), nxt].add(1)
+        return (nxt, cache, rng, oc), tok
 
-    (last, _, _), toks = jax.lax.scan(
-        step, (tok0, cache, rng), None, length=max_new_tokens - 1)
+    (last, _, _, _), toks = jax.lax.scan(
+        step, (tok0, cache, rng, ocounts), None, length=max_new_tokens - 1)
     out = jnp.concatenate([toks.T, last[:, None]], axis=1)
     return jnp.concatenate([prompt.astype(jnp.int32), out], axis=1)
 
 
-def _make_pick(greedy, temperature, top_k, top_p):
-    """The shared greedy/temperature/top-k/top-p token picker — one
-    definition so the plain and grow-window paths cannot drift."""
+def _make_pick(greedy, temperature, top_k, top_p, min_p=None,
+               repetition_penalty=None, presence_penalty=None,
+               frequency_penalty=None):
+    """The shared greedy/temperature/top-k/top-p/min-p token picker — one
+    definition so the plain and grow-window paths cannot drift. When any
+    penalty is set the returned ``pick`` expects per-row output-token counts
+    and prompt counts (see :func:`_apply_penalties`); penalties apply to
+    greedy decoding too (penalized greedy is the deterministic variant)."""
+    uses_counts = any(p is not None and p != d for p, d in (
+        (repetition_penalty, 1.0), (presence_penalty, 0.0),
+        (frequency_penalty, 0.0)))
 
-    def pick(logits, rng):
+    def pick(logits, rng, out_counts=None, prompt_counts=None):
+        if uses_counts:
+            seen = (out_counts > 0) | (prompt_counts > 0)
+            logits = _apply_penalties(logits, out_counts, seen,
+                                      repetition_penalty, presence_penalty,
+                                      frequency_penalty)
         if greedy:
             return jnp.argmax(logits, -1).astype(jnp.int32), rng
         scaled = logits / jnp.maximum(temperature, 1e-6)
@@ -666,17 +740,29 @@ def _make_pick(greedy, temperature, top_k, top_p):
             scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
         if top_p is not None and top_p < 1.0:
             scaled = _top_p_mask(scaled, top_p)
+        if min_p is not None and min_p > 0.0:
+            scaled = _min_p_mask(scaled, min_p)
         rng, sub = jax.random.split(rng)
         return jax.random.categorical(sub, scaled).astype(jnp.int32), rng
 
+    pick.uses_counts = uses_counts
     return pick
+
+
+def _prompt_counts(prompt: Array, vocab: int) -> Array:
+    """(B, T0) int tokens -> (B, vocab) int32 occurrence counts."""
+    b = prompt.shape[0]
+    zeros = jnp.zeros((b, vocab), jnp.int32)
+    return zeros.at[jnp.arange(b)[:, None], prompt].add(1)
 
 
 _GROW_SEG_CACHE: "dict" = {}
 _GROW_SEG_CACHE_MAX = 32  # FIFO bound: each entry pins a jit + compiles
 
 
-def _grow_segment_fn(model, greedy, temperature, top_k, top_p):
+def _grow_segment_fn(model, greedy, temperature, top_k, top_p, min_p=None,
+                     repetition_penalty=None, presence_penalty=None,
+                     frequency_penalty=None):
     """Jitted n-step decode segment for window-doubling decode, cached per
     (model VALUE, sampler config) so repeat generate_cached calls reuse
     compiles. Keyed on the module's dataclass repr (value-based and stable
@@ -685,20 +771,25 @@ def _grow_segment_fn(model, greedy, temperature, top_k, top_p):
     further on (window, n). FIFO-bounded: long-lived processes sweeping
     sampler configs don't accumulate compiled closures without bound."""
     key = (type(model).__qualname__, repr(model), bool(greedy),
-           float(temperature), top_k, top_p)
+           float(temperature), top_k, top_p, min_p, repetition_penalty,
+           presence_penalty, frequency_penalty)
     cached = _GROW_SEG_CACHE.get(key)
     if cached is not None:
         return cached
 
-    pick = _make_pick(greedy, temperature, top_k, top_p)
+    pick = _make_pick(greedy, temperature, top_k, top_p, min_p,
+                      repetition_penalty, presence_penalty,
+                      frequency_penalty)
 
     @functools.partial(jax.jit, static_argnums=(2,))
-    def seg(params, carry, n):
+    def seg(params, carry, n, pcounts):
         def body(c, _):
-            tok, cache, rng = c
+            tok, cache, rng, oc = c
             logits, cache = decode_step(model, params, cache, tok)
-            nxt, rng = pick(logits, rng)
-            return (nxt, cache, rng), tok
+            nxt, rng = pick(logits, rng, oc, pcounts)
+            if pick.uses_counts:
+                oc = oc.at[jnp.arange(tok.shape[0]), nxt].add(1)
+            return (nxt, cache, rng, oc), tok
 
         return jax.lax.scan(body, carry, None, length=n)
 
@@ -709,7 +800,9 @@ def _grow_segment_fn(model, greedy, temperature, top_k, top_p):
 
 
 def _generate_grow_window(model, params, prompt, max_new_tokens, cache,
-                          tok0, rng, greedy, temperature, top_k, top_p):
+                          tok0, rng, greedy, temperature, top_k, top_p,
+                          min_p, repetition_penalty, presence_penalty,
+                          frequency_penalty, ocounts, pcounts):
     """Window-doubling decode loop for :func:`generate_cached`.
 
     The cache's column axis is kept at a power of two >= the live length;
@@ -719,7 +812,9 @@ def _generate_grow_window(model, params, prompt, max_new_tokens, cache,
     log2-many jitted segments (lax.scan inside each)."""
     t0 = prompt.shape[1]
     block = cache["k"].shape[3]
-    seg = _grow_segment_fn(model, greedy, temperature, top_k, top_p)
+    seg = _grow_segment_fn(model, greedy, temperature, top_k, top_p, min_p,
+                           repetition_penalty, presence_penalty,
+                           frequency_penalty)
     w = min(1 << max(6, t0.bit_length()), block)  # pow2 >= t0+1, floor 64
 
     def _resize(c, new_w, cur_w):
@@ -741,20 +836,20 @@ def _generate_grow_window(model, params, prompt, max_new_tokens, cache,
         return out
 
     cache = _resize(cache, w, block)
-    carry = (tok0, cache, rng)
+    carry = (tok0, cache, rng, ocounts)
     pos = t0
     remaining = max_new_tokens - 1
     toks_parts = []
     while remaining > 0:
         n = min(remaining, w - pos)  # steps before the window fills
-        carry, toks = seg(params, carry, n)
+        carry, toks = seg(params, carry, n, pcounts)
         toks_parts.append(toks)
         pos += n
         remaining -= n
         if remaining > 0:
             nw = min(2 * w, block)
-            tok, c, r = carry
-            carry = (tok, _resize(c, nw, w), r)
+            tok, c, r, oc = carry
+            carry = (tok, _resize(c, nw, w), r, oc)
             w = nw
     last = carry[0]
     out = jnp.concatenate([t.T for t in toks_parts] + [last[:, None]],
