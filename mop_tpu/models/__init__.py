@@ -27,6 +27,7 @@ from .components import (
     ViTEncoder,
     ViTEncoderMoE,
 )
+from .beam import generate_beam
 from .generate import (decode_chunk, generate, generate_cached,
                        whisper_transcribe, whisper_transcribe_cached)
 from .speculative import speculative_generate
@@ -103,6 +104,7 @@ __all__ = [
     "MoPBlock",
     "decode_chunk",
     "generate",
+    "generate_beam",
     "generate_cached",
     "speculative_generate",
     "whisper_transcribe",
