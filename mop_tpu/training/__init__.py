@@ -1,5 +1,7 @@
 """Training utilities for MoP models (reference ``mop/training/__init__.py``)."""
 
+from .lora import (lora_init, lora_merge, lora_param_count,
+                   make_lora_lm_train_step, make_lora_train_step)
 from .trainer import Trainer, train_model
 from .utils import (
     AsyncCheckpointManager,
@@ -35,4 +37,9 @@ __all__ = [
     "restore_checkpoint_sharded",
     "AsyncCheckpointManager",
     "print_model_info",
+    "lora_init",
+    "lora_merge",
+    "lora_param_count",
+    "make_lora_train_step",
+    "make_lora_lm_train_step",
 ]
