@@ -188,7 +188,10 @@ class DecodeEngine:
                  cache_sharding=None,
                  prefill_buckets: Optional[Sequence[int]] = None,
                  prefix_cache_entries: int = 0,
-                 kv_dtype=jnp.float32):
+                 kv_dtype=jnp.float32,
+                 min_p: float = 0.0, repetition_penalty: float = 1.0,
+                 presence_penalty: float = 0.0,
+                 frequency_penalty: float = 0.0):
         """``cache_sharding``: optional ``jax.sharding.NamedSharding`` for
         the K/K2/V slot pools — e.g. heads over the mesh 'model' axis,
         ``NamedSharding(mesh, P(None, None, 'model', None, None))`` — for
@@ -224,6 +227,10 @@ class DecodeEngine:
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
+        self.min_p = min_p
+        self.repetition_penalty = repetition_penalty
+        self.presence_penalty = presence_penalty
+        self.frequency_penalty = frequency_penalty
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         cfg = model.config
         self.block_size = cfg.block_size
@@ -245,6 +252,17 @@ class DecodeEngine:
         self._slot_topk = np.zeros((max_batch,), np.int32)   # 0 = off
         self._slot_topp = np.ones((max_batch,), np.float32)  # 1.0 = off
         self._slot_eos = np.full((max_batch,), -1, np.int64)  # -1 = none
+        self._slot_minp = np.zeros((max_batch,), np.float32)  # 0 = off
+        self._slot_rep = np.ones((max_batch,), np.float32)    # 1 = off
+        self._slot_pres = np.zeros((max_batch,), np.float32)  # 0 = off
+        self._slot_freq = np.zeros((max_batch,), np.float32)  # 0 = off
+        # per-slot penalty state: output-token counts and prompt-seen masks
+        # ((B, vocab) device buffers, threaded through the jitted step so
+        # the counts update on-device; rows are re-seeded at admission from
+        # the request's prompt + previously emitted tokens)
+        self._vocab = model.vocab_size
+        self._ocounts = jnp.zeros((max_batch, self._vocab), jnp.int32)
+        self._pseen = jnp.zeros((max_batch, self._vocab), bool)
         self._queue: deque = deque()
         self._results: Dict[int, List[int]] = {}
         self._done: Dict[int, bool] = {}
@@ -252,13 +270,16 @@ class DecodeEngine:
         self.tokens_generated = 0
         self.engine_steps = 0
 
-        def _step(params, cache, tokens, lens, rng, temp, topk, topp):
+        def _step(params, cache, tokens, lens, rng, temp, topk, topp,
+                  minp, rep, pres, freq, ocounts, pseen):
             logits, new_cache = decode_step_rows(
                 self.model, params, cache, tokens, lens)
-            nxt = self._pick_rows(logits, rng, temp, topk, topp)
-            return nxt, new_cache
+            nxt = self._pick_rows(logits, rng, temp, topk, topp, minp,
+                                  rep, pres, freq, ocounts, pseen)
+            ocounts = ocounts.at[jnp.arange(ocounts.shape[0]), nxt].add(1)
+            return nxt, new_cache, ocounts
 
-        self._step_fn = jax.jit(_step)
+        self._step_fn = jax.jit(_step, donate_argnums=(12,))
         self.prefill_buckets = (
             sorted(prefill_buckets) if prefill_buckets else None)
         if self.prefill_buckets and self.prefill_buckets[-1] > self.block_size:
@@ -276,14 +297,16 @@ class DecodeEngine:
         # admission cost on a remote/tunneled device, and donation lets XLA
         # update the (L, B, H, block, dk) pools in place instead of copying
         # them once per .at[].set.
-        def _finish(k, k2, v, lens, tokens, pc, logits, slot, t0, rng, sp):
+        def _finish(k, k2, v, lens, tokens, pc, logits, slot, t0, rng, sp,
+                    oc, seen):
             k = k.at[:, slot].set(pc["k"][:, 0].astype(k.dtype))
             k2 = k2.at[:, slot].set(pc["k2"][:, 0].astype(k2.dtype))
             v = v.at[:, slot].set(pc["v"][:, 0].astype(v.dtype))
             lens = lens.at[slot].set(t0)
+            r1 = lambda x: jnp.reshape(x, (1,))
             tok0 = self._pick_rows(
-                logits, rng, jnp.reshape(sp[0], (1,)),
-                jnp.reshape(sp[1], (1,)), jnp.reshape(sp[2], (1,)))[0]
+                logits, rng, r1(sp[0]), r1(sp[1]), r1(sp[2]), r1(sp[3]),
+                r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen)[0]
             tokens = tokens.at[slot].set(tok0)
             if self._prefix_max:
                 store = (k[:, slot], k2[:, slot], v[:, slot])
@@ -292,19 +315,19 @@ class DecodeEngine:
             return (k, k2, v, lens, tokens, tok0) + store
 
         def _adm_exact(params, k, k2, v, lens, tokens, prompt, slot, rng,
-                       sp):
+                       sp, oc, seen):
             logits, pc = prefill(self.model, params, prompt)
             return _finish(k, k2, v, lens, tokens, pc, logits, slot,
-                           prompt.shape[1], rng, sp)
+                           prompt.shape[1], rng, sp, oc, seen)
 
         def _adm_padded(params, k, k2, v, lens, tokens, prompt, t0, slot,
-                        rng, sp):
+                        rng, sp, oc, seen):
             logits, pc = prefill_padded(self.model, params, prompt, t0)
             return _finish(k, k2, v, lens, tokens, pc, logits, slot, t0,
-                           rng, sp)
+                           rng, sp, oc, seen)
 
         def _adm_chunk(params, k, k2, v, lens, tokens, ek, ek2, ev, tail,
-                       lcp, g, slot, rng, sp):
+                       lcp, g, slot, rng, sp, oc, seen):
             # paste the entry's full-width rows; columns past lcp are the
             # OLD prompt's rows — the chunk overwrites [lcp, lcp+G) and
             # anything further is past this row's length, so masked out of
@@ -321,7 +344,7 @@ class DecodeEngine:
                 logits_all, g - 1, axis=1, keepdims=False)
             pc = {key: nc[key] for key in ("k", "k2", "v")}
             return _finish(k, k2, v, lens, tokens, pc, logits, slot,
-                           lcp + g, rng, sp)
+                           lcp + g, rng, sp, oc, seen)
 
         donate = (1, 2, 3, 4, 5)
         self._adm_exact_fn = jax.jit(_adm_exact, donate_argnums=donate)
@@ -353,13 +376,27 @@ class DecodeEngine:
     # ---------------- sampling ----------------
 
     @staticmethod
-    def _pick_rows(logits, rng, temp, topk, topp):
+    def _pick_rows(logits, rng, temp, topk, topp, minp, rep, pres, freq,
+                   ocounts, pseen):
         """Per-row sampler: each row has its own temperature (0 = greedy),
-        top_k (0 = off), and top_p (1.0 = off), so requests with different
-        sampling params batch into one fixed-shape step. Sampled in
-        sorted-logit space: mask ranks >= top_k and tokens beyond the
-        nucleus, draw, map back through argsort."""
+        top_k (0 = off), top_p (1.0 = off), min_p (0 = off), and penalties
+        (repetition 1.0 = off over prompt+output tokens; presence/frequency
+        0.0 = off over output counts — the vLLM conventions), so requests
+        with different sampling params batch into one fixed-shape step.
+        Penalties apply before the greedy argmax too. Sampled in
+        sorted-logit space: mask ranks >= top_k, tokens beyond the nucleus,
+        and tokens under the min-p floor, draw, map back through argsort.
+
+        ``ocounts``: (B, vocab) int32 output-token counts; ``pseen``:
+        (B, vocab) bool prompt membership."""
         b, v = logits.shape
+        seen = pseen | (ocounts > 0)
+        r = rep[:, None]
+        logits = jnp.where(seen,
+                           jnp.where(logits > 0, logits / r, logits * r),
+                           logits)
+        logits = logits - pres[:, None] * (ocounts > 0)
+        logits = logits - freq[:, None] * ocounts
         greedy = jnp.argmax(logits, -1).astype(jnp.int32)
         scaled = logits / jnp.maximum(temp, 1e-6)[:, None]
         order = jnp.argsort(scaled, -1)[:, ::-1]  # descending
@@ -369,6 +406,10 @@ class DecodeEngine:
         probs = jax.nn.softmax(jnp.where(keep, srt, -jnp.inf), -1)
         cum = jnp.cumsum(probs, -1)
         keep &= (cum - probs) < topp[:, None]  # top token always kept
+        # min-p in logit space: prob >= minp * max_prob  <=>
+        # logit >= max_logit + log(minp); rank-0 (the max) always kept
+        floor = srt[:, :1] + jnp.log(jnp.maximum(minp, 1e-38))[:, None]
+        keep &= (srt >= floor) | (minp[:, None] <= 0.0)
         choice = jax.random.categorical(
             rng, jnp.where(keep, srt, -jnp.inf))
         sampled = jnp.take_along_axis(order, choice[:, None], -1)[:, 0]
@@ -380,15 +421,21 @@ class DecodeEngine:
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
-               eos_id: Optional[int] = None) -> int:
+               eos_id: Optional[int] = None,
+               min_p: Optional[float] = None,
+               repetition_penalty: Optional[float] = None,
+               presence_penalty: Optional[float] = None,
+               frequency_penalty: Optional[float] = None) -> int:
         """Queue a request. ``prompt``: 1-D int sequence, 1 <= len <
         block_size. Generation stops at ``max_new_tokens``, EOS, or the
         context window, whichever first.
 
-        ``temperature``/``top_k``/``top_p``/``eos_id`` override the engine
-        defaults FOR THIS REQUEST (None = use the engine's). Requests with
-        different sampling params share the same fixed-shape batched step —
-        the picker consumes them as per-row vectors."""
+        ``temperature``/``top_k``/``top_p``/``eos_id``/``min_p``/
+        ``repetition_penalty``/``presence_penalty``/``frequency_penalty``
+        override the engine defaults FOR THIS REQUEST (None = use the
+        engine's). Requests with different sampling params share the same
+        fixed-shape batched step — the picker consumes them as per-row
+        vectors (penalty semantics in :meth:`_pick_rows`)."""
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if not 1 <= prompt.size < self.block_size:
             raise ValueError(
@@ -400,15 +447,29 @@ class DecodeEngine:
         tk = self.top_k if top_k is None else top_k
         tp = self.top_p if top_p is None else top_p
         eos = self.eos_id if eos_id is None else eos_id
+        mp = self.min_p if min_p is None else min_p
+        rp = self.repetition_penalty if repetition_penalty is None \
+            else repetition_penalty
+        pp = self.presence_penalty if presence_penalty is None \
+            else presence_penalty
+        fp = self.frequency_penalty if frequency_penalty is None \
+            else frequency_penalty
         if temp < 0:
             raise ValueError(f"temperature must be >= 0, got {temp}")
         if tk is not None and tk < 0:
             raise ValueError(f"top_k must be >= 0, got {tk}")
         if tp is not None and not 0.0 < tp <= 1.0:
             raise ValueError(f"top_p must be in (0, 1], got {tp}")
+        if not 0.0 <= mp <= 1.0:
+            raise ValueError(f"min_p must be in [0, 1], got {mp}")
+        if rp <= 0.0:
+            raise ValueError(
+                f"repetition_penalty must be > 0, got {rp}")
         sp = (np.float32(temp), np.int32(tk or 0),
               np.float32(1.0 if tp is None else tp),
-              np.int64(-1 if eos is None else eos))
+              np.int64(-1 if eos is None else eos),
+              np.float32(mp), np.float32(rp), np.float32(pp),
+              np.float32(fp))
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append((rid, prompt, max_new_tokens, sp))
@@ -461,10 +522,13 @@ class DecodeEngine:
         active = [s for s, r in enumerate(self._slot_rid) if r >= 0]
         if active:
             self._rng, sub = jax.random.split(self._rng)
-            nxt, self._cache = self._step_fn(
+            nxt, self._cache, self._ocounts = self._step_fn(
                 self.params, self._cache, self._tokens,
                 self._cache["len"], sub, jnp.asarray(self._slot_temp),
-                jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp))
+                jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
+                jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
+                jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
+                self._ocounts, self._pseen)
             # inactive rows advanced too (fixed-shape step); reset their
             # lengths so their garbage rows stay out of any future prefix
             mask = np.zeros((self.max_batch,), bool)
@@ -527,9 +591,22 @@ class DecodeEngine:
         self._rng, sub = jax.random.split(self._rng)
         entry, lcp = self._prefix_lookup(prompt)
         slot_ = np.int32(slot)
-        self._slot_temp[slot], self._slot_topk[slot], \
-            self._slot_topp[slot], self._slot_eos[slot] = sp
-        sp3 = sp[:3]
+        (self._slot_temp[slot], self._slot_topk[slot],
+         self._slot_topp[slot], self._slot_eos[slot],
+         self._slot_minp[slot], self._slot_rep[slot],
+         self._slot_pres[slot], self._slot_freq[slot]) = sp
+        # picker scalars (everything but eos) + penalty-state rows: output
+        # counts from tokens ALREADY emitted for this rid (non-empty only on
+        # paged re-admission after preemption), prompt membership from the
+        # queued prefix
+        spk = (sp[0], sp[1], sp[2], sp[4], sp[5], sp[6], sp[7])
+        oc = np.zeros((1, self._vocab), np.int32)
+        prev = self._results[rid]
+        if prev:
+            np.add.at(oc[0], np.asarray(prev, np.int64), 1)
+        seen = np.zeros((1, self._vocab), bool)
+        seen[0, prompt] = True
+        oc_j, seen_j = jnp.asarray(oc), jnp.asarray(seen)
         pools = (self.params, c["k"], c["k2"], c["v"], c["len"],
                  self._tokens)
         if entry is not None:
@@ -540,7 +617,7 @@ class DecodeEngine:
             out = self._adm_chunk_fn(
                 *pools, entry["k"], entry["k2"], entry["v"],
                 jnp.asarray(tail), np.int32(lcp), np.int32(g), slot_, sub,
-                sp3)
+                spk, oc_j, seen_j)
             self.prefix_cache_hits += 1
             self.prefix_tokens_reused += lcp
         else:
@@ -548,17 +625,21 @@ class DecodeEngine:
             if padded is not None:
                 out = self._adm_padded_fn(*pools, padded[0],
                                           np.int32(padded[1]), slot_, sub,
-                                          sp3)
+                                          spk, oc_j, seen_j)
             else:
                 out = self._adm_exact_fn(*pools, prompt[None, :], slot_,
-                                         sub, sp3)
+                                         sub, spk, oc_j, seen_j)
         (c["k"], c["k2"], c["v"], c["len"], self._tokens, tok0), store = \
             out[:6], out[6:]
+        tok0 = int(tok0)
+        # tok0 is this request's first output token -> counted
+        self._ocounts = self._ocounts.at[slot].set(oc_j[0].at[tok0].add(1))
+        self._pseen = self._pseen.at[slot].set(seen_j[0])
         self._slot_rid[slot] = rid
         self._budget[slot] = max_new  # tokens still to emit, incl. tok0
         self._prefix_store(prompt, store)
         self._on_admit(slot, prompt)
-        return slot, rid, int(tok0), t0
+        return slot, rid, tok0, t0
 
     # ---------------- prefix cache ----------------
 
@@ -710,15 +791,25 @@ class SpecDecodeEngine(DecodeEngine):
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
-               eos_id: Optional[int] = None) -> int:
+               eos_id: Optional[int] = None,
+               min_p: Optional[float] = None,
+               repetition_penalty: Optional[float] = None,
+               presence_penalty: Optional[float] = None,
+               frequency_penalty: Optional[float] = None) -> int:
         """Greedy-only: speculative verification compares the target's
-        argmax against the draft's, so per-request sampling overrides other
-        than ``eos_id`` are rejected."""
+        argmax against the draft's (and penalties would change the argmax
+        per emitted position, breaking draft/verify agreement), so
+        per-request sampling overrides other than ``eos_id`` are
+        rejected."""
         if temperature not in (None, 0, 0.0) or top_k is not None or \
-                top_p not in (None, 1.0):
+                top_p not in (None, 1.0) or min_p not in (None, 0.0) or \
+                repetition_penalty not in (None, 1.0) or \
+                presence_penalty not in (None, 0.0) or \
+                frequency_penalty not in (None, 0.0):
             raise ValueError(
                 "SpecDecodeEngine is greedy-only; per-request temperature/"
-                "top_k/top_p are not supported (use DecodeEngine)")
+                "top_k/top_p/min_p/penalties are not supported (use "
+                "DecodeEngine)")
         return super().submit(prompt, max_new_tokens, eos_id=eos_id)
 
     def _on_admit(self, slot: int, prompt: np.ndarray) -> None:

@@ -14,7 +14,8 @@ API:
 - ``POST /generate``  body ``{"prompt": [int, ...], "max_new_tokens": N}``
   -> ``{"request_id": rid, "tokens": [int, ...]}`` (blocks until done).
   Optional per-request sampling fields: ``temperature`` (0 = greedy),
-  ``top_k``, ``top_p``, ``eos_id`` — requests with different sampling
+  ``top_k``, ``top_p``, ``eos_id``, ``min_p``, ``repetition_penalty``,
+  ``presence_penalty``, ``frequency_penalty`` — requests with different sampling
   params still batch onto the same device step.
 - ``POST /generate`` with ``"stream": true`` -> Server-Sent Events
   (``text/event-stream``): one ``data: {"token": t}`` event per generated
@@ -156,7 +157,10 @@ class ServingServer:
                     kw = {}
                     for key, cast in (("temperature", float),
                                       ("top_p", float), ("top_k", int),
-                                      ("eos_id", int)):
+                                      ("eos_id", int), ("min_p", float),
+                                      ("repetition_penalty", float),
+                                      ("presence_penalty", float),
+                                      ("frequency_penalty", float)):
                         if req.get(key) is not None:
                             kw[key] = cast(req[key])
                     if (not isinstance(prompt, list)

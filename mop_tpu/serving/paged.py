@@ -132,7 +132,10 @@ class PagedDecodeEngine(DecodeEngine):
                  top_k: Optional[int] = None, top_p: Optional[float] = None,
                  rng: Optional[Array] = None,
                  prefill_buckets: Optional[Sequence[int]] = None,
-                 kv_dtype=jnp.float32):
+                 kv_dtype=jnp.float32,
+                 min_p: float = 0.0, repetition_penalty: float = 1.0,
+                 presence_penalty: float = 0.0,
+                 frequency_penalty: float = 0.0):
         cfg = model.config
         if cfg.block_size % page_size != 0:
             raise ValueError(
@@ -149,7 +152,10 @@ class PagedDecodeEngine(DecodeEngine):
         super().__init__(model, params, max_batch=max_batch, eos_id=eos_id,
                          temperature=temperature, top_k=top_k, top_p=top_p,
                          rng=rng, prefill_buckets=prefill_buckets,
-                         kv_dtype=kv_dtype)
+                         kv_dtype=kv_dtype, min_p=min_p,
+                         repetition_penalty=repetition_penalty,
+                         presence_penalty=presence_penalty,
+                         frequency_penalty=frequency_penalty)
         # the page pool replaces the dense slot slabs (which _make_cache
         # below prevents from ever being allocated)
         self._pool = init_paged_pool(cfg, n_pages, page_size, kv_dtype)
@@ -165,17 +171,20 @@ class PagedDecodeEngine(DecodeEngine):
         self.peak_pages_in_use = 0
 
         def _step(params_, pool, table, tokens, lens, rng_, temp, topk,
-                  topp):
+                  topp, minp, rep, pres, freq, ocounts, pseen):
             logits, new = paged_decode_step_rows(
                 self.model, params_, pool, table, tokens, lens)
-            nxt = self._pick_rows(logits, rng_, temp, topk, topp)
-            return nxt, new
+            nxt = self._pick_rows(logits, rng_, temp, topk, topp, minp,
+                                  rep, pres, freq, ocounts, pseen)
+            ocounts = ocounts.at[jnp.arange(ocounts.shape[0]), nxt].add(1)
+            return nxt, new, ocounts
 
-        self._pstep_fn = jax.jit(_step, donate_argnums=(1,))
+        self._pstep_fn = jax.jit(_step, donate_argnums=(1, 13))
 
         npb = self.pages_per_slot
 
-        def _padm_finish(pool, pc, logits, pages, tokens, slot, rng_, sp):
+        def _padm_finish(pool, pc, logits, pages, tokens, slot, rng_, sp,
+                         oc, seen):
             # Slice the prefill's full-width rows into the allocated pages.
             # ``pages`` is always the full (pages_per_slot,) row — entries
             # past the allocation point at scratch page 0, whose duplicate
@@ -189,23 +198,24 @@ class PagedDecodeEngine(DecodeEngine):
                 pool = dict(pool)
                 pool[key] = pool[key].at[:, pages].set(
                     chunk.astype(pool[key].dtype))
+            r1 = lambda x: jnp.reshape(x, (1,))
             tok0 = self._pick_rows(
-                logits, rng_, jnp.reshape(sp[0], (1,)),
-                jnp.reshape(sp[1], (1,)), jnp.reshape(sp[2], (1,)))[0]
+                logits, rng_, r1(sp[0]), r1(sp[1]), r1(sp[2]), r1(sp[3]),
+                r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen)[0]
             tokens = tokens.at[slot].set(tok0)
             return pool, tokens, tok0
 
         def _padm_exact(params_, pool, tokens, prompt, pages, slot, rng_,
-                        sp):
+                        sp, oc, seen):
             logits, pc = prefill(self.model, params_, prompt)
             return _padm_finish(pool, pc, logits, pages, tokens, slot, rng_,
-                                sp)
+                                sp, oc, seen)
 
         def _padm_padded(params_, pool, tokens, prompt, t0, pages, slot,
-                         rng_, sp):
+                         rng_, sp, oc, seen):
             logits, pc = prefill_padded(self.model, params_, prompt, t0)
             return _padm_finish(pool, pc, logits, pages, tokens, slot, rng_,
-                                sp)
+                                sp, oc, seen)
 
         self._padm_exact_fn = jax.jit(_padm_exact, donate_argnums=(1, 2))
         self._padm_padded_fn = jax.jit(_padm_padded, donate_argnums=(1, 2))
@@ -268,7 +278,11 @@ class PagedDecodeEngine(DecodeEngine):
         sp = (np.float32(self._slot_temp[victim]),
               np.int32(self._slot_topk[victim]),
               np.float32(self._slot_topp[victim]),
-              np.int64(self._slot_eos[victim]))
+              np.int64(self._slot_eos[victim]),
+              np.float32(self._slot_minp[victim]),
+              np.float32(self._slot_rep[victim]),
+              np.float32(self._slot_pres[victim]),
+              np.float32(self._slot_freq[victim]))
         new_toks = self._results[rid][int(self._slot_res_base[victim]):]
         prefix = np.concatenate([
             self._slot_prompt[victim],
@@ -337,8 +351,21 @@ class PagedDecodeEngine(DecodeEngine):
         self._lens[slot] = t0
         self._slot_prompt[slot] = prompt.copy()
         self._slot_res_base[slot] = len(self._results[rid])
-        self._slot_temp[slot], self._slot_topk[slot], \
-            self._slot_topp[slot], self._slot_eos[slot] = sp
+        (self._slot_temp[slot], self._slot_topk[slot],
+         self._slot_topp[slot], self._slot_eos[slot],
+         self._slot_minp[slot], self._slot_rep[slot],
+         self._slot_pres[slot], self._slot_freq[slot]) = sp
+        spk = (sp[0], sp[1], sp[2], sp[4], sp[5], sp[6], sp[7])
+        # penalty state: output counts from tokens already emitted for this
+        # rid (re-prefilled prefixes after preemption keep their penalty
+        # history), prompt membership from the queued prefix
+        oc = np.zeros((1, self._vocab), np.int32)
+        prev = self._results[rid]
+        if prev:
+            np.add.at(oc[0], np.asarray(prev, np.int64), 1)
+        seen = np.zeros((1, self._vocab), bool)
+        seen[0, prompt] = True
+        oc_j, seen_j = jnp.asarray(oc), jnp.asarray(seen)
         self._rng, sub = jax.random.split(self._rng)
         # full-width page row (scratch-padded) -> one compile per bucket
         pages_full = np.zeros((self.pages_per_slot,), np.int32)
@@ -348,14 +375,18 @@ class PagedDecodeEngine(DecodeEngine):
         if padded is not None:
             self._pool, self._tokens, tok0 = self._padm_padded_fn(
                 self.params, self._pool, self._tokens, padded[0],
-                np.int32(padded[1]), pages_j, np.int32(slot), sub, sp[:3])
+                np.int32(padded[1]), pages_j, np.int32(slot), sub, spk,
+                oc_j, seen_j)
         else:
             self._pool, self._tokens, tok0 = self._padm_exact_fn(
                 self.params, self._pool, self._tokens, prompt[None, :],
-                pages_j, np.int32(slot), sub, sp[:3])
+                pages_j, np.int32(slot), sub, spk, oc_j, seen_j)
+        tok0 = int(tok0)
+        self._ocounts = self._ocounts.at[slot].set(oc_j[0].at[tok0].add(1))
+        self._pseen = self._pseen.at[slot].set(seen_j[0])
         self._slot_rid[slot] = rid
         self._budget[slot] = max_new
-        return slot, rid, int(tok0), t0
+        return slot, rid, tok0, t0
 
     # ---------------- engine loop ----------------
 
@@ -379,10 +410,13 @@ class PagedDecodeEngine(DecodeEngine):
         if active:
             self._rng, sub = jax.random.split(self._rng)
             lens_j = jnp.asarray(self._lens)
-            nxt, self._pool = self._pstep_fn(
+            nxt, self._pool, self._ocounts = self._pstep_fn(
                 self.params, self._pool, jnp.asarray(self._table),
                 self._tokens, lens_j, sub, jnp.asarray(self._slot_temp),
-                jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp))
+                jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
+                jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
+                jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
+                self._ocounts, self._pseen)
             self._tokens = nxt
             toks = jax.device_get(nxt)
             active_set = set(active)
