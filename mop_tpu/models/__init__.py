@@ -27,7 +27,7 @@ from .components import (
     ViTEncoder,
     ViTEncoderMoE,
 )
-from .beam import generate_beam
+from .beam import generate_beam, whisper_transcribe_beam
 from .generate import (decode_chunk, generate, generate_cached,
                        whisper_transcribe, whisper_transcribe_cached)
 from .speculative import speculative_generate
@@ -108,6 +108,7 @@ __all__ = [
     "generate_cached",
     "speculative_generate",
     "whisper_transcribe",
+    "whisper_transcribe_beam",
     "whisper_transcribe_cached",
     # Whisper family
     "WhisperMoP",

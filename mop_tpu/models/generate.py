@@ -879,6 +879,89 @@ def _mha(q, ks, vs, n_valid=None):
     return jnp.einsum("bhqk,bhkd->bhqd", a, vs)
 
 
+def whisper_decode_prep(model, params, mel: Array, kv_dtype=jnp.float32):
+    """One encoder pass + per-layer cross-attention K/V for cached Whisper
+    decoding. Returns ``(p, cfg, cross_k, cross_v)`` where cross_k/v are
+    (L, B, H, T_enc, dh). Shared by the greedy, beam, and serving paths."""
+    from ..ops.quant import Q4Tensor, QTensor, dequantize_params
+
+    cfg = model.cfg
+    p = params["params"]
+    h = cfg.n_head
+    dh = cfg.n_embd // h
+    L = cfg.n_layer_dec
+    # The flax encoder module cannot consume Q/Q4Tensor leaves; if the
+    # params are int8/int4-quantized, dequantize for the ONE encoder pass
+    # (the decode loop reads the quantized weights through _lin).
+    is_q = lambda l: isinstance(l, (QTensor, Q4Tensor))
+    has_q = any(is_q(l) for l in jax.tree_util.tree_leaves(
+        params, is_leaf=is_q))
+    enc_params = dequantize_params(params) if has_q else params
+    enc_out, _ = model.apply(enc_params, mel, method=model.encode)
+    b = mel.shape[0]
+    tk = enc_out.shape[1]
+    cross_kv = []
+    for i in range(L):
+        cp = p[f"decoder_{i}"]["cross_attn"]
+        ck = _lin(enc_out, cp["k_proj"]).reshape(b, tk, h, dh).transpose(
+            0, 2, 1, 3)
+        cv = _lin(enc_out, cp["v_proj"]).reshape(b, tk, h, dh).transpose(
+            0, 2, 1, 3)
+        cross_kv.append((ck, cv))
+    cross_k = jnp.stack([kv[0] for kv in cross_kv]).astype(kv_dtype)
+    cross_v = jnp.stack([kv[1] for kv in cross_kv]).astype(kv_dtype)
+    return p, cfg, cross_k, cross_v
+
+
+def whisper_decode_token(p, cfg, tok: Array, pos, ks, vs, cross_k,
+                         cross_v):
+    """One exact cached Whisper decoder step for (B,) tokens at position
+    ``pos``: writes this token's self-attention K/V rows at ``pos`` and
+    returns ``(logits (B, vocab), new_ks, new_vs)``. The reusable core of
+    the greedy scan and the beam search."""
+    b = tok.shape[0]
+    h = cfg.n_head
+    d = cfg.n_embd
+    dh = d // h
+    L = cfg.n_layer_dec
+    lin = _lin
+
+    def split1(y):  # (B, 1, D) -> (B, H, 1, dh)
+        return y.reshape(b, 1, h, dh).transpose(0, 2, 1, 3)
+
+    x = p["wte"]["embedding"][tok][:, None, :]
+    if cfg.use_abs_pos_emb:
+        x = x + p["text_pos"]["embedding"][pos][None, None, :]
+    new_ks, new_vs = ks, vs
+    for li in range(L):
+        bp = p[f"decoder_{li}"]
+        hx = _ln(x, bp["ln1"])
+        sp = bp["self_attn"]
+        q = split1(lin(hx, sp["q_proj"]))
+        k_new = split1(lin(hx, sp["k_proj"]))
+        v_new = split1(lin(hx, sp["v_proj"]))
+        # Single-row cache write (O(d) traffic, not a full-window where).
+        new_ks = jax.lax.dynamic_update_slice(
+            new_ks, k_new[None].astype(new_ks.dtype), (li, 0, 0, pos, 0))
+        new_vs = jax.lax.dynamic_update_slice(
+            new_vs, v_new[None].astype(new_vs.dtype), (li, 0, 0, pos, 0))
+        y = _mha(q, new_ks[li], new_vs[li], n_valid=pos + 1)
+        y = y.transpose(0, 2, 1, 3).reshape(b, 1, d)
+        x = x + lin(y, sp["o_proj"])
+        cx = _ln(x, bp["ln2"])
+        cp = bp["cross_attn"]
+        qc = split1(lin(cx, cp["q_proj"]))
+        yc = _mha(qc, cross_k[li], cross_v[li])
+        yc = yc.transpose(0, 2, 1, 3).reshape(b, 1, d)
+        x = x + lin(yc, cp["o_proj"])
+        mx = _ln(x, bp["ln3"])
+        mp = bp["mlp"]
+        x = x + lin(gelu_tanh(lin(mx, mp["fc"])), mp["proj"])
+    x = _ln(x, p["dec_ln_f"])
+    logits = (x @ p["wte"]["embedding"].T)[:, 0, :]
+    return logits, new_ks, new_vs
+
+
 def whisper_transcribe_cached(
     model,
     params,
@@ -894,80 +977,22 @@ def whisper_transcribe_cached(
     ``kv_dtype=jnp.bfloat16`` halves self- and cross-attention KV storage
     and read traffic (compute stays fp32).
     """
-    from ..ops.quant import Q4Tensor, QTensor, dequantize_params
-
-    cfg = model.cfg
-    p = params["params"]
-    h = cfg.n_head
-    d = cfg.n_embd
-    dh = d // h
-    L = cfg.n_layer_dec
-    # The flax encoder module cannot consume Q/Q4Tensor leaves; if the
-    # params are int8/int4-quantized, dequantize for the ONE encoder pass
-    # (the decode loop below reads the quantized weights through _lin).
-    is_q = lambda l: isinstance(l, (QTensor, Q4Tensor))
-    has_q = any(is_q(l) for l in jax.tree_util.tree_leaves(
-        params, is_leaf=is_q))
-    enc_params = dequantize_params(params) if has_q else params
-    enc_out, _ = model.apply(enc_params, mel, method=model.encode)
+    p, cfg, cross_k, cross_v = whisper_decode_prep(model, params, mel,
+                                                   kv_dtype)
     b = mel.shape[0]
-    tk = enc_out.shape[1]
+    h = cfg.n_head
+    dh = cfg.n_embd // h
+    L = cfg.n_layer_dec
     win = max_tokens + 1
-
-    lin = _lin
-
-    def split1(y):  # (B, 1, D) -> (B, H, 1, dh)
-        return y.reshape(b, 1, h, dh).transpose(0, 2, 1, 3)
-
-    # Cross-attention K/V once per layer from the encoder memory.
-    cross_kv = []
-    for i in range(L):
-        cp = p[f"decoder_{i}"]["cross_attn"]
-        ck = lin(enc_out, cp["k_proj"]).reshape(b, tk, h, dh).transpose(
-            0, 2, 1, 3)
-        cv = lin(enc_out, cp["v_proj"]).reshape(b, tk, h, dh).transpose(
-            0, 2, 1, 3)
-        cross_kv.append((ck, cv))
-    cross_k = jnp.stack([kv[0] for kv in cross_kv]).astype(kv_dtype)
-    cross_v = jnp.stack([kv[1] for kv in cross_kv]).astype(kv_dtype)
-
     k0 = jnp.zeros((L, b, h, win, dh), kv_dtype)
     v0 = jnp.zeros((L, b, h, win, dh), kv_dtype)
 
     def step(carry, i):
         tok, ks, vs = carry
-        x = p["wte"]["embedding"][tok][:, None, :]
-        if cfg.use_abs_pos_emb:
-            x = x + p["text_pos"]["embedding"][i][None, None, :]
-        new_ks, new_vs = ks, vs
-        for li in range(L):
-            bp = p[f"decoder_{li}"]
-            hx = _ln(x, bp["ln1"])
-            sp = bp["self_attn"]
-            q = split1(lin(hx, sp["q_proj"]))
-            k_new = split1(lin(hx, sp["k_proj"]))
-            v_new = split1(lin(hx, sp["v_proj"]))
-            # Single-row cache write (O(d) traffic, not a full-window where).
-            new_ks = jax.lax.dynamic_update_slice(
-                new_ks, k_new[None].astype(new_ks.dtype), (li, 0, 0, i, 0))
-            new_vs = jax.lax.dynamic_update_slice(
-                new_vs, v_new[None].astype(new_vs.dtype), (li, 0, 0, i, 0))
-            y = _mha(q, new_ks[li], new_vs[li], n_valid=i + 1)
-            y = y.transpose(0, 2, 1, 3).reshape(b, 1, d)
-            x = x + lin(y, sp["o_proj"])
-            cx = _ln(x, bp["ln2"])
-            cp = bp["cross_attn"]
-            qc = split1(lin(cx, cp["q_proj"]))
-            yc = _mha(qc, cross_k[li], cross_v[li])
-            yc = yc.transpose(0, 2, 1, 3).reshape(b, 1, d)
-            x = x + lin(yc, cp["o_proj"])
-            mx = _ln(x, bp["ln3"])
-            mp = bp["mlp"]
-            x = x + lin(gelu_tanh(lin(mx, mp["fc"])), mp["proj"])
-        x = _ln(x, p["dec_ln_f"])
-        logits = (x @ p["wte"]["embedding"].T)[:, 0, :]
+        logits, ks, vs = whisper_decode_token(p, cfg, tok, i, ks, vs,
+                                              cross_k, cross_v)
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
-        return (nxt, new_ks, new_vs), nxt
+        return (nxt, ks, vs), nxt
 
     tok0 = jnp.full((b,), bos_token, jnp.int32)
     _, outs = jax.lax.scan(step, (tok0, k0, v0), jnp.arange(max_tokens))

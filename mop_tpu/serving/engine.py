@@ -263,6 +263,12 @@ class DecodeEngine:
         self._vocab = model.vocab_size
         self._ocounts = jnp.zeros((max_batch, self._vocab), jnp.int32)
         self._pseen = jnp.zeros((max_batch, self._vocab), bool)
+        # per-slot logit bias rows (0 = no effect) + host copies for paged
+        # re-admission; per-slot multi-token stop sequences (host-side
+        # suffix match in _emit_token)
+        self._lbias = jnp.zeros((max_batch, self._vocab), jnp.float32)
+        self._slot_bias: List[Optional[np.ndarray]] = [None] * max_batch
+        self._slot_stops: List[list] = [[] for _ in range(max_batch)]
         self._queue: deque = deque()
         self._results: Dict[int, List[int]] = {}
         self._done: Dict[int, bool] = {}
@@ -271,11 +277,11 @@ class DecodeEngine:
         self.engine_steps = 0
 
         def _step(params, cache, tokens, lens, rng, temp, topk, topp,
-                  minp, rep, pres, freq, ocounts, pseen):
+                  minp, rep, pres, freq, ocounts, pseen, lbias):
             logits, new_cache = decode_step_rows(
                 self.model, params, cache, tokens, lens)
             nxt = self._pick_rows(logits, rng, temp, topk, topp, minp,
-                                  rep, pres, freq, ocounts, pseen)
+                                  rep, pres, freq, ocounts, pseen, lbias)
             ocounts = ocounts.at[jnp.arange(ocounts.shape[0]), nxt].add(1)
             return nxt, new_cache, ocounts
 
@@ -298,7 +304,7 @@ class DecodeEngine:
         # update the (L, B, H, block, dk) pools in place instead of copying
         # them once per .at[].set.
         def _finish(k, k2, v, lens, tokens, pc, logits, slot, t0, rng, sp,
-                    oc, seen):
+                    oc, seen, lb):
             k = k.at[:, slot].set(pc["k"][:, 0].astype(k.dtype))
             k2 = k2.at[:, slot].set(pc["k2"][:, 0].astype(k2.dtype))
             v = v.at[:, slot].set(pc["v"][:, 0].astype(v.dtype))
@@ -306,7 +312,7 @@ class DecodeEngine:
             r1 = lambda x: jnp.reshape(x, (1,))
             tok0 = self._pick_rows(
                 logits, rng, r1(sp[0]), r1(sp[1]), r1(sp[2]), r1(sp[3]),
-                r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen)[0]
+                r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen, lb)[0]
             tokens = tokens.at[slot].set(tok0)
             if self._prefix_max:
                 store = (k[:, slot], k2[:, slot], v[:, slot])
@@ -315,19 +321,19 @@ class DecodeEngine:
             return (k, k2, v, lens, tokens, tok0) + store
 
         def _adm_exact(params, k, k2, v, lens, tokens, prompt, slot, rng,
-                       sp, oc, seen):
+                       sp, oc, seen, lb):
             logits, pc = prefill(self.model, params, prompt)
             return _finish(k, k2, v, lens, tokens, pc, logits, slot,
-                           prompt.shape[1], rng, sp, oc, seen)
+                           prompt.shape[1], rng, sp, oc, seen, lb)
 
         def _adm_padded(params, k, k2, v, lens, tokens, prompt, t0, slot,
-                        rng, sp, oc, seen):
+                        rng, sp, oc, seen, lb):
             logits, pc = prefill_padded(self.model, params, prompt, t0)
             return _finish(k, k2, v, lens, tokens, pc, logits, slot, t0,
-                           rng, sp, oc, seen)
+                           rng, sp, oc, seen, lb)
 
         def _adm_chunk(params, k, k2, v, lens, tokens, ek, ek2, ev, tail,
-                       lcp, g, slot, rng, sp, oc, seen):
+                       lcp, g, slot, rng, sp, oc, seen, lb):
             # paste the entry's full-width rows; columns past lcp are the
             # OLD prompt's rows — the chunk overwrites [lcp, lcp+G) and
             # anything further is past this row's length, so masked out of
@@ -344,7 +350,7 @@ class DecodeEngine:
                 logits_all, g - 1, axis=1, keepdims=False)
             pc = {key: nc[key] for key in ("k", "k2", "v")}
             return _finish(k, k2, v, lens, tokens, pc, logits, slot,
-                           lcp + g, rng, sp, oc, seen)
+                           lcp + g, rng, sp, oc, seen, lb)
 
         donate = (1, 2, 3, 4, 5)
         self._adm_exact_fn = jax.jit(_adm_exact, donate_argnums=donate)
@@ -377,19 +383,22 @@ class DecodeEngine:
 
     @staticmethod
     def _pick_rows(logits, rng, temp, topk, topp, minp, rep, pres, freq,
-                   ocounts, pseen):
+                   ocounts, pseen, lbias):
         """Per-row sampler: each row has its own temperature (0 = greedy),
-        top_k (0 = off), top_p (1.0 = off), min_p (0 = off), and penalties
+        top_k (0 = off), top_p (1.0 = off), min_p (0 = off), penalties
         (repetition 1.0 = off over prompt+output tokens; presence/frequency
-        0.0 = off over output counts — the vLLM conventions), so requests
+        0.0 = off over output counts — the vLLM conventions), and an
+        additive logit bias (0 = off; the OpenAI convention, applied before
+        everything else, so ±large values ban/force tokens), so requests
         with different sampling params batch into one fixed-shape step.
-        Penalties apply before the greedy argmax too. Sampled in
+        Bias and penalties apply before the greedy argmax too. Sampled in
         sorted-logit space: mask ranks >= top_k, tokens beyond the nucleus,
         and tokens under the min-p floor, draw, map back through argsort.
 
         ``ocounts``: (B, vocab) int32 output-token counts; ``pseen``:
-        (B, vocab) bool prompt membership."""
+        (B, vocab) bool prompt membership; ``lbias``: (B, vocab) float."""
         b, v = logits.shape
+        logits = logits + lbias
         seen = pseen | (ocounts > 0)
         r = rep[:, None]
         logits = jnp.where(seen,
@@ -425,10 +434,19 @@ class DecodeEngine:
                min_p: Optional[float] = None,
                repetition_penalty: Optional[float] = None,
                presence_penalty: Optional[float] = None,
-               frequency_penalty: Optional[float] = None) -> int:
+               frequency_penalty: Optional[float] = None,
+               logit_bias: Optional[dict] = None,
+               stop=None) -> int:
         """Queue a request. ``prompt``: 1-D int sequence, 1 <= len <
-        block_size. Generation stops at ``max_new_tokens``, EOS, or the
-        context window, whichever first.
+        block_size. Generation stops at ``max_new_tokens``, EOS, a ``stop``
+        match, or the context window, whichever first.
+
+        ``logit_bias``: {token_id: float} added to that token's logit every
+        step (±large values ban/force tokens — the OpenAI convention).
+        ``stop``: sequence of stop specs, each an int (extra EOS-like
+        token) or a token-id sequence (multi-token stop, matched host-side
+        against the emitted suffix). The matched stop tokens remain in the
+        result (same contract as EOS).
 
         ``temperature``/``top_k``/``top_p``/``eos_id``/``min_p``/
         ``repetition_penalty``/``presence_penalty``/``frequency_penalty``
@@ -470,9 +488,26 @@ class DecodeEngine:
               np.int64(-1 if eos is None else eos),
               np.float32(mp), np.float32(rp), np.float32(pp),
               np.float32(fp))
+        bias_row = None
+        if logit_bias:
+            bias_row = np.zeros((self._vocab,), np.float32)
+            for t, b in logit_bias.items():
+                t = int(t)
+                if not 0 <= t < self._vocab:
+                    raise ValueError(
+                        f"logit_bias token {t} outside vocab "
+                        f"[0, {self._vocab})")
+                bias_row[t] = float(b)
+        stops = []
+        for s in (stop or ()):
+            seq = [int(s)] if np.isscalar(s) else [int(t) for t in s]
+            if not seq:
+                raise ValueError("empty stop sequence")
+            stops.append(seq)
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append((rid, prompt, max_new_tokens, sp))
+        self._queue.append((rid, prompt, max_new_tokens, sp, bias_row,
+                            stops))
         self._results[rid] = []
         self._done[rid] = False
         return rid
@@ -490,12 +525,16 @@ class DecodeEngine:
         """Record one emitted token; retire the slot on EOS / window-full /
         budget-exhausted. Returns whether the request is still live."""
         self.tokens_generated += 1
-        self._results[rid].append(tok)
+        res = self._results[rid]
+        res.append(tok)
         emitted.setdefault(rid, []).append(tok)
         self._budget[slot] -= 1
         hit_eos = tok == self._slot_eos[slot]
+        hit_stop = any(len(res) >= len(sq) and res[-len(sq):] == sq
+                       for sq in self._slot_stops[slot])
         # the next decode would append at position new_len
-        if hit_eos or new_len >= self.block_size or self._budget[slot] <= 0:
+        if hit_eos or hit_stop or new_len >= self.block_size \
+                or self._budget[slot] <= 0:
             self._slot_rid[slot] = -1
             self._done[rid] = True
             return False
@@ -528,7 +567,7 @@ class DecodeEngine:
                 jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
                 jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
                 jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
-                self._ocounts, self._pseen)
+                self._ocounts, self._pseen, self._lbias)
             # inactive rows advanced too (fixed-shape step); reset their
             # lengths so their garbage rows stay out of any future prefix
             mask = np.zeros((self.max_batch,), bool)
@@ -585,7 +624,7 @@ class DecodeEngine:
             slot = self._slot_rid.index(-1)
         except ValueError:
             return None
-        rid, prompt, max_new, sp = self._queue.popleft()
+        rid, prompt, max_new, sp, bias_row, stops = self._queue.popleft()
         t0 = int(prompt.size)
         c = self._cache
         self._rng, sub = jax.random.split(self._rng)
@@ -595,6 +634,11 @@ class DecodeEngine:
          self._slot_topp[slot], self._slot_eos[slot],
          self._slot_minp[slot], self._slot_rep[slot],
          self._slot_pres[slot], self._slot_freq[slot]) = sp
+        self._slot_bias[slot] = bias_row
+        self._slot_stops[slot] = stops
+        lb = jnp.zeros((1, self._vocab), jnp.float32) if bias_row is None \
+            else jnp.asarray(bias_row)[None]
+        self._lbias = self._lbias.at[slot].set(lb[0])
         # picker scalars (everything but eos) + penalty-state rows: output
         # counts from tokens ALREADY emitted for this rid (non-empty only on
         # paged re-admission after preemption), prompt membership from the
@@ -617,7 +661,7 @@ class DecodeEngine:
             out = self._adm_chunk_fn(
                 *pools, entry["k"], entry["k2"], entry["v"],
                 jnp.asarray(tail), np.int32(lcp), np.int32(g), slot_, sub,
-                spk, oc_j, seen_j)
+                spk, oc_j, seen_j, lb)
             self.prefix_cache_hits += 1
             self.prefix_tokens_reused += lcp
         else:
@@ -625,10 +669,10 @@ class DecodeEngine:
             if padded is not None:
                 out = self._adm_padded_fn(*pools, padded[0],
                                           np.int32(padded[1]), slot_, sub,
-                                          spk, oc_j, seen_j)
+                                          spk, oc_j, seen_j, lb)
             else:
                 out = self._adm_exact_fn(*pools, prompt[None, :], slot_,
-                                         sub, spk, oc_j, seen_j)
+                                         sub, spk, oc_j, seen_j, lb)
         (c["k"], c["k2"], c["v"], c["len"], self._tokens, tok0), store = \
             out[:6], out[6:]
         tok0 = int(tok0)
@@ -795,22 +839,26 @@ class SpecDecodeEngine(DecodeEngine):
                min_p: Optional[float] = None,
                repetition_penalty: Optional[float] = None,
                presence_penalty: Optional[float] = None,
-               frequency_penalty: Optional[float] = None) -> int:
+               frequency_penalty: Optional[float] = None,
+               logit_bias: Optional[dict] = None,
+               stop=None) -> int:
         """Greedy-only: speculative verification compares the target's
-        argmax against the draft's (and penalties would change the argmax
-        per emitted position, breaking draft/verify agreement), so
-        per-request sampling overrides other than ``eos_id`` are
-        rejected."""
+        argmax against the draft's (and penalties or logit bias would
+        change the argmax per emitted position, breaking draft/verify
+        agreement), so per-request sampling overrides other than
+        ``eos_id`` and ``stop`` (host-side suffix matching, decode-
+        semantics-neutral) are rejected."""
         if temperature not in (None, 0, 0.0) or top_k is not None or \
                 top_p not in (None, 1.0) or min_p not in (None, 0.0) or \
                 repetition_penalty not in (None, 1.0) or \
                 presence_penalty not in (None, 0.0) or \
-                frequency_penalty not in (None, 0.0):
+                frequency_penalty not in (None, 0.0) or logit_bias:
             raise ValueError(
                 "SpecDecodeEngine is greedy-only; per-request temperature/"
-                "top_k/top_p/min_p/penalties are not supported (use "
-                "DecodeEngine)")
-        return super().submit(prompt, max_new_tokens, eos_id=eos_id)
+                "top_k/top_p/min_p/penalties/logit_bias are not supported "
+                "(use DecodeEngine)")
+        return super().submit(prompt, max_new_tokens, eos_id=eos_id,
+                              stop=stop)
 
     def _on_admit(self, slot: int, prompt: np.ndarray) -> None:
         d = self._dcache

@@ -15,7 +15,9 @@ API:
   -> ``{"request_id": rid, "tokens": [int, ...]}`` (blocks until done).
   Optional per-request sampling fields: ``temperature`` (0 = greedy),
   ``top_k``, ``top_p``, ``eos_id``, ``min_p``, ``repetition_penalty``,
-  ``presence_penalty``, ``frequency_penalty`` — requests with different sampling
+  ``presence_penalty``, ``frequency_penalty``, ``logit_bias`` (JSON object
+  ``{token_id: bias}``), ``stop`` (list of ints or token-id lists) —
+  requests with different sampling
   params still batch onto the same device step.
 - ``POST /generate`` with ``"stream": true`` -> Server-Sent Events
   (``text/event-stream``): one ``data: {"token": t}`` event per generated
@@ -163,6 +165,12 @@ class ServingServer:
                                       ("frequency_penalty", float)):
                         if req.get(key) is not None:
                             kw[key] = cast(req[key])
+                    if req.get("logit_bias") is not None:
+                        kw["logit_bias"] = {
+                            int(t): float(v)
+                            for t, v in req["logit_bias"].items()}
+                    if req.get("stop") is not None:
+                        kw["stop"] = req["stop"]
                     if (not isinstance(prompt, list)
                             or not all(isinstance(t, int) for t in prompt)):
                         raise ValueError("prompt must be a list of ints")

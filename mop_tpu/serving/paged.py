@@ -171,11 +171,11 @@ class PagedDecodeEngine(DecodeEngine):
         self.peak_pages_in_use = 0
 
         def _step(params_, pool, table, tokens, lens, rng_, temp, topk,
-                  topp, minp, rep, pres, freq, ocounts, pseen):
+                  topp, minp, rep, pres, freq, ocounts, pseen, lbias):
             logits, new = paged_decode_step_rows(
                 self.model, params_, pool, table, tokens, lens)
             nxt = self._pick_rows(logits, rng_, temp, topk, topp, minp,
-                                  rep, pres, freq, ocounts, pseen)
+                                  rep, pres, freq, ocounts, pseen, lbias)
             ocounts = ocounts.at[jnp.arange(ocounts.shape[0]), nxt].add(1)
             return nxt, new, ocounts
 
@@ -184,7 +184,7 @@ class PagedDecodeEngine(DecodeEngine):
         npb = self.pages_per_slot
 
         def _padm_finish(pool, pc, logits, pages, tokens, slot, rng_, sp,
-                         oc, seen):
+                         oc, seen, lb):
             # Slice the prefill's full-width rows into the allocated pages.
             # ``pages`` is always the full (pages_per_slot,) row — entries
             # past the allocation point at scratch page 0, whose duplicate
@@ -201,21 +201,21 @@ class PagedDecodeEngine(DecodeEngine):
             r1 = lambda x: jnp.reshape(x, (1,))
             tok0 = self._pick_rows(
                 logits, rng_, r1(sp[0]), r1(sp[1]), r1(sp[2]), r1(sp[3]),
-                r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen)[0]
+                r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen, lb)[0]
             tokens = tokens.at[slot].set(tok0)
             return pool, tokens, tok0
 
         def _padm_exact(params_, pool, tokens, prompt, pages, slot, rng_,
-                        sp, oc, seen):
+                        sp, oc, seen, lb):
             logits, pc = prefill(self.model, params_, prompt)
             return _padm_finish(pool, pc, logits, pages, tokens, slot, rng_,
-                                sp, oc, seen)
+                                sp, oc, seen, lb)
 
         def _padm_padded(params_, pool, tokens, prompt, t0, pages, slot,
-                         rng_, sp, oc, seen):
+                         rng_, sp, oc, seen, lb):
             logits, pc = prefill_padded(self.model, params_, prompt, t0)
             return _padm_finish(pool, pc, logits, pages, tokens, slot, rng_,
-                                sp, oc, seen)
+                                sp, oc, seen, lb)
 
         self._padm_exact_fn = jax.jit(_padm_exact, donate_argnums=(1, 2))
         self._padm_padded_fn = jax.jit(_padm_padded, donate_argnums=(1, 2))
@@ -288,7 +288,8 @@ class PagedDecodeEngine(DecodeEngine):
             self._slot_prompt[victim],
             np.asarray(new_toks, np.int32)])
         self._queue.appendleft(
-            (rid, prefix.astype(np.int32), int(self._budget[victim]), sp))
+            (rid, prefix.astype(np.int32), int(self._budget[victim]), sp,
+             self._slot_bias[victim], self._slot_stops[victim]))
         self._slot_rid[victim] = -1
         self._free_slot_pages(victim)
         self.preemptions += 1
@@ -337,7 +338,7 @@ class PagedDecodeEngine(DecodeEngine):
         if not self._queue:
             return None
         self._reclaim_retired()
-        rid, prompt, max_new, sp = self._queue[0]
+        rid, prompt, max_new, sp, bias_row, stops = self._queue[0]
         t0 = int(prompt.size)
         # pages covering positions 0..t0 (t0 = where tok0's K lands next)
         n_need = t0 // self.page_size + 1
@@ -355,6 +356,11 @@ class PagedDecodeEngine(DecodeEngine):
          self._slot_topp[slot], self._slot_eos[slot],
          self._slot_minp[slot], self._slot_rep[slot],
          self._slot_pres[slot], self._slot_freq[slot]) = sp
+        self._slot_bias[slot] = bias_row
+        self._slot_stops[slot] = stops
+        lb = jnp.zeros((1, self._vocab), jnp.float32) if bias_row is None \
+            else jnp.asarray(bias_row)[None]
+        self._lbias = self._lbias.at[slot].set(lb[0])
         spk = (sp[0], sp[1], sp[2], sp[4], sp[5], sp[6], sp[7])
         # penalty state: output counts from tokens already emitted for this
         # rid (re-prefilled prefixes after preemption keep their penalty
@@ -376,11 +382,11 @@ class PagedDecodeEngine(DecodeEngine):
             self._pool, self._tokens, tok0 = self._padm_padded_fn(
                 self.params, self._pool, self._tokens, padded[0],
                 np.int32(padded[1]), pages_j, np.int32(slot), sub, spk,
-                oc_j, seen_j)
+                oc_j, seen_j, lb)
         else:
             self._pool, self._tokens, tok0 = self._padm_exact_fn(
                 self.params, self._pool, self._tokens, prompt[None, :],
-                pages_j, np.int32(slot), sub, spk, oc_j, seen_j)
+                pages_j, np.int32(slot), sub, spk, oc_j, seen_j, lb)
         tok0 = int(tok0)
         self._ocounts = self._ocounts.at[slot].set(oc_j[0].at[tok0].add(1))
         self._pseen = self._pseen.at[slot].set(seen_j[0])
@@ -416,7 +422,7 @@ class PagedDecodeEngine(DecodeEngine):
                 jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
                 jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
                 jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
-                self._ocounts, self._pseen)
+                self._ocounts, self._pseen, self._lbias)
             self._tokens = nxt
             toks = jax.device_get(nxt)
             active_set = set(active)

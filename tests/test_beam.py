@@ -135,3 +135,70 @@ def test_beam_int8_cache_runs():
                         num_beams=3, kv_dtype=jnp.int8)
     assert out.shape == (2, 8)
     assert bool(jnp.all((out >= 0) & (out < 9)))
+
+
+# ------------------------------ whisper beam ------------------------------
+
+def _whisper():
+    from mop_tpu.models import WhisperConfig, create_whisper_mop
+    wc = WhisperConfig(n_mels=16, n_audio_ctx=24, vocab_size=12,
+                       n_text_ctx=16, n_embd=32, n_head=2,
+                       n_layer_enc=1, n_layer_dec=2, dropout=0.0)
+    model = create_whisper_mop(wc)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 16))
+    params = model.init(jax.random.PRNGKey(1), mel,
+                        jnp.zeros((2, 4), jnp.int32))
+    return model, params, mel
+
+
+def test_whisper_beam1_equals_greedy_cached():
+    from mop_tpu.models import whisper_transcribe_beam, \
+        whisper_transcribe_cached
+    model, params, mel = _whisper()
+    greedy = whisper_transcribe_cached(model, params, mel, bos_token=3,
+                                       max_tokens=8)
+    beam = whisper_transcribe_beam(model, params, mel, bos_token=3,
+                                   max_tokens=8, num_beams=1)
+    np.testing.assert_array_equal(np.asarray(beam), np.asarray(greedy))
+
+
+def test_whisper_beam_exhaustive_two_steps():
+    """num_beams == vocab at 2 steps enumerates all V^2 continuations;
+    the winner must equal brute-force teacher-forced argmax (the Whisper
+    cache is exact, so model.decode scoring IS the beam's scoring)."""
+    from mop_tpu.models import whisper_transcribe_beam
+    model, params, mel = _whisper()
+    v, bos = 12, 3
+    out = whisper_transcribe_beam(model, params, mel, bos_token=bos,
+                                  max_tokens=2, num_beams=v,
+                                  length_penalty=0.0)
+    enc_out, _ = model.apply(params, mel, method=model.encode)
+    grid = np.stack(np.meshgrid(np.arange(v), np.arange(v),
+                                indexing="ij"), -1).reshape(-1, 2)
+    for row in range(mel.shape[0]):
+        ids = np.concatenate(
+            [np.full((v * v, 1), bos), grid], axis=1).astype(np.int32)
+        logits = model.apply(params, enc_out[row:row + 1].repeat(v * v, 0),
+                             jnp.asarray(ids), method=model.decode)
+        logp = np.asarray(jax.nn.log_softmax(logits, -1))
+        score = (logp[np.arange(v * v), 0, grid[:, 0]]
+                 + logp[np.arange(v * v), 1, grid[:, 1]])
+        best = grid[int(np.argmax(score))]
+        np.testing.assert_array_equal(np.asarray(out[row]), best)
+
+
+def test_whisper_beam_eos_pads_and_sorted_scores():
+    from mop_tpu.models import whisper_transcribe_beam, \
+        whisper_transcribe_cached
+    model, params, mel = _whisper()
+    greedy = whisper_transcribe_cached(model, params, mel, bos_token=3,
+                                       max_tokens=1)
+    eos = int(greedy[0, 0])
+    seqs, scores = whisper_transcribe_beam(
+        model, params, mel, bos_token=3, max_tokens=6, num_beams=3,
+        eos_id=eos, length_penalty=0.0, return_all=True)
+    s = np.asarray(scores)
+    assert (np.diff(s, axis=-1) <= 1e-6).all()
+    arr = np.asarray(seqs[0])
+    fin = [i for i in range(3) if arr[i, 0] == eos]
+    assert fin and (arr[fin[0]] == eos).all()

@@ -115,3 +115,91 @@ def test_spec_engine_rejects_penalties():
                            gamma=2)
     with pytest.raises(ValueError, match="greedy-only"):
         eng.submit([1, 2], 4, presence_penalty=0.5)
+
+
+# ------------------------- logit bias & stop sequences -------------------------
+
+def test_logit_bias_bans_and_forces_tokens():
+    model, params = _setup()
+    eng = DecodeEngine(model, params, max_batch=2)
+    # ban the unbiased greedy stream's tokens -> none may appear
+    base = _reference(model, params, [5, 17, 3], 8)
+    ban = {t: -1e9 for t in set(base)}
+    r0 = eng.submit([5, 17, 3], 8, logit_bias=ban)
+    toks = eng.run()[r0]
+    assert not set(toks) & set(ban)
+    # +large bias forces a token every step (greedy)
+    eng2 = DecodeEngine(model, params, max_batch=2)
+    r1 = eng2.submit([5, 17, 3], 6, logit_bias={42: 1e9})
+    assert eng2.run()[r1] == [42] * 6
+
+
+def test_logit_bias_rows_are_isolated():
+    """A biased and an unbiased request in one batch: the unbiased stream
+    must equal its solo decode."""
+    model, params = _setup()
+    eng = DecodeEngine(model, params, max_batch=4)
+    r0 = eng.submit([5, 17, 3], 8, logit_bias={0: 50.0})
+    r1 = eng.submit([7, 8, 9], 8)
+    res = eng.run()
+    assert res[r1] == _reference(model, params, [7, 8, 9], 8)
+
+
+def test_logit_bias_validates_token_range():
+    model, params = _setup()
+    eng = DecodeEngine(model, params, max_batch=2)
+    with pytest.raises(ValueError, match="outside vocab"):
+        eng.submit([1, 2], 4, logit_bias={50: 1.0})
+
+
+def _expected_stop(base, stops):
+    """First prefix of ``base`` whose suffix matches a stop spec."""
+    for i in range(1, len(base) + 1):
+        pre = base[:i]
+        if any(len(pre) >= len(sq) and pre[-len(sq):] == sq
+               for sq in stops):
+            return pre
+    return base
+
+
+def test_stop_sequence_retires_request():
+    model, params = _setup()
+    base = _reference(model, params, [5, 17, 3], 12)
+    stop_seq = base[3:5]  # the 4th-5th greedy tokens
+    want = _expected_stop(base, [stop_seq])
+    assert len(want) < len(base)  # the stop actually triggers mid-stream
+    eng = DecodeEngine(model, params, max_batch=2)
+    rid = eng.submit([5, 17, 3], 12, stop=[stop_seq])
+    toks = eng.run()[rid]
+    assert toks == want  # stops right after the match, incl. the match
+    assert eng.is_done(rid)
+
+
+def test_int_stop_entries_act_as_extra_eos():
+    model, params = _setup()
+    base = _reference(model, params, [5, 17, 3], 12)
+    eng = DecodeEngine(model, params, max_batch=2)
+    rid = eng.submit([5, 17, 3], 12, stop=[base[2]])
+    assert eng.run()[rid] == _expected_stop(base, [[base[2]]])
+
+
+def test_paged_engine_supports_bias_and_stop():
+    model, params = _setup()
+    base = _reference(model, params, [5, 17, 3], 10)
+    eng = PagedDecodeEngine(model, params, max_batch=2, n_pages=4,
+                            page_size=16)
+    rid = eng.submit([5, 17, 3], 10, stop=[base[4:6]])
+    assert eng.run()[rid] == _expected_stop(base, [base[4:6]])
+
+
+def test_spec_engine_accepts_stop_rejects_bias():
+    from mop_tpu.serving import SpecDecodeEngine
+    model, params = _setup()
+    dmodel, dparams = _setup(use_quartet=False)
+    base = _reference(model, params, [5, 17, 3], 10)
+    eng = SpecDecodeEngine(model, params, dmodel, dparams, max_batch=2,
+                           gamma=2)
+    rid = eng.submit([5, 17, 3], 10, stop=[base[4:6]])
+    assert eng.run()[rid] == _expected_stop(base, [base[4:6]])
+    with pytest.raises(ValueError, match="logit_bias"):
+        eng.submit([1, 2], 4, logit_bias={3: 1.0})
