@@ -204,6 +204,14 @@ def _lin(x, p):
         y = q4matmul(x, k)
     else:
         y = x @ k
+    if "lora_a" in p:
+        # Per-row LoRA delta (multi-adapter serving): ``lora_a`` (B, din, r)
+        # and ``lora_b`` (B, r, dout) are PER-BATCH-ROW rank-r factors
+        # (row b holds that request's adapter, zeros = no adapter), so one
+        # fixed-shape step serves heterogeneous adapters: y_b += x_b A_b B_b.
+        t = jnp.einsum("b...d,bdr->b...r", x, p["lora_a"])
+        y = y + jnp.einsum("b...r,bro->b...o", t, p["lora_b"]).astype(
+            y.dtype)
     if "bias" in p:
         y = y + p["bias"]
     return y

@@ -7,7 +7,7 @@ parity.
 """
 
 from .engine import (DecodeEngine, SpecDecodeEngine, decode_chunk_rows,
-                     decode_step_rows)
+                     decode_step_rows, lora_params_view)
 from .http import ServingServer
 from .paged import (PagedDecodeEngine, init_paged_pool,
                     paged_decode_step_rows)
@@ -15,5 +15,5 @@ from .whisper import WhisperServingEngine, whisper_decode_step_rows
 
 __all__ = ["DecodeEngine", "PagedDecodeEngine", "ServingServer",
            "SpecDecodeEngine", "WhisperServingEngine", "decode_chunk_rows",
-           "decode_step_rows", "init_paged_pool", "paged_decode_step_rows",
-           "whisper_decode_step_rows"]
+           "decode_step_rows", "init_paged_pool", "lora_params_view",
+           "paged_decode_step_rows", "whisper_decode_step_rows"]

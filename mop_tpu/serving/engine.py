@@ -44,6 +44,28 @@ from ..models.layers import gelu_tanh
 Array = jax.Array
 
 
+def lora_params_view(params, rows):
+    """Params view with per-row LoRA factors inserted beside each adapted
+    kernel (read by ``_lin``). ``rows``: {kernel-path: (a, b)} where the
+    path is the slash-joined param path of ``mop_tpu.training.lora`` (e.g.
+    ``params/blocks_0/attn/q_proj/kernel``), ``a`` is (B, din, r) and ``b``
+    (B, r, dout) — row i holds batch row i's adapter factors (zeros = no
+    adapter). Shallow-copies only the dicts along each path; every leaf
+    array is shared with ``params``."""
+    def set_parent(tree, parts, a, b):
+        node = dict(tree)
+        if len(parts) == 1:  # parts[0] is the kernel key; insert siblings
+            node["lora_a"] = a
+            node["lora_b"] = b
+            return node
+        node[parts[0]] = set_parent(node[parts[0]], parts[1:], a, b)
+        return node
+
+    for path, (a, b) in rows.items():
+        params = set_parent(params, path.split("/"), a, b)
+    return params
+
+
 def decode_step_rows(model, params, cache, tokens, lens):
     """Advance every row one token, each at its OWN position.
 
@@ -191,7 +213,9 @@ class DecodeEngine:
                  kv_dtype=jnp.float32,
                  min_p: float = 0.0, repetition_penalty: float = 1.0,
                  presence_penalty: float = 0.0,
-                 frequency_penalty: float = 0.0):
+                 frequency_penalty: float = 0.0,
+                 adapters: Optional[Dict[str, dict]] = None,
+                 adapter_scale=1.0):
         """``cache_sharding``: optional ``jax.sharding.NamedSharding`` for
         the K/K2/V slot pools — e.g. heads over the mesh 'model' axis,
         ``NamedSharding(mesh, P(None, None, 'model', None, None))`` — for
@@ -210,6 +234,17 @@ class DecodeEngine:
         ``kv_dtype``: storage dtype of the K/K2/V slot pools (compute stays
         fp32). ``jnp.bfloat16`` halves cache HBM and per-step KV reads;
         divergence is measured in benchmarks/decode.md.
+
+        ``adapters``: optional ``{name: adapter_dict}`` bank of LoRA
+        adapters (``mop_tpu.training.lora`` format, all sharing one path
+        set and rank). A request picks its adapter by name at
+        ``submit(..., adapter=...)`` (None = the base model) and requests
+        with DIFFERENT adapters batch into the same fixed-shape decode
+        step: the step consumes per-row rank-r factor stacks gathered from
+        the bank at admission (multi-LoRA serving — the merge-based
+        ``lora_merge`` path would force one batch per adapter).
+        ``adapter_scale``: float or ``{name: float}``, the merge scale
+        (alpha/r), folded into the bank's B factors.
 
         ``prefix_cache_entries``: if > 0, keep an LRU of that many recent
         prompts' K/K2/V rows; a new prompt sharing a prefix with a cached
@@ -269,6 +304,15 @@ class DecodeEngine:
         self._lbias = jnp.zeros((max_batch, self._vocab), jnp.float32)
         self._slot_bias: List[Optional[np.ndarray]] = [None] * max_batch
         self._slot_stops: List[list] = [[] for _ in range(max_batch)]
+        # multi-LoRA: stacked (N+1, ...) factor banks per adapted kernel
+        # path (row 0 = zeros = base model) + per-slot gathered (B, ...)
+        # rows the step's params view reads (lora_params_view -> _lin)
+        self._lora_bank: Dict[str, tuple] = {}
+        self._lora_rows: Dict[str, tuple] = {}
+        self._adapter_idx: Dict[Optional[str], int] = {None: 0}
+        self._slot_adapter = np.zeros((max_batch,), np.int32)
+        if adapters:
+            self._init_lora_bank(adapters, adapter_scale, max_batch)
         self._queue: deque = deque()
         self._results: Dict[int, List[int]] = {}
         self._done: Dict[int, bool] = {}
@@ -293,7 +337,7 @@ class DecodeEngine:
                 f"prefill bucket {self.prefill_buckets[-1]} exceeds "
                 f"block_size {self.block_size}")
         self._prefix_max = prefix_cache_entries
-        self._prefix_lru: "OrderedDict[bytes, dict]" = OrderedDict()
+        self._prefix_lru: "OrderedDict[tuple, dict]" = OrderedDict()
         self.prefix_cache_hits = 0
         self.prefix_tokens_reused = 0
 
@@ -369,6 +413,78 @@ class DecodeEngine:
         cache["len"] = jnp.zeros((max_batch,), jnp.int32)
         return cache
 
+    # ---------------- multi-LoRA ----------------
+
+    def _init_lora_bank(self, adapters: Dict[str, dict], scale,
+                        max_batch: int) -> None:
+        names = list(adapters)
+        paths = sorted(adapters[names[0]])
+        scales = ({nm: float(scale) for nm in names}
+                  if not isinstance(scale, dict) else
+                  {nm: float(scale.get(nm, 1.0)) for nm in names})
+        for nm in names:
+            if sorted(adapters[nm]) != paths:
+                raise ValueError(
+                    f"adapter {nm!r} adapts a different kernel set than "
+                    f"{names[0]!r}; all served adapters must share one "
+                    "path set")
+        for path in paths:
+            node = self.params
+            for part in path.split("/"):
+                if not isinstance(node, dict) or part not in node:
+                    raise ValueError(
+                        f"adapter path {path!r} not found in params")
+                node = node[part]
+            din, r = adapters[names[0]][path]["a"].shape
+            dout = adapters[names[0]][path]["b"].shape[1]
+            if getattr(node, "shape", None) != (din, dout):
+                raise ValueError(
+                    f"adapter {path!r} factors ({din}, {r})x({r}, {dout}) "
+                    f"do not match kernel shape "
+                    f"{getattr(node, 'shape', None)}")
+            a_stack = [jnp.zeros((din, r), jnp.float32)]
+            b_stack = [jnp.zeros((r, dout), jnp.float32)]
+            for nm in names:
+                fa, fb = adapters[nm][path]["a"], adapters[nm][path]["b"]
+                if fa.shape != (din, r) or fb.shape != (r, dout):
+                    raise ValueError(
+                        f"adapter {nm!r} path {path!r}: rank/shape differs "
+                        "from the bank (all served adapters must share one "
+                        "rank)")
+                a_stack.append(jnp.asarray(fa, jnp.float32))
+                b_stack.append(jnp.asarray(fb, jnp.float32) * scales[nm])
+            self._lora_bank[path] = (jnp.stack(a_stack), jnp.stack(b_stack))
+            self._lora_rows[path] = (
+                jnp.zeros((max_batch, din, r), jnp.float32),
+                jnp.zeros((max_batch, r, dout), jnp.float32))
+        self._adapter_idx.update(
+            {nm: i + 1 for i, nm in enumerate(names)})
+
+    def _step_params(self):
+        """Params view the batched decode step consumes (per-slot LoRA
+        factor rows inserted when an adapter bank is configured)."""
+        if not self._lora_bank:
+            return self.params
+        return lora_params_view(self.params, self._lora_rows)
+
+    def _admit_params(self, aid: int):
+        """Params view for a B=1 admission prefill: the admitted request's
+        adapter factors as single-row stacks."""
+        if not self._lora_bank:
+            return self.params
+        rows = {path: (a[aid][None], b[aid][None])
+                for path, (a, b) in self._lora_bank.items()}
+        return lora_params_view(self.params, rows)
+
+    def _set_slot_adapter(self, slot: int, aid: int) -> None:
+        if not self._lora_bank:
+            return
+        self._slot_adapter[slot] = aid
+        for path, (a, b) in self._lora_bank.items():
+            ra, rb = self._lora_rows[path]
+            self._lora_rows[path] = (ra.at[slot].set(a[aid]),
+                                     rb.at[slot].set(b[aid]))
+
     def _bucket_pad(self, prompt: np.ndarray):
         """(padded (1, bucket) array, t0) if a bucket fits, else None."""
         t0 = int(prompt.size)
@@ -436,10 +552,14 @@ class DecodeEngine:
                presence_penalty: Optional[float] = None,
                frequency_penalty: Optional[float] = None,
                logit_bias: Optional[dict] = None,
-               stop=None) -> int:
+               stop=None, adapter: Optional[str] = None) -> int:
         """Queue a request. ``prompt``: 1-D int sequence, 1 <= len <
         block_size. Generation stops at ``max_new_tokens``, EOS, a ``stop``
         match, or the context window, whichever first.
+
+        ``adapter``: name of a LoRA adapter from the engine's ``adapters``
+        bank to apply to THIS request (None = base model). Requests with
+        different adapters batch into the same decode step.
 
         ``logit_bias``: {token_id: float} added to that token's logit every
         step (±large values ban/force tokens — the OpenAI convention).
@@ -504,10 +624,15 @@ class DecodeEngine:
             if not seq:
                 raise ValueError("empty stop sequence")
             stops.append(seq)
+        if adapter is not None and adapter not in self._adapter_idx:
+            raise ValueError(
+                f"unknown adapter {adapter!r}; engine has "
+                f"{sorted(k for k in self._adapter_idx if k)}")
+        aid = self._adapter_idx[adapter]
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append((rid, prompt, max_new_tokens, sp, bias_row,
-                            stops))
+                            stops, aid))
         self._results[rid] = []
         self._done[rid] = False
         return rid
@@ -562,7 +687,7 @@ class DecodeEngine:
         if active:
             self._rng, sub = jax.random.split(self._rng)
             nxt, self._cache, self._ocounts = self._step_fn(
-                self.params, self._cache, self._tokens,
+                self._step_params(), self._cache, self._tokens,
                 self._cache["len"], sub, jnp.asarray(self._slot_temp),
                 jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
                 jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
@@ -624,12 +749,14 @@ class DecodeEngine:
             slot = self._slot_rid.index(-1)
         except ValueError:
             return None
-        rid, prompt, max_new, sp, bias_row, stops = self._queue.popleft()
+        rid, prompt, max_new, sp, bias_row, stops, aid = \
+            self._queue.popleft()
         t0 = int(prompt.size)
         c = self._cache
         self._rng, sub = jax.random.split(self._rng)
-        entry, lcp = self._prefix_lookup(prompt)
+        entry, lcp = self._prefix_lookup(prompt, aid)
         slot_ = np.int32(slot)
+        self._set_slot_adapter(slot, aid)
         (self._slot_temp[slot], self._slot_topk[slot],
          self._slot_topp[slot], self._slot_eos[slot],
          self._slot_minp[slot], self._slot_rep[slot],
@@ -651,8 +778,8 @@ class DecodeEngine:
         seen = np.zeros((1, self._vocab), bool)
         seen[0, prompt] = True
         oc_j, seen_j = jnp.asarray(oc), jnp.asarray(seen)
-        pools = (self.params, c["k"], c["k2"], c["v"], c["len"],
-                 self._tokens)
+        pools = (self._admit_params(aid), c["k"], c["k2"], c["v"],
+                 c["len"], self._tokens)
         if entry is not None:
             g = t0 - lcp
             g_pad = 1 << (g - 1).bit_length() if g > 1 else 1
@@ -681,14 +808,16 @@ class DecodeEngine:
         self._pseen = self._pseen.at[slot].set(seen_j[0])
         self._slot_rid[slot] = rid
         self._budget[slot] = max_new  # tokens still to emit, incl. tok0
-        self._prefix_store(prompt, store)
+        self._prefix_store(prompt, store, aid)
         self._on_admit(slot, prompt)
         return slot, rid, tok0, t0
 
     # ---------------- prefix cache ----------------
 
-    def _prefix_lookup(self, prompt: np.ndarray):
-        """Longest shared prefix between ``prompt`` and any cached entry.
+    def _prefix_lookup(self, prompt: np.ndarray, aid: int = 0):
+        """Longest shared prefix between ``prompt`` and any cached entry
+        COMPUTED UNDER THE SAME ADAPTER (K/K2/V rows depend on the LoRA
+        factors, so entries only match within an adapter id).
         Returns (entry, lcp) with 1 <= lcp <= len(prompt)-1, or (None, 0).
         (Capped at len-1: the chunk continuation needs at least one tail
         token to produce the admission logits.)"""
@@ -696,6 +825,8 @@ class DecodeEngine:
             return None, 0
         best_key, best_lcp = None, 0
         for key, entry in self._prefix_lru.items():
+            if entry["aid"] != aid:
+                continue
             toks = entry["tokens"]
             m = min(toks.size, prompt.size - 1)
             if m <= best_lcp:
@@ -709,20 +840,21 @@ class DecodeEngine:
         self._prefix_lru.move_to_end(best_key)
         return self._prefix_lru[best_key], best_lcp
 
-    def _prefix_store(self, prompt: np.ndarray, store) -> None:
+    def _prefix_store(self, prompt: np.ndarray, store, aid: int = 0) -> None:
         """LRU-store this prompt's full-width K/K2/V slot rows (the fused
         admission's extra outputs — columns past len(prompt) are garbage
         but a later reuse pastes the whole row and chunks from the shared
-        prefix, so they never enter any softmax). Entry HBM cost:
+        prefix, so they never enter any softmax). Keyed by (adapter id,
+        tokens) — see :meth:`_prefix_lookup`. Entry HBM cost:
         3 * L * H * block * dk * itemsize each."""
         if not self._prefix_max or not store:
             return
-        key = prompt.tobytes()
+        key = (aid, prompt.tobytes())
         if key in self._prefix_lru:
             self._prefix_lru.move_to_end(key)
             return
         self._prefix_lru[key] = {
-            "tokens": prompt.copy(),
+            "tokens": prompt.copy(), "aid": aid,
             "k": store[0], "k2": store[1], "v": store[2],
         }
         while len(self._prefix_lru) > self._prefix_max:
@@ -841,22 +973,24 @@ class SpecDecodeEngine(DecodeEngine):
                presence_penalty: Optional[float] = None,
                frequency_penalty: Optional[float] = None,
                logit_bias: Optional[dict] = None,
-               stop=None) -> int:
+               stop=None, adapter: Optional[str] = None) -> int:
         """Greedy-only: speculative verification compares the target's
         argmax against the draft's (and penalties or logit bias would
         change the argmax per emitted position, breaking draft/verify
-        agreement), so per-request sampling overrides other than
+        agreement; a per-request adapter would change the target while the
+        draft stays fixed), so per-request overrides other than
         ``eos_id`` and ``stop`` (host-side suffix matching, decode-
         semantics-neutral) are rejected."""
         if temperature not in (None, 0, 0.0) or top_k is not None or \
                 top_p not in (None, 1.0) or min_p not in (None, 0.0) or \
                 repetition_penalty not in (None, 1.0) or \
                 presence_penalty not in (None, 0.0) or \
-                frequency_penalty not in (None, 0.0) or logit_bias:
+                frequency_penalty not in (None, 0.0) or logit_bias or \
+                adapter is not None:
             raise ValueError(
                 "SpecDecodeEngine is greedy-only; per-request temperature/"
-                "top_k/top_p/min_p/penalties/logit_bias are not supported "
-                "(use DecodeEngine)")
+                "top_k/top_p/min_p/penalties/logit_bias/adapter are not "
+                "supported (use DecodeEngine)")
         return super().submit(prompt, max_new_tokens, eos_id=eos_id,
                               stop=stop)
 

@@ -16,9 +16,10 @@ API:
   Optional per-request sampling fields: ``temperature`` (0 = greedy),
   ``top_k``, ``top_p``, ``eos_id``, ``min_p``, ``repetition_penalty``,
   ``presence_penalty``, ``frequency_penalty``, ``logit_bias`` (JSON object
-  ``{token_id: bias}``), ``stop`` (list of ints or token-id lists) —
-  requests with different sampling
-  params still batch onto the same device step.
+  ``{token_id: bias}``), ``stop`` (list of ints or token-id lists),
+  ``adapter`` (LoRA adapter name from the engine's bank) — requests with
+  different sampling params (or adapters) still batch onto the same
+  device step.
 - ``POST /generate`` with ``"stream": true`` -> Server-Sent Events
   (``text/event-stream``): one ``data: {"token": t}`` event per generated
   token AS IT LANDS, then ``data: {"done": true, "request_id": rid,
@@ -171,6 +172,8 @@ class ServingServer:
                             for t, v in req["logit_bias"].items()}
                     if req.get("stop") is not None:
                         kw["stop"] = req["stop"]
+                    if req.get("adapter") is not None:
+                        kw["adapter"] = str(req["adapter"])
                     if (not isinstance(prompt, list)
                             or not all(isinstance(t, int) for t in prompt)):
                         raise ValueError("prompt must be a list of ints")

@@ -135,7 +135,8 @@ class PagedDecodeEngine(DecodeEngine):
                  kv_dtype=jnp.float32,
                  min_p: float = 0.0, repetition_penalty: float = 1.0,
                  presence_penalty: float = 0.0,
-                 frequency_penalty: float = 0.0):
+                 frequency_penalty: float = 0.0,
+                 adapters=None, adapter_scale=1.0):
         cfg = model.config
         if cfg.block_size % page_size != 0:
             raise ValueError(
@@ -155,7 +156,8 @@ class PagedDecodeEngine(DecodeEngine):
                          kv_dtype=kv_dtype, min_p=min_p,
                          repetition_penalty=repetition_penalty,
                          presence_penalty=presence_penalty,
-                         frequency_penalty=frequency_penalty)
+                         frequency_penalty=frequency_penalty,
+                         adapters=adapters, adapter_scale=adapter_scale)
         # the page pool replaces the dense slot slabs (which _make_cache
         # below prevents from ever being allocated)
         self._pool = init_paged_pool(cfg, n_pages, page_size, kv_dtype)
@@ -289,7 +291,8 @@ class PagedDecodeEngine(DecodeEngine):
             np.asarray(new_toks, np.int32)])
         self._queue.appendleft(
             (rid, prefix.astype(np.int32), int(self._budget[victim]), sp,
-             self._slot_bias[victim], self._slot_stops[victim]))
+             self._slot_bias[victim], self._slot_stops[victim],
+             int(self._slot_adapter[victim])))
         self._slot_rid[victim] = -1
         self._free_slot_pages(victim)
         self.preemptions += 1
@@ -338,7 +341,7 @@ class PagedDecodeEngine(DecodeEngine):
         if not self._queue:
             return None
         self._reclaim_retired()
-        rid, prompt, max_new, sp, bias_row, stops = self._queue[0]
+        rid, prompt, max_new, sp, bias_row, stops, aid = self._queue[0]
         t0 = int(prompt.size)
         # pages covering positions 0..t0 (t0 = where tok0's K lands next)
         n_need = t0 // self.page_size + 1
@@ -358,6 +361,7 @@ class PagedDecodeEngine(DecodeEngine):
          self._slot_pres[slot], self._slot_freq[slot]) = sp
         self._slot_bias[slot] = bias_row
         self._slot_stops[slot] = stops
+        self._set_slot_adapter(slot, aid)
         lb = jnp.zeros((1, self._vocab), jnp.float32) if bias_row is None \
             else jnp.asarray(bias_row)[None]
         self._lbias = self._lbias.at[slot].set(lb[0])
@@ -380,13 +384,14 @@ class PagedDecodeEngine(DecodeEngine):
         padded = self._bucket_pad(prompt)
         if padded is not None:
             self._pool, self._tokens, tok0 = self._padm_padded_fn(
-                self.params, self._pool, self._tokens, padded[0],
-                np.int32(padded[1]), pages_j, np.int32(slot), sub, spk,
-                oc_j, seen_j, lb)
+                self._admit_params(aid), self._pool, self._tokens,
+                padded[0], np.int32(padded[1]), pages_j, np.int32(slot),
+                sub, spk, oc_j, seen_j, lb)
         else:
             self._pool, self._tokens, tok0 = self._padm_exact_fn(
-                self.params, self._pool, self._tokens, prompt[None, :],
-                pages_j, np.int32(slot), sub, spk, oc_j, seen_j, lb)
+                self._admit_params(aid), self._pool, self._tokens,
+                prompt[None, :], pages_j, np.int32(slot), sub, spk, oc_j,
+                seen_j, lb)
         tok0 = int(tok0)
         self._ocounts = self._ocounts.at[slot].set(oc_j[0].at[tok0].add(1))
         self._pseen = self._pseen.at[slot].set(seen_j[0])
@@ -417,7 +422,7 @@ class PagedDecodeEngine(DecodeEngine):
             self._rng, sub = jax.random.split(self._rng)
             lens_j = jnp.asarray(self._lens)
             nxt, self._pool, self._ocounts = self._pstep_fn(
-                self.params, self._pool, jnp.asarray(self._table),
+                self._step_params(), self._pool, jnp.asarray(self._table),
                 self._tokens, lens_j, sub, jnp.asarray(self._slot_temp),
                 jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
                 jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
