@@ -6,6 +6,7 @@ part of the production surface BASELINE.json asks for beyond capability
 parity.
 """
 
+from .constrain import TokenDFA, choices, token_set
 from .engine import (DecodeEngine, SpecDecodeEngine, decode_chunk_rows,
                      decode_step_rows, lora_params_view)
 from .http import ServingServer
@@ -14,6 +15,7 @@ from .paged import (PagedDecodeEngine, init_paged_pool,
 from .whisper import WhisperServingEngine, whisper_decode_step_rows
 
 __all__ = ["DecodeEngine", "PagedDecodeEngine", "ServingServer",
-           "SpecDecodeEngine", "WhisperServingEngine", "decode_chunk_rows",
-           "decode_step_rows", "init_paged_pool", "lora_params_view",
-           "paged_decode_step_rows", "whisper_decode_step_rows"]
+           "SpecDecodeEngine", "TokenDFA", "WhisperServingEngine",
+           "choices", "decode_chunk_rows", "decode_step_rows",
+           "init_paged_pool", "lora_params_view", "paged_decode_step_rows",
+           "token_set", "whisper_decode_step_rows"]

@@ -40,6 +40,7 @@ import numpy as np
 from ..models.generate import (_attn_step, _kv_rows, _lin, _ln,
                                init_decode_cache, prefill, prefill_padded)
 from ..models.layers import gelu_tanh
+from .constrain import mask_row
 
 Array = jax.Array
 
@@ -304,6 +305,11 @@ class DecodeEngine:
         self._lbias = jnp.zeros((max_batch, self._vocab), jnp.float32)
         self._slot_bias: List[Optional[np.ndarray]] = [None] * max_batch
         self._slot_stops: List[list] = [[] for _ in range(max_batch)]
+        # grammar-constrained decoding: per-slot DFA + current state; the
+        # state's 0/-inf token mask is folded into the slot's _lbias row
+        # (serving/constrain.py), advanced host-side in _emit_token
+        self._slot_constraint: List[Optional[Any]] = [None] * max_batch
+        self._slot_cstate: List[Any] = [None] * max_batch
         # multi-LoRA: stacked (N+1, ...) factor banks per adapted kernel
         # path (row 0 = zeros = base model) + per-slot gathered (B, ...)
         # rows the step's params view reads (lora_params_view -> _lin)
@@ -552,10 +558,21 @@ class DecodeEngine:
                presence_penalty: Optional[float] = None,
                frequency_penalty: Optional[float] = None,
                logit_bias: Optional[dict] = None,
-               stop=None, adapter: Optional[str] = None) -> int:
+               stop=None, adapter: Optional[str] = None,
+               constraint=None) -> int:
         """Queue a request. ``prompt``: 1-D int sequence, 1 <= len <
         block_size. Generation stops at ``max_new_tokens``, EOS, a ``stop``
         match, or the context window, whichever first.
+
+        ``constraint``: optional :class:`~mop_tpu.serving.TokenDFA` — the
+        output must follow the automaton's token edges, EOS legal exactly
+        in accepting states (guided decoding; see serving/constrain.py).
+        The state's 0/-inf mask rides this slot's logit-bias row, so
+        constrained and unconstrained requests batch into the same
+        fixed-shape step. Requires an effective ``eos_id`` (completion is
+        signalled through EOS). ``max_new_tokens``/window exhaustion can
+        still truncate an unfinished constraint (same contract as
+        unconstrained decoding).
 
         ``adapter``: name of a LoRA adapter from the engine's ``adapters``
         bank to apply to THIS request (None = base model). Requests with
@@ -629,10 +646,27 @@ class DecodeEngine:
                 f"unknown adapter {adapter!r}; engine has "
                 f"{sorted(k for k in self._adapter_idx if k)}")
         aid = self._adapter_idx[adapter]
+        if constraint is not None:
+            eosi = int(sp[3])
+            if eosi < 0:
+                raise ValueError(
+                    "a constrained request needs an eos_id (constraint "
+                    "completion is signalled through EOS)")
+            for state, edges in constraint.transitions.items():
+                for t in edges:
+                    if not 0 <= int(t) < self._vocab:
+                        raise ValueError(
+                            f"constraint state {state!r} allows token {t} "
+                            f"outside vocab [0, {self._vocab})")
+                    if int(t) == eosi:
+                        raise ValueError(
+                            f"constraint state {state!r} uses eos_id {eosi}"
+                            " as a transition token; EOS may only END a "
+                            "constrained output (accepting states)")
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append((rid, prompt, max_new_tokens, sp, bias_row,
-                            stops, aid))
+                            stops, aid, constraint))
         self._results[rid] = []
         self._done[rid] = False
         return rid
@@ -644,6 +678,30 @@ class DecodeEngine:
     @property
     def n_queued(self) -> int:
         return len(self._queue)
+
+    def _bias_mask_row(self, slot: int) -> Optional[np.ndarray]:
+        """This slot's combined (vocab,) additive bias: the user's
+        logit_bias plus the constraint state's 0/-inf mask (None if the
+        slot has neither)."""
+        user = self._slot_bias[slot]
+        con = self._slot_constraint[slot]
+        if con is None:
+            return user
+        row = mask_row(con, self._slot_cstate[slot], self._vocab,
+                       int(self._slot_eos[slot]))
+        return row if user is None else row + user
+
+    def _replay_constraint(self, con, rid: int):
+        """DFA state after the tokens already emitted for ``rid`` (only
+        non-initial on paged re-admission after preemption — emitted
+        tokens are DFA-legal by construction, so the replay never
+        dead-ends)."""
+        if con is None:
+            return None
+        state = con.init_state()
+        for t in self._results[rid]:
+            state = con.advance(state, int(t))
+        return state
 
     def _emit_token(self, emitted: Dict[int, List[int]], slot: int,
                     rid: int, tok: int, new_len: int) -> bool:
@@ -661,8 +719,20 @@ class DecodeEngine:
         if hit_eos or hit_stop or new_len >= self.block_size \
                 or self._budget[slot] <= 0:
             self._slot_rid[slot] = -1
+            self._slot_constraint[slot] = None
+            self._slot_cstate[slot] = None
             self._done[rid] = True
             return False
+        con = self._slot_constraint[slot]
+        if con is not None:
+            ns = con.advance(self._slot_cstate[slot], tok)
+            if ns is None:  # the mask bans every illegal edge; unreachable
+                raise RuntimeError(
+                    f"constrained slot {slot} emitted banned token {tok} "
+                    f"in state {self._slot_cstate[slot]!r}")
+            self._slot_cstate[slot] = ns
+            self._lbias = self._lbias.at[slot].set(
+                jnp.asarray(self._bias_mask_row(slot)))
         return True
 
     def step(self) -> Dict[int, List[int]]:
@@ -749,7 +819,7 @@ class DecodeEngine:
             slot = self._slot_rid.index(-1)
         except ValueError:
             return None
-        rid, prompt, max_new, sp, bias_row, stops, aid = \
+        rid, prompt, max_new, sp, bias_row, stops, aid, con = \
             self._queue.popleft()
         t0 = int(prompt.size)
         c = self._cache
@@ -763,8 +833,11 @@ class DecodeEngine:
          self._slot_pres[slot], self._slot_freq[slot]) = sp
         self._slot_bias[slot] = bias_row
         self._slot_stops[slot] = stops
-        lb = jnp.zeros((1, self._vocab), jnp.float32) if bias_row is None \
-            else jnp.asarray(bias_row)[None]
+        self._slot_constraint[slot] = con
+        self._slot_cstate[slot] = self._replay_constraint(con, rid)
+        brow = self._bias_mask_row(slot)
+        lb = jnp.zeros((1, self._vocab), jnp.float32) if brow is None \
+            else jnp.asarray(brow)[None]
         self._lbias = self._lbias.at[slot].set(lb[0])
         # picker scalars (everything but eos) + penalty-state rows: output
         # counts from tokens ALREADY emitted for this rid (non-empty only on
@@ -973,24 +1046,25 @@ class SpecDecodeEngine(DecodeEngine):
                presence_penalty: Optional[float] = None,
                frequency_penalty: Optional[float] = None,
                logit_bias: Optional[dict] = None,
-               stop=None, adapter: Optional[str] = None) -> int:
+               stop=None, adapter: Optional[str] = None,
+               constraint=None) -> int:
         """Greedy-only: speculative verification compares the target's
-        argmax against the draft's (and penalties or logit bias would
-        change the argmax per emitted position, breaking draft/verify
-        agreement; a per-request adapter would change the target while the
-        draft stays fixed), so per-request overrides other than
-        ``eos_id`` and ``stop`` (host-side suffix matching, decode-
-        semantics-neutral) are rejected."""
+        argmax against the draft's (and penalties, logit bias, or a
+        constraint mask would change the argmax per emitted position,
+        breaking draft/verify agreement; a per-request adapter would
+        change the target while the draft stays fixed), so per-request
+        overrides other than ``eos_id`` and ``stop`` (host-side suffix
+        matching, decode-semantics-neutral) are rejected."""
         if temperature not in (None, 0, 0.0) or top_k is not None or \
                 top_p not in (None, 1.0) or min_p not in (None, 0.0) or \
                 repetition_penalty not in (None, 1.0) or \
-                presence_penalty not in (None, 0.0) or \
-                frequency_penalty not in (None, 0.0) or logit_bias or \
-                adapter is not None:
+                presence_penalty not in (None, 0.0) or logit_bias or \
+                frequency_penalty not in (None, 0.0) or \
+                adapter is not None or constraint is not None:
             raise ValueError(
                 "SpecDecodeEngine is greedy-only; per-request temperature/"
-                "top_k/top_p/min_p/penalties/logit_bias/adapter are not "
-                "supported (use DecodeEngine)")
+                "top_k/top_p/min_p/penalties/logit_bias/adapter/constraint "
+                "are not supported (use DecodeEngine)")
         return super().submit(prompt, max_new_tokens, eos_id=eos_id,
                               stop=stop)
 

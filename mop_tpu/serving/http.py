@@ -19,7 +19,11 @@ API:
   ``{token_id: bias}``), ``stop`` (list of ints or token-id lists),
   ``adapter`` (LoRA adapter name from the engine's bank) — requests with
   different sampling params (or adapters) still batch onto the same
-  device step.
+  device step. Guided decoding: ``guided_choice`` (list of token-id
+  sequences; the output is exactly one of them, then EOS) or
+  ``guided_token_set`` (``{"allowed": [ids], "min_len": N, "max_len":
+  M}``) build a :mod:`~mop_tpu.serving.constrain` DFA for the request;
+  both require an effective ``eos_id``.
 - ``POST /generate`` with ``"stream": true`` -> Server-Sent Events
   (``text/event-stream``): one ``data: {"token": t}`` event per generated
   token AS IT LANDS, then ``data: {"done": true, "request_id": rid,
@@ -55,6 +59,8 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
+
+from .constrain import choices, token_set
 
 
 class ServingServer:
@@ -174,6 +180,14 @@ class ServingServer:
                         kw["stop"] = req["stop"]
                     if req.get("adapter") is not None:
                         kw["adapter"] = str(req["adapter"])
+                    if req.get("guided_choice") is not None:
+                        kw["constraint"] = choices(req["guided_choice"])
+                    elif req.get("guided_token_set") is not None:
+                        g = req["guided_token_set"]
+                        kw["constraint"] = token_set(
+                            g["allowed"], int(g.get("min_len", 1)),
+                            None if g.get("max_len") is None
+                            else int(g["max_len"]))
                     if (not isinstance(prompt, list)
                             or not all(isinstance(t, int) for t in prompt)):
                         raise ValueError("prompt must be a list of ints")

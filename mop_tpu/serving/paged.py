@@ -292,8 +292,11 @@ class PagedDecodeEngine(DecodeEngine):
         self._queue.appendleft(
             (rid, prefix.astype(np.int32), int(self._budget[victim]), sp,
              self._slot_bias[victim], self._slot_stops[victim],
-             int(self._slot_adapter[victim])))
+             int(self._slot_adapter[victim]),
+             self._slot_constraint[victim]))
         self._slot_rid[victim] = -1
+        self._slot_constraint[victim] = None
+        self._slot_cstate[victim] = None
         self._free_slot_pages(victim)
         self.preemptions += 1
 
@@ -341,7 +344,7 @@ class PagedDecodeEngine(DecodeEngine):
         if not self._queue:
             return None
         self._reclaim_retired()
-        rid, prompt, max_new, sp, bias_row, stops, aid = self._queue[0]
+        rid, prompt, max_new, sp, bias_row, stops, aid, con = self._queue[0]
         t0 = int(prompt.size)
         # pages covering positions 0..t0 (t0 = where tok0's K lands next)
         n_need = t0 // self.page_size + 1
@@ -362,8 +365,11 @@ class PagedDecodeEngine(DecodeEngine):
         self._slot_bias[slot] = bias_row
         self._slot_stops[slot] = stops
         self._set_slot_adapter(slot, aid)
-        lb = jnp.zeros((1, self._vocab), jnp.float32) if bias_row is None \
-            else jnp.asarray(bias_row)[None]
+        self._slot_constraint[slot] = con
+        self._slot_cstate[slot] = self._replay_constraint(con, rid)
+        brow = self._bias_mask_row(slot)
+        lb = jnp.zeros((1, self._vocab), jnp.float32) if brow is None \
+            else jnp.asarray(brow)[None]
         self._lbias = self._lbias.at[slot].set(lb[0])
         spk = (sp[0], sp[1], sp[2], sp[4], sp[5], sp[6], sp[7])
         # penalty state: output counts from tokens already emitted for this

@@ -278,3 +278,27 @@ def test_http_per_request_sampling(server):
         assert False, "expected 400 for top_p=0"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_http_guided_decoding(server):
+    """guided_choice forces one of the given sequences + EOS;
+    guided_token_set bounds the emitted alphabet and length; a constraint
+    without an eos_id is a 400."""
+    _, _, srv = server
+    opts = [[9, 31, 7], [9, 14], [40, 41, 42]]
+    out = _post(srv.port, {"prompt": [3, 1, 4], "max_new_tokens": 16,
+                           "eos_id": 0, "guided_choice": opts})
+    assert out["tokens"][-1] == 0 and out["tokens"][:-1] in opts
+    out = _post(srv.port, {
+        "prompt": [3, 1, 4], "max_new_tokens": 16, "eos_id": 0,
+        "guided_token_set": {"allowed": [10, 11, 12], "min_len": 2,
+                             "max_len": 4}})
+    body = out["tokens"][:-1]
+    assert out["tokens"][-1] == 0 and 2 <= len(body) <= 4
+    assert set(body) <= {10, 11, 12}
+    try:
+        _post(srv.port, {"prompt": [1], "max_new_tokens": 4,
+                         "guided_choice": opts})  # no eos_id anywhere
+        assert False, "expected 400 for constraint without eos"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
