@@ -20,10 +20,12 @@ API:
   ``adapter`` (LoRA adapter name from the engine's bank) — requests with
   different sampling params (or adapters) still batch onto the same
   device step. Guided decoding: ``guided_choice`` (list of token-id
-  sequences; the output is exactly one of them, then EOS) or
+  sequences; the output is exactly one of them, then EOS),
   ``guided_token_set`` (``{"allowed": [ids], "min_len": N, "max_len":
-  M}``) build a :mod:`~mop_tpu.serving.constrain` DFA for the request;
-  both require an effective ``eos_id``.
+  M}``), or ``guided_regex`` (anchored pattern compiled against the
+  server's ``token_strs`` vocabulary) build a
+  :mod:`~mop_tpu.serving.constrain` DFA for the request; all require an
+  effective ``eos_id``.
 - ``POST /generate`` with ``"stream": true`` -> Server-Sent Events
   (``text/event-stream``): one ``data: {"token": t}`` event per generated
   token AS IT LANDS, then ``data: {"done": true, "request_id": rid,
@@ -61,14 +63,22 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from .constrain import choices, token_set
+from .regex_dfa import regex_to_dfa
 
 
 class ServingServer:
-    """HTTP wrapper around a decode engine; one device-worker thread."""
+    """HTTP wrapper around a decode engine; one device-worker thread.
+
+    ``token_strs`` (optional): id -> decoded-string vocabulary table;
+    required only to serve ``guided_regex`` requests (the regex is
+    compiled to a token DFA against it; empty strings mark ids with no
+    text, e.g. specials)."""
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 poll_interval: float = 0.002):
+                 poll_interval: float = 0.002, token_strs=None):
         self.engine = engine
+        self._token_strs = None if token_strs is None else \
+            [str(s) for s in token_strs]
         self._lock = threading.Lock()          # guards engine access
         self._completed = 0
         self._cancelled = 0
@@ -180,7 +190,15 @@ class ServingServer:
                         kw["stop"] = req["stop"]
                     if req.get("adapter") is not None:
                         kw["adapter"] = str(req["adapter"])
-                    if req.get("guided_choice") is not None:
+                    if req.get("guided_regex") is not None:
+                        if outer._token_strs is None:
+                            raise ValueError(
+                                "guided_regex needs a server constructed "
+                                "with token_strs (the id->string "
+                                "vocabulary to compile the regex against)")
+                        kw["constraint"] = regex_to_dfa(
+                            str(req["guided_regex"]), outer._token_strs)
+                    elif req.get("guided_choice") is not None:
                         kw["constraint"] = choices(req["guided_choice"])
                     elif req.get("guided_token_set") is not None:
                         g = req["guided_token_set"]
