@@ -216,7 +216,8 @@ class DecodeEngine:
                  presence_penalty: float = 0.0,
                  frequency_penalty: float = 0.0,
                  adapters: Optional[Dict[str, dict]] = None,
-                 adapter_scale=1.0):
+                 adapter_scale=1.0,
+                 chunk_prefill: Optional[int] = None):
         """``cache_sharding``: optional ``jax.sharding.NamedSharding`` for
         the K/K2/V slot pools — e.g. heads over the mesh 'model' axis,
         ``NamedSharding(mesh, P(None, None, 'model', None, None))`` — for
@@ -255,7 +256,20 @@ class DecodeEngine:
         are identical whatever follows; equality pinned in
         tests/test_serving_prefix.py). Wins when requests share a long
         system prompt; stats in ``prefix_cache_hits`` /
-        ``prefix_tokens_reused``."""
+        ``prefix_tokens_reused``.
+
+        ``chunk_prefill``: if set (a chunk size C <= block_size), a prompt
+        longer than C is prefilled INCREMENTALLY — one C-token chunk per
+        engine step (``decode_chunk_rows``, exact length-masked math) —
+        instead of one monolithic prefill dispatch at admission. Per-step
+        device work is then bounded by C whatever the prompt length, so
+        co-batched decode streams keep emitting a token every step while a
+        long prompt ramps in (the Sarathi/vLLM chunked-prefill property;
+        tail-latency bound). Emitted tokens are unchanged (equality vs the
+        monolithic admission pinned in tests/test_serving_chunked.py), and
+        one chunk shape means ONE jit compile for every prompt length.
+        Composes with the prefix cache (only the uncached tail is
+        chunked)."""
         self.model = model
         self.params = params
         self.max_batch = max_batch
@@ -406,6 +420,43 @@ class DecodeEngine:
         self._adm_exact_fn = jax.jit(_adm_exact, donate_argnums=donate)
         self._adm_padded_fn = jax.jit(_adm_padded, donate_argnums=donate)
         self._adm_chunk_fn = jax.jit(_adm_chunk, donate_argnums=donate)
+
+        # chunked prefill: per-slot in-progress prompt feeds (one C-token
+        # chunk per engine step; see the ctor docstring and _chunk_advance)
+        self.chunk_prefill = (None if chunk_prefill is None
+                              else int(chunk_prefill))
+        if self.chunk_prefill is not None and not (
+                0 < self.chunk_prefill <= self.block_size):
+            raise ValueError(
+                f"chunk_prefill {chunk_prefill} must be in "
+                f"(0, block_size={self.block_size}]")
+        self._chunk_state: Dict[int, dict] = {}
+
+        def _chunk_feed(params, k, k2, v, tail, base, g, slot):
+            """Append one (1, C) token chunk to ``slot``'s rows at
+            position ``base``; returns updated pools + the logits after
+            the chunk's g-th (last real) token."""
+            sl = lambda buf: jax.lax.dynamic_slice_in_dim(buf, slot, 1, 1)
+            c1 = {"k": sl(k), "k2": sl(k2), "v": sl(v),
+                  "len": jnp.reshape(base, (1,))}
+            logits_all, nc = decode_chunk_rows(
+                self.model, params, c1, tail, c1["len"])
+            k = k.at[:, slot].set(nc["k"][:, 0].astype(k.dtype))
+            k2 = k2.at[:, slot].set(nc["k2"][:, 0].astype(k2.dtype))
+            v = v.at[:, slot].set(nc["v"][:, 0].astype(v.dtype))
+            logits = jax.lax.dynamic_index_in_dim(
+                logits_all, g - 1, axis=1, keepdims=False)
+            return k, k2, v, logits
+
+        self._chunk_feed_fn = jax.jit(_chunk_feed, donate_argnums=(1, 2, 3))
+
+        def _chunk_tok0(logits, rng, sp, oc, seen, lb):
+            r1 = lambda s: jnp.reshape(s, (1,))
+            return self._pick_rows(
+                logits, rng, r1(sp[0]), r1(sp[1]), r1(sp[2]), r1(sp[3]),
+                r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen, lb)[0]
+
+        self._chunk_tok0_fn = jax.jit(_chunk_tok0)
 
     def _make_cache(self, cfg, max_batch, kv_dtype, cache_sharding):
         """Allocate the per-slot KV state. Subclasses with a different
@@ -746,14 +797,26 @@ class DecodeEngine:
         emit = lambda *a: self._emit_token(emitted, *a)
 
         # admission (loops because a request can complete on its tok0,
-        # freeing the slot for the next queued request)
+        # freeing the slot for the next queued request; a chunked-prefill
+        # admission reserves its slot with tok0 = None — nothing to emit
+        # until its last chunk lands)
         while self._queue:
             adm = self._admit_one()
             if adm is None:
                 break
-            emit(*adm)
+            if adm[2] is not None:
+                emit(*adm)
 
-        active = [s for s, r in enumerate(self._slot_rid) if r >= 0]
+        # chunked prefill: one C-token chunk per pending slot per step
+        # (bounds this step's prefill work at C tokens per pending prompt);
+        # a slot whose final chunk lands emits its tok0 and decodes below
+        for slot in list(self._chunk_state):
+            fin = self._chunk_advance(slot)
+            if fin is not None:
+                emit(*fin)
+
+        active = [s for s, r in enumerate(self._slot_rid)
+                  if r >= 0 and s not in self._chunk_state]
         if active:
             self._rng, sub = jax.random.split(self._rng)
             nxt, self._cache, self._ocounts = self._step_fn(
@@ -764,12 +827,18 @@ class DecodeEngine:
                 jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
                 self._ocounts, self._pseen, self._lbias)
             # inactive rows advanced too (fixed-shape step); reset their
-            # lengths so their garbage rows stay out of any future prefix
+            # lengths so their garbage rows stay out of any future prefix.
+            # A chunk-pending row's length is pinned back to its fed count:
+            # the step's garbage K/V column at position `fed` is
+            # overwritten by the next chunk feed, and columns past `fed`
+            # are masked out of every softmax by the length
             mask = np.zeros((self.max_batch,), bool)
             mask[active] = True
+            keep = np.zeros((self.max_batch,), np.int32)
+            for s, st in self._chunk_state.items():
+                keep[s] = st["fed"]
             self._cache["len"] = jnp.where(
-                jnp.asarray(mask), self._cache["len"],
-                jnp.zeros((self.max_batch,), jnp.int32))
+                jnp.asarray(mask), self._cache["len"], jnp.asarray(keep))
             self._tokens = nxt
             toks, lens = jax.device_get((nxt, self._cache["len"]))
             for s in active:
@@ -806,6 +875,7 @@ class DecodeEngine:
                 return True
         slot = self._slot_rid.index(rid)  # not done, not queued -> active
         self._slot_rid[slot] = -1
+        self._chunk_state.pop(slot, None)  # may be mid-chunked-prefill
         self._done[rid] = True
         return True
 
@@ -814,7 +884,9 @@ class DecodeEngine:
     def _admit_one(self) -> Optional[Tuple[int, int, int, int]]:
         """Admit the next queued request into a free slot (B=1 prefill
         pasted into the pool). Returns (slot, rid, tok0, prompt_len) or
-        None if no slot is free."""
+        None if no slot is free; tok0 is None when chunked prefill
+        reserved the slot and the prompt is still feeding
+        (_chunk_advance emits the real tok0 after the last chunk)."""
         try:
             slot = self._slot_rid.index(-1)
         except ValueError:
@@ -851,6 +923,25 @@ class DecodeEngine:
         seen = np.zeros((1, self._vocab), bool)
         seen[0, prompt] = True
         oc_j, seen_j = jnp.asarray(oc), jnp.asarray(seen)
+        base = lcp if entry is not None else 0
+        if self.chunk_prefill is not None and t0 - base > self.chunk_prefill:
+            # chunked prefill: reserve the slot and feed the prompt one
+            # C-token chunk per step (_chunk_advance) instead of one
+            # monolithic dispatch; tok0 is sampled after the last chunk
+            if entry is not None:
+                c["k"] = c["k"].at[:, slot].set(entry["k"])
+                c["k2"] = c["k2"].at[:, slot].set(entry["k2"])
+                c["v"] = c["v"].at[:, slot].set(entry["v"])
+                self.prefix_cache_hits += 1
+                self.prefix_tokens_reused += lcp
+            c["len"] = c["len"].at[slot].set(base)
+            self._chunk_state[slot] = {
+                "rid": rid, "prompt": prompt, "fed": base, "t0": t0,
+                "spk": spk, "oc": oc_j, "seen": seen_j, "lb": lb,
+                "aid": aid}
+            self._slot_rid[slot] = rid
+            self._budget[slot] = max_new
+            return slot, rid, None, t0
         pools = (self._admit_params(aid), c["k"], c["k2"], c["v"],
                  c["len"], self._tokens)
         if entry is not None:
@@ -884,6 +975,41 @@ class DecodeEngine:
         self._prefix_store(prompt, store, aid)
         self._on_admit(slot, prompt)
         return slot, rid, tok0, t0
+
+    def _chunk_advance(self, slot: int):
+        """Feed the next C-token chunk of ``slot``'s pending prompt
+        (chunked prefill). On the final chunk, samples the request's
+        first token through the full per-slot picker and activates the
+        slot; returns (slot, rid, tok0, t0) then, None while feeding."""
+        st = self._chunk_state[slot]
+        C = self.chunk_prefill
+        prompt, fed, t0 = st["prompt"], st["fed"], st["t0"]
+        g = min(C, t0 - fed)
+        tail = np.zeros((1, C), np.int32)
+        tail[0, :g] = prompt[fed:fed + g]
+        c = self._cache
+        c["k"], c["k2"], c["v"], logits = self._chunk_feed_fn(
+            self._admit_params(st["aid"]), c["k"], c["k2"], c["v"],
+            jnp.asarray(tail), np.int32(fed), np.int32(g), np.int32(slot))
+        st["fed"] = fed + g
+        c["len"] = c["len"].at[slot].set(st["fed"])
+        if st["fed"] < t0:
+            return None
+        # final chunk: sample tok0 and hand the slot to the decode step
+        self._rng, sub = jax.random.split(self._rng)
+        tok0 = int(self._chunk_tok0_fn(
+            logits, sub, st["spk"], st["oc"], st["seen"], st["lb"]))
+        self._ocounts = self._ocounts.at[slot].set(
+            st["oc"][0].at[tok0].add(1))
+        self._pseen = self._pseen.at[slot].set(st["seen"][0])
+        self._tokens = self._tokens.at[slot].set(tok0)
+        if self._prefix_max:
+            self._prefix_store(
+                prompt, (c["k"][:, slot], c["k2"][:, slot], c["v"][:, slot]),
+                st["aid"])
+        del self._chunk_state[slot]
+        self._on_admit(slot, prompt)
+        return slot, st["rid"], tok0, t0
 
     # ---------------- prefix cache ----------------
 
