@@ -7,6 +7,7 @@ parity.
 """
 
 from .constrain import TokenDFA, choices, token_set
+from .json_schema import json_schema_to_dfa, json_schema_to_regex
 from .regex_dfa import regex_to_dfa
 from .engine import (DecodeEngine, SpecDecodeEngine, decode_chunk_rows,
                      decode_step_rows, lora_params_view)
@@ -18,5 +19,6 @@ from .whisper import WhisperServingEngine, whisper_decode_step_rows
 __all__ = ["DecodeEngine", "PagedDecodeEngine", "ServingServer",
            "SpecDecodeEngine", "TokenDFA", "WhisperServingEngine",
            "choices", "decode_chunk_rows", "decode_step_rows",
-           "init_paged_pool", "lora_params_view", "paged_decode_step_rows",
-           "regex_to_dfa", "token_set", "whisper_decode_step_rows"]
+           "init_paged_pool", "json_schema_to_dfa", "json_schema_to_regex",
+           "lora_params_view", "paged_decode_step_rows", "regex_to_dfa",
+           "token_set", "whisper_decode_step_rows"]

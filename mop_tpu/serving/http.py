@@ -22,8 +22,9 @@ API:
   device step. Guided decoding: ``guided_choice`` (list of token-id
   sequences; the output is exactly one of them, then EOS),
   ``guided_token_set`` (``{"allowed": [ids], "min_len": N, "max_len":
-  M}``), or ``guided_regex`` (anchored pattern compiled against the
-  server's ``token_strs`` vocabulary) build a
+  M}``), ``guided_regex`` (anchored pattern compiled against the
+  server's ``token_strs`` vocabulary), or ``guided_json`` (a JSON-schema
+  dict; the output is compact JSON satisfying it) build a
   :mod:`~mop_tpu.serving.constrain` DFA for the request; all require an
   effective ``eos_id``.
 - ``POST /generate`` with ``"stream": true`` -> Server-Sent Events
@@ -63,6 +64,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from .constrain import choices, token_set
+from .json_schema import json_schema_to_dfa
 from .regex_dfa import regex_to_dfa
 
 
@@ -190,14 +192,21 @@ class ServingServer:
                         kw["stop"] = req["stop"]
                     if req.get("adapter") is not None:
                         kw["adapter"] = str(req["adapter"])
-                    if req.get("guided_regex") is not None:
+                    if req.get("guided_regex") is not None or \
+                            req.get("guided_json") is not None:
                         if outer._token_strs is None:
                             raise ValueError(
-                                "guided_regex needs a server constructed "
-                                "with token_strs (the id->string "
-                                "vocabulary to compile the regex against)")
-                        kw["constraint"] = regex_to_dfa(
-                            str(req["guided_regex"]), outer._token_strs)
+                                "guided_regex/guided_json need a server "
+                                "constructed with token_strs (the "
+                                "id->string vocabulary to compile "
+                                "against)")
+                        if req.get("guided_regex") is not None:
+                            kw["constraint"] = regex_to_dfa(
+                                str(req["guided_regex"]),
+                                outer._token_strs)
+                        else:
+                            kw["constraint"] = json_schema_to_dfa(
+                                req["guided_json"], outer._token_strs)
                     elif req.get("guided_choice") is not None:
                         kw["constraint"] = choices(req["guided_choice"])
                     elif req.get("guided_token_set") is not None:
