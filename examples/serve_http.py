@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""Serving demo: train a tiny byte-level char-LM, deploy it behind the
-HTTP front-end, and run a few concurrent clients against it.
+"""Serving demo: train a byte-BPE tokenizer + tiny LM on a text corpus,
+deploy both behind the HTTP front-end, and run concurrent TEXT clients
+against it.
 
-The full production path in one file: training -> (optional int8/int4
-weight quantization) -> continuous-batching engine (optionally
-speculative) -> HTTP. The reference has no inference or serving story at
-all (SURVEY §0).
+The full production path in one file: tokenizer training -> LM training
+-> (optional int8/int4 weight quantization) -> continuous-batching
+engine (optionally speculative) -> HTTP with server-side encode/decode
+and UTF-8-safe streamed text. The reference has no inference or serving
+story at all (SURVEY §0).
 
 Usage:
   python examples/serve_http.py                 # train, serve, self-test
@@ -30,8 +32,12 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def train_char_lm(n_layer, n_embd, n_head, steps, seed):
-    """Byte-vocab quartet LM briefly trained on a repeating pangram corpus."""
+CORPUS = ("the quick brown fox jumps over the lazy dog. "
+          "pack my box with five dozen liquor jugs. ") * 64
+
+
+def train_char_lm(n_layer, n_embd, n_head, steps, seed, vocab_size, data):
+    """Quartet LM briefly trained on a pre-tokenized corpus."""
     import optax
 
     from mop_tpu.models import TransformerConfig, create_gpt_quartet
@@ -39,10 +45,7 @@ def train_char_lm(n_layer, n_embd, n_head, steps, seed):
 
     cfg = TransformerConfig(n_layer=n_layer, n_head=n_head, n_embd=n_embd,
                             dropout=0.0, block_size=256)
-    model = create_gpt_quartet(256, cfg)
-    text = ("the quick brown fox jumps over the lazy dog. "
-            "pack my box with five dozen liquor jugs. ") * 64
-    data = np.frombuffer(text.encode(), np.uint8).astype(np.int64)
+    model = create_gpt_quartet(vocab_size, cfg)
     params = jitted_init(model, jax.random.PRNGKey(seed),
                          jnp.zeros((1, 64), jnp.int32))
     tx = optax.adamw(3e-4)
@@ -83,10 +86,18 @@ def main():
                     help="stay up after the self-test (Ctrl-C to stop)")
     args = ap.parse_args()
 
+    from mop_tpu.data import ByteBPETokenizer
     from mop_tpu.serving import DecodeEngine, ServingServer, SpecDecodeEngine
 
+    print("training byte-BPE tokenizer...", flush=True)
+    tok = ByteBPETokenizer.train(CORPUS, vocab_size=320)
+    data = np.asarray(tok.encode(CORPUS), np.int64)
+    print(f"vocab {tok.vocab_size}, corpus {len(CORPUS)} chars -> "
+          f"{data.size} tokens", flush=True)
+
     print(f"training target LM ({args.steps} steps)...", flush=True)
-    model, params, loss = train_char_lm(4, 128, 4, args.steps, seed=0)
+    model, params, loss = train_char_lm(4, 128, 4, args.steps, seed=0,
+                                        vocab_size=tok.vocab_size, data=data)
     print(f"target loss {loss:.3f}", flush=True)
 
     if args.quant != "none":
@@ -98,7 +109,9 @@ def main():
               f"(fp32 would be {fp32 / 1e6:.2f} MB)", flush=True)
 
     if args.spec:
-        draft, dparams, dloss = train_char_lm(2, 64, 2, args.steps, seed=1)
+        draft, dparams, dloss = train_char_lm(
+            2, 64, 2, args.steps, seed=1, vocab_size=tok.vocab_size,
+            data=data)
         print(f"draft loss {dloss:.3f}", flush=True)
         eng = SpecDecodeEngine(model, params, draft, dparams,
                                max_batch=args.max_batch, gamma=4,
@@ -107,23 +120,24 @@ def main():
         eng = DecodeEngine(model, params, max_batch=args.max_batch,
                            prefix_cache_entries=args.prefix_cache)
 
-    srv = ServingServer(eng, port=args.port)
+    srv = ServingServer(eng, port=args.port, tokenizer=tok)
     srv.start()
     print(f"serving on http://127.0.0.1:{srv.port}  "
-          f"(POST /generate, GET /health)", flush=True)
+          f"(POST /generate with 'text' or 'prompt', GET /health)",
+          flush=True)
 
-    # self-test: three concurrent clients
+    # self-test: three concurrent TEXT clients (server-side encode/decode)
     prompts = ["the quick ", "pack my ", "five dozen "]
     outs = [None] * len(prompts)
 
     def client(i):
-        body = {"prompt": list(prompts[i].encode()), "max_new_tokens": 24}
+        body = {"text": prompts[i], "max_new_tokens": 24}
         req = urllib.request.Request(
             f"http://127.0.0.1:{srv.port}/generate",
             data=json.dumps(body).encode(),
             headers={"Content-Type": "application/json"})
         with urllib.request.urlopen(req, timeout=300) as r:
-            outs[i] = json.loads(r.read())["tokens"]
+            outs[i] = json.loads(r.read())["text"]
 
     threads = [threading.Thread(target=client, args=(i,))
                for i in range(len(prompts))]
@@ -131,29 +145,24 @@ def main():
         t.start()
     for t in threads:
         t.join()
-    for p, toks in zip(prompts, outs):
-        text = bytes(t for t in toks if 0 <= t < 256).decode(
-            errors="replace")
+    for p, text in zip(prompts, outs):
         print(f"  {p!r} -> {text!r}", flush=True)
 
-    # streaming client: tokens arrive as SSE events while decoding runs
-    body = {"prompt": list(b"the quick "), "max_new_tokens": 24,
-            "stream": True}
+    # streaming client: text pieces arrive as SSE events while decoding runs
+    body = {"text": "the quick ", "max_new_tokens": 24, "stream": True}
     req = urllib.request.Request(
         f"http://127.0.0.1:{srv.port}/generate",
         data=json.dumps(body).encode(),
         headers={"Content-Type": "application/json"})
-    stream_toks = []
+    pieces = []
     with urllib.request.urlopen(req, timeout=300) as r:
         for raw in r:
             line = raw.decode().strip()
             if line.startswith("data: "):
                 ev = json.loads(line[len("data: "):])
                 if "token" in ev:
-                    stream_toks.append(ev["token"])
-    text = bytes(t for t in stream_toks if 0 <= t < 256).decode(
-        errors="replace")
-    print(f"  streamed: 'the quick ' -> {text!r}", flush=True)
+                    pieces.append(ev["text"])
+    print(f"  streamed: 'the quick ' -> {''.join(pieces)!r}", flush=True)
 
     with urllib.request.urlopen(
             f"http://127.0.0.1:{srv.port}/metrics", timeout=30) as r:

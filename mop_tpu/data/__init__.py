@@ -1,5 +1,7 @@
-"""Data loading: CIFAR pickles + synthetic fallback, batch iterators."""
+"""Data loading: CIFAR pickles + synthetic fallback, batch iterators,
+text tokenizers."""
 
+from .tokenizer import ByteBPETokenizer, CharTokenizer
 from .cifar import (
     BatchIterator,
     eval_batches,
@@ -16,4 +18,6 @@ __all__ = [
     "train_val_split",
     "BatchIterator",
     "eval_batches",
+    "ByteBPETokenizer",
+    "CharTokenizer",
 ]

@@ -27,10 +27,20 @@ API:
   dict; the output is compact JSON satisfying it) build a
   :mod:`~mop_tpu.serving.constrain` DFA for the request; all require an
   effective ``eos_id``.
+- ``POST /generate`` with ``"text": "..."`` instead of ``"prompt"``
+  (requires a server constructed with ``tokenizer=``, e.g.
+  :class:`mop_tpu.data.ByteBPETokenizer`): the prompt is encoded
+  server-side and the response gains a decoded ``"text"`` field.
+  ``guided_regex``/``guided_json`` compile against the tokenizer's
+  vocabulary automatically.
 - ``POST /generate`` with ``"stream": true`` -> Server-Sent Events
   (``text/event-stream``): one ``data: {"token": t}`` event per generated
   token AS IT LANDS, then ``data: {"done": true, "request_id": rid,
-  "tokens": [...]}``. Tokens equal the non-streamed response exactly
+  "tokens": [...]}``. In text mode every token event also carries a
+  ``"text"`` piece (incremental UTF-8-safe decode: a multi-byte
+  character held across events surfaces once complete) and the final
+  event the full decoded string. Tokens equal the non-streamed response
+  exactly
   (same engine, same slot pool — streaming changes delivery, not
   decoding).
   The FIRST event is ``data: {"request_id": rid}`` so the client can
@@ -77,8 +87,12 @@ class ServingServer:
     text, e.g. specials)."""
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 poll_interval: float = 0.002, token_strs=None):
+                 poll_interval: float = 0.002, token_strs=None,
+                 tokenizer=None):
         self.engine = engine
+        self._tokenizer = tokenizer
+        if token_strs is None and tokenizer is not None:
+            token_strs = tokenizer.token_strs
         self._token_strs = None if token_strs is None else \
             [str(s) for s in token_strs]
         self._lock = threading.Lock()          # guards engine access
@@ -172,7 +186,20 @@ class ServingServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n))
-                    prompt = req["prompt"]
+                    is_text = req.get("text") is not None
+                    if is_text:
+                        if outer._tokenizer is None:
+                            raise ValueError(
+                                "text prompts need a server constructed "
+                                "with a tokenizer")
+                        if req.get("prompt") is not None:
+                            raise ValueError(
+                                "pass either 'text' or 'prompt', not both")
+                        prompt = outer._tokenizer.encode(str(req["text"]))
+                        if not prompt:
+                            raise ValueError("text encoded to zero tokens")
+                    else:
+                        prompt = req["prompt"]
                     max_new = int(req.get("max_new_tokens", 32))
                     stream = bool(req.get("stream", False))
                     kw = {}
@@ -227,11 +254,14 @@ class ServingServer:
                 except ValueError as e:  # bad length / budget / sampling
                     return self._json(400, {"error": str(e)})
                 if stream:
-                    return self._stream(rid)
+                    return self._stream(rid, is_text)
                 toks = outer._wait(rid)
-                self._json(200, {"request_id": rid, "tokens": toks})
+                payload = {"request_id": rid, "tokens": toks}
+                if is_text:
+                    payload["text"] = outer._tokenizer.decode(toks)
+                self._json(200, payload)
 
-            def _stream(self, rid: int) -> None:
+            def _stream(self, rid: int, is_text: bool = False) -> None:
                 """Server-Sent Events: one event per token as it lands
                 (close-delimited body — HTTP/1.0 semantics, no chunked
                 framing needed). First event carries the request_id; a
@@ -241,6 +271,10 @@ class ServingServer:
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
+                tok = outer._tokenizer if is_text else None
+                dec = (tok.stream_decoder()
+                       if tok is not None and hasattr(tok, "stream_decoder")
+                       else None)
                 sent = 0
                 try:
                     self.wfile.write(
@@ -252,15 +286,20 @@ class ServingServer:
                             done = outer.engine.is_done(rid)
                             toks = list(outer.engine.results[rid])
                         for t in toks[sent:]:
+                            ev = {"token": t}
+                            if tok is not None:
+                                ev["text"] = (dec.feed(t) if dec is not None
+                                              else tok.decode([t]))
                             self.wfile.write(
-                                f"data: {json.dumps({'token': t})}\n\n"
-                                .encode())
+                                f"data: {json.dumps(ev)}\n\n".encode())
                         if sent < len(toks):
                             self.wfile.flush()
                         sent = len(toks)
                         if done:
                             fin = {"done": True, "request_id": rid,
                                    "tokens": toks}
+                            if tok is not None:
+                                fin["text"] = tok.decode(toks)
                             self.wfile.write(
                                 f"data: {json.dumps(fin)}\n\n".encode())
                             self.wfile.flush()
