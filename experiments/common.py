@@ -488,6 +488,11 @@ def lockstep_train(
 
     With ``ckpt_dir``/``ckpt_every``: periodic per-model checkpoints; with
     ``resume``: restart from the latest checkpoint step found on disk.
+    When ``ckpt_dir`` is set the loop is also preemption-safe: SIGTERM
+    (the TPU-VM spot/maintenance signal) checkpoints every model at the
+    next step boundary and exits with code 75, so re-running the same
+    command with ``--resume`` continues the run (SURVEY §5.3 — the
+    reference just dies).
     Returns per-model history {key: {'steps': [...], 'acc': [...]}}.
     """
     hist = {k: {"steps": [], "acc": []} for k in runs}
@@ -501,27 +506,49 @@ def lockstep_train(
         if restored:
             start_step = min(restored) + 1
             log(f"resumed from step {start_step - 1}")
-    with mesh:
-        for step_i in range(start_step, steps + 1):
-            xb, yb = next(train_iter)
-            xb, yb = shard_batch((np.asarray(xb), np.asarray(yb)), mesh)
-            for run in runs.values():
-                run.step(xb, yb, step_i)
-            if step_i % max(eval_every, 1) == 0 or step_i == 1:
-                loss_str = " ".join(
-                    f"L{k}={r.sync_loss():.3f}" for k, r in runs.items()
-                )
-                accs = []
-                for k, r in runs.items():
-                    a = r.evaluate(val_batches_fn())
-                    hist[k]["steps"].append(step_i)
-                    hist[k]["acc"].append(a)
-                    accs.append(f"A{k}={a:.3f}")
-                log(f"step {step_i:4d} | {loss_str} | {' '.join(accs)}")
-            if ckpt_dir and ckpt_every and step_i % ckpt_every == 0:
-                os.makedirs(ckpt_dir, exist_ok=True)
-                for k, run in runs.items():
-                    run.save(os.path.join(ckpt_dir, f"{k}.ckpt"), step_i)
+    guard = None
+    if ckpt_dir:
+        from mop_tpu.training.preemption import (PREEMPTED_EXIT_CODE,
+                                                 PreemptionGuard)
+
+        guard = PreemptionGuard().install()
+
+    def _save_all(step_i):
+        os.makedirs(ckpt_dir, exist_ok=True)
+        for k, run in runs.items():
+            run.save(os.path.join(ckpt_dir, f"{k}.ckpt"), step_i)
+
+    try:
+        with mesh:
+            for step_i in range(start_step, steps + 1):
+                xb, yb = next(train_iter)
+                xb, yb = shard_batch((np.asarray(xb), np.asarray(yb)), mesh)
+                for run in runs.values():
+                    run.step(xb, yb, step_i)
+                if step_i % max(eval_every, 1) == 0 or step_i == 1:
+                    loss_str = " ".join(
+                        f"L{k}={r.sync_loss():.3f}" for k, r in runs.items()
+                    )
+                    accs = []
+                    for k, r in runs.items():
+                        a = r.evaluate(val_batches_fn())
+                        hist[k]["steps"].append(step_i)
+                        hist[k]["acc"].append(a)
+                        accs.append(f"A{k}={a:.3f}")
+                    log(f"step {step_i:4d} | {loss_str} | {' '.join(accs)}")
+                if ckpt_dir and ckpt_every and step_i % ckpt_every == 0:
+                    _save_all(step_i)
+                if guard is not None and guard.preempted:
+                    for r in runs.values():
+                        r.sync_loss()  # host barrier: steps really landed
+                    _save_all(step_i)
+                    log(f"preempted at step {step_i}: checkpointed to "
+                        f"{ckpt_dir}, exiting {PREEMPTED_EXIT_CODE} "
+                        f"(re-run with --resume)")
+                    sys.exit(PREEMPTED_EXIT_CODE)
+    finally:
+        if guard is not None:
+            guard.uninstall()
     return hist
 
 

@@ -2,6 +2,7 @@
 
 from .lora import (lora_init, lora_merge, lora_param_count,
                    make_lora_lm_train_step, make_lora_train_step)
+from .preemption import PREEMPTED_EXIT_CODE, PreemptionGuard, resume_latest
 from .trainer import Trainer, train_model
 from .utils import (
     AsyncCheckpointManager,
@@ -42,4 +43,7 @@ __all__ = [
     "lora_param_count",
     "make_lora_train_step",
     "make_lora_lm_train_step",
+    "PreemptionGuard",
+    "resume_latest",
+    "PREEMPTED_EXIT_CODE",
 ]
