@@ -174,12 +174,17 @@ def main():
           f"{counters['mop_engine_steps_total']} engine steps", flush=True)
 
     if args.keep_serving:
-        print("serving until Ctrl-C...", flush=True)
+        # SIGTERM (TPU-VM preemption / orchestrator stop) drains
+        # gracefully: stop admitting, finish in-flight streams, exit.
+        srv.install_drain_handler(timeout=30.0)
+        print("serving until Ctrl-C (SIGTERM drains gracefully)...",
+              flush=True)
         try:
-            threading.Event().wait()
+            srv.wait_drained()
         except KeyboardInterrupt:
             pass
-    srv.stop()
+    if srv._running:
+        srv.stop()
 
 
 if __name__ == "__main__":

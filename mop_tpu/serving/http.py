@@ -48,17 +48,27 @@ API:
   request automatically (the slot frees for the next queued request).
 - ``POST /cancel`` body ``{"request_id": rid}`` -> ``{"request_id": rid,
   "cancelled": bool}`` (false = unknown rid or already finished).
-- ``GET /health`` -> ``{"status": "ok", "active": A, "queued": Q,
-  "completed": C}``
+- ``GET /health`` -> ``{"status": "ok"|"draining", "active": A,
+  "queued": Q, "completed": C}``
 - ``GET /metrics`` -> Prometheus text format (requests
   completed/cancelled/active/queued, tokens generated, engine steps,
   prefix-cache hits and reused tokens).
+
+Graceful drain (preemption-aware shutdown, the serving counterpart of
+:class:`mop_tpu.training.preemption.PreemptionGuard`): ``srv.drain()`` —
+or SIGTERM after ``srv.install_drain_handler()`` — stops admitting
+(new ``/generate`` requests get 503 + ``Retry-After`` so a load balancer
+fails over), lets every in-flight request finish (streams included),
+then stops the server. ``drain(timeout=...)`` bounds the wait; on
+timeout the stragglers are cancelled so the TPU-VM grace window is
+never overrun.
 
 Usage::
 
     eng = DecodeEngine(model, params, max_batch=8, eos_id=eos)
     srv = ServingServer(eng)
     srv.start()                      # returns immediately
+    srv.install_drain_handler()      # SIGTERM -> graceful drain
     ...                              # POST to http://127.0.0.1:{srv.port}
     srv.stop()
 
@@ -99,6 +109,8 @@ class ServingServer:
         self._completed = 0
         self._cancelled = 0
         self._running = False
+        self._draining = False
+        self._drained = threading.Event()      # set when drain completes
         self._poll = poll_interval
         outer = self
 
@@ -121,7 +133,7 @@ class ServingServer:
                     return self._json(404, {"error": "unknown path"})
                 with outer._lock:
                     self._json(200, {
-                        "status": "ok",
+                        "status": "draining" if outer._draining else "ok",
                         "active": outer.engine.n_active,
                         "queued": outer.engine.n_queued,
                         "completed": outer._completed,
@@ -183,6 +195,16 @@ class ServingServer:
                                             "cancelled": ok})
                 if self.path != "/generate":
                     return self._json(404, {"error": "unknown path"})
+                if outer._draining:
+                    self.send_response(503)
+                    body = json.dumps(
+                        {"error": "server draining (preemption)"}).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.send_header("Retry-After", "1")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n))
@@ -250,6 +272,11 @@ class ServingServer:
                     return self._json(400, {"error": str(e)})
                 try:
                     with outer._lock:
+                        if outer._draining:  # re-check under the lock:
+                            # a drain that began after the fast-path check
+                            # must not admit work onto a stopping engine
+                            return self._json(503, {
+                                "error": "server draining (preemption)"})
                         rid = outer.engine.submit(prompt, max_new, **kw)
                 except ValueError as e:  # bad length / budget / sampling
                     return self._json(400, {"error": str(e)})
@@ -329,6 +356,63 @@ class ServingServer:
         self._httpd.shutdown()
         self._httpd.server_close()
         self._worker.join(timeout=5)
+
+    # ---------------- graceful drain ----------------
+
+    def drain(self, timeout: Optional[float] = None,
+              stop_when_drained: bool = True) -> bool:
+        """Stop admitting, finish in-flight requests, then stop the server.
+
+        New ``/generate`` requests get 503 immediately; requests already
+        active or queued run to completion (streams keep delivering).
+        ``timeout`` bounds the wait — on expiry the stragglers are
+        cancelled so a TPU-VM preemption grace window is never overrun.
+        Returns True if everything finished, False if cancellation was
+        needed. Idempotent; safe from any thread or a signal handler
+        via :meth:`install_drain_handler`.
+        """
+        self._draining = True
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            with self._lock:
+                idle = not (self.engine.n_active or self.engine.n_queued)
+            if idle:
+                finished = True
+                break
+            if deadline is not None and time.monotonic() >= deadline:
+                with self._lock:
+                    for rid, done in list(self.engine._done.items()):
+                        if not done:
+                            self._cancelled += self.engine.cancel(rid)
+                finished = False
+                break
+            time.sleep(self._poll)
+        if stop_when_drained and self._running:
+            self.stop()
+        self._drained.set()
+        return finished
+
+    def install_drain_handler(self, signals=None,
+                              timeout: Optional[float] = None) -> None:
+        """SIGTERM (default) -> :meth:`drain` on a background thread —
+        the serving counterpart of training's ``PreemptionGuard``: the
+        TPU-VM spot/maintenance signal finishes in-flight generations
+        inside the grace window instead of dropping them."""
+        import signal as _signal
+
+        if signals is None:
+            signals = (_signal.SIGTERM,)
+
+        def _handler(signum, frame):
+            threading.Thread(target=self.drain, kwargs={"timeout": timeout},
+                             daemon=True).start()
+
+        for s in signals:
+            _signal.signal(s, _handler)
+
+    def wait_drained(self, timeout: Optional[float] = None) -> bool:
+        """Block until a drain (signal- or caller-initiated) completes."""
+        return self._drained.wait(timeout)
 
     # ---------------- internals ----------------
 

@@ -302,3 +302,109 @@ def test_http_guided_decoding(server):
         assert False, "expected 400 for constraint without eos"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+# ---------------- graceful drain (preemption-aware shutdown) ----------------
+
+
+def test_http_drain_finishes_inflight_and_rejects_new(long_server):
+    """drain(): in-flight requests run to completion and return full
+    results; requests arriving after drain starts get 503 + Retry-After;
+    /health reports 'draining'."""
+    eng, srv = long_server
+    prompt, max_new = [3, 1, 4], 40
+
+    results = {}
+
+    def client():
+        results["tokens"] = _post(srv.port, {
+            "prompt": prompt, "max_new_tokens": max_new})["tokens"]
+
+    t = threading.Thread(target=client)
+    t.start()
+    deadline = time.time() + 60
+    while True:  # wait until the request is actually occupying a slot
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/health", timeout=30) as r:
+            if json.loads(r.read())["active"] >= 1:
+                break
+        assert time.time() < deadline
+        time.sleep(0.01)
+
+    drain_ret = {}
+    dt = threading.Thread(target=lambda: drain_ret.setdefault(
+        "finished", srv.drain(stop_when_drained=False)))
+    dt.start()
+    # the drain flag is set synchronously at the top of drain()
+    deadline = time.time() + 10
+    while not srv._draining:
+        assert time.time() < deadline
+        time.sleep(0.005)
+
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "draining"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.port, {"prompt": [1], "max_new_tokens": 2})
+    assert e.value.code == 503
+    assert e.value.headers["Retry-After"] is not None
+
+    t.join(timeout=120)
+    dt.join(timeout=120)
+    assert drain_ret["finished"] is True
+    assert len(results["tokens"]) == max_new  # full result, not truncated
+
+
+def test_http_drain_timeout_cancels_stragglers(long_server):
+    eng, srv = long_server
+    rid_holder = {}
+
+    def client():
+        try:
+            rid_holder["out"] = _post(
+                srv.port, {"prompt": [2, 7], "max_new_tokens": 400})
+        except Exception as e:  # server may stop before completion
+            rid_holder["err"] = e
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    deadline = time.time() + 60
+    while True:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/health", timeout=30) as r:
+            if json.loads(r.read())["active"] >= 1:
+                break
+        assert time.time() < deadline
+        time.sleep(0.01)
+    finished = srv.drain(timeout=0.0, stop_when_drained=False)
+    assert finished is False  # straggler was cancelled, not awaited
+    with srv._lock:
+        assert eng.n_active == 0 and eng.n_queued == 0
+
+
+def test_http_signal_triggers_drain():
+    """install_drain_handler(): a (harmless, test-safe) signal drains and
+    stops the whole server — the TPU-VM preemption path end-to-end."""
+    import os
+    import signal as _signal
+
+    model, params, eng = _engine()
+    direct = DecodeEngine(model, params, max_batch=3)
+    rid = direct.submit([3, 1, 4, 1, 5], 8)
+    expected = direct.run()[rid]
+
+    srv = ServingServer(eng)
+    srv.start()
+    prev = _signal.getsignal(_signal.SIGUSR2)
+    try:
+        srv.install_drain_handler(signals=(_signal.SIGUSR2,))
+        out = _post(srv.port, {"prompt": [3, 1, 4, 1, 5],
+                               "max_new_tokens": 8})
+        assert out["tokens"] == expected
+        os.kill(os.getpid(), _signal.SIGUSR2)
+        assert srv.wait_drained(timeout=60)
+        assert not srv._running  # drain stopped the server
+    finally:
+        _signal.signal(_signal.SIGUSR2, prev)
+        if srv._running:
+            srv.stop()
