@@ -11,6 +11,7 @@ from .json_schema import json_schema_to_dfa, json_schema_to_regex
 from .regex_dfa import regex_to_dfa
 from .engine import (DecodeEngine, SpecDecodeEngine, decode_chunk_rows,
                      decode_step_rows, lora_params_view)
+from .export import export_apply, export_fn, load_exported, save_exported
 from .http import ServingServer
 from .paged import (PagedDecodeEngine, init_paged_pool,
                     paged_decode_step_rows)
@@ -19,6 +20,7 @@ from .whisper import WhisperServingEngine, whisper_decode_step_rows
 __all__ = ["DecodeEngine", "PagedDecodeEngine", "ServingServer",
            "SpecDecodeEngine", "TokenDFA", "WhisperServingEngine",
            "choices", "decode_chunk_rows", "decode_step_rows",
-           "init_paged_pool", "json_schema_to_dfa", "json_schema_to_regex",
+           "export_apply", "export_fn", "init_paged_pool",
+           "json_schema_to_dfa", "json_schema_to_regex", "load_exported",
            "lora_params_view", "paged_decode_step_rows", "regex_to_dfa",
-           "token_set", "whisper_decode_step_rows"]
+           "save_exported", "token_set", "whisper_decode_step_rows"]
