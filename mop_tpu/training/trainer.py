@@ -141,9 +141,19 @@ def train_model(
     augment: bool = True,
     grad_clip: Optional[float] = None,
     verbose: bool = True,
+    ckpt_dir: Optional[str] = None,
+    ckpt_every: int = 0,
+    resume: bool = False,
 ):
     """Step-based training run (reference ``trainer.py:133-235`` adapted to the
-    experiments' step-count convention). Returns (params, history dict)."""
+    experiments' step-count convention). Returns (params, history dict).
+
+    With ``ckpt_dir``: async checkpoints every ``ckpt_every`` steps, and
+    the run is preemption-safe — SIGTERM (the TPU-VM spot/maintenance
+    signal) checkpoints at the next step boundary and exits with code 75
+    so a relaunch with ``resume=True`` continues from the saved step
+    (the reference just dies, SURVEY §5.3).
+    """
     rng = jax.random.PRNGKey(seed)
     trainer = Trainer(
         model, mesh=mesh, mean=mean, std=std, augment=augment, grad_clip=grad_clip
@@ -154,22 +164,47 @@ def train_model(
     tx = optax.adamw(sched, weight_decay=weight_decay)
     opt_state = trainer.setup_optimizer(tx, params)
 
+    start_step, mgr, guard = 0, None, None
+    if ckpt_dir:
+        from .preemption import PreemptionGuard, resume_latest
+        from .utils import AsyncCheckpointManager
+
+        mgr = AsyncCheckpointManager(ckpt_dir, keep=2)
+        guard = PreemptionGuard(mgr).install()
+        if resume:
+            start_step, params, opt_state = resume_latest(mgr, params, opt_state)
+            if start_step and verbose:
+                print(f"resumed from step {start_step}")
+
     history = {"train_loss": [], "val_acc": [], "time_min": []}
     best_acc, t0 = 0.0, time.time()
-    with trainer.mesh:
-        for step_i in range(steps):
-            xb, yb = next(train_iter)
-            xb, yb = shard_batch((np.asarray(xb), np.asarray(yb)), trainer.mesh)
-            key = jax.random.fold_in(rng, step_i)
-            params, opt_state, m = trainer._train_step(params, opt_state, xb, yb, key)
-            if verbose and step_i % 100 == 0:
-                print(f"step {step_i}/{steps} loss {float(m['loss']):.4f}")
-            history["train_loss"].append(float(m["loss"]))
-            if eval_every and (step_i + 1) % eval_every == 0:
-                acc = trainer.evaluate(params, val_batches_fn())["accuracy"]
-                history["val_acc"].append(acc)
-                best_acc = max(best_acc, acc)
-                if verbose:
-                    print(f"  val acc {acc:.2f}% (best {best_acc:.2f}%)")
+    try:
+        with trainer.mesh:
+            for step_i in range(start_step, steps):
+                xb, yb = next(train_iter)
+                xb, yb = shard_batch((np.asarray(xb), np.asarray(yb)), trainer.mesh)
+                key = jax.random.fold_in(rng, step_i)
+                params, opt_state, m = trainer._train_step(params, opt_state, xb, yb, key)
+                if verbose and step_i % 100 == 0:
+                    print(f"step {step_i}/{steps} loss {float(m['loss']):.4f}")
+                history["train_loss"].append(float(m["loss"]))
+                if eval_every and (step_i + 1) % eval_every == 0:
+                    acc = trainer.evaluate(params, val_batches_fn())["accuracy"]
+                    history["val_acc"].append(acc)
+                    best_acc = max(best_acc, acc)
+                    if verbose:
+                        print(f"  val acc {acc:.2f}% (best {best_acc:.2f}%)")
+                if mgr is not None and ckpt_every and (step_i + 1) % ckpt_every == 0:
+                    mgr.save(step_i + 1, params, opt_state=opt_state)
+                if guard is not None:
+                    # float(m['loss']) above already forced the step; the
+                    # guard re-saves synchronously before exiting 75
+                    guard.maybe_checkpoint_and_exit(
+                        step_i + 1, params, opt_state=opt_state)
+    finally:
+        if guard is not None:
+            guard.uninstall()
+        if mgr is not None:
+            mgr.close()
     history["time_min"].append((time.time() - t0) / 60.0)
     return params, history

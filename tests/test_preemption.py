@@ -213,3 +213,57 @@ def test_interrupted_plus_resume_equals_uninterrupted(
     l2_solo = float(
         [ln for ln in lines if ln.startswith("DONE")][0].split()[-1])
     assert l2_resumed == l2_solo
+
+
+# ---------------- library-level train_model preemption ----------------
+
+
+def test_train_model_preemption_and_resume(tmp_path):
+    """train_model(ckpt_dir=...) is preemption-safe: SIGTERM mid-run
+    checkpoints and raises SystemExit(75); resume=True continues from the
+    saved step and reaches parameters IDENTICAL to an uninterrupted run
+    (constant batch, absolute-step rng folding, absolute-step lr)."""
+    import numpy as np
+
+    from mop_tpu.models import ViT_Baseline
+    from mop_tpu.training import train_model
+
+    rs = np.random.RandomState(0)
+    xb = rs.randn(8, 3, 32, 32).astype(np.float32)
+    yb = rs.randint(0, 4, (8,)).astype(np.int64)
+
+    def make_iter(kill_at=None):
+        def gen():
+            step = 0
+            while True:
+                if kill_at is not None and step == kill_at:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                step += 1
+                yield xb, yb
+        return gen()
+
+    def model():
+        return ViT_Baseline(dim=32, depth=1, heads=2, n_classes=4)
+
+    steps, ckpt = 6, str(tmp_path / "ck")
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    with pytest.raises(SystemExit) as e:
+        train_model(model(), make_iter(kill_at=3), lambda: [], steps,
+                    verbose=False, augment=False, ckpt_dir=ckpt,
+                    ckpt_every=100)
+    assert e.value.code == PREEMPTED_EXIT_CODE
+    assert signal.getsignal(signal.SIGTERM) == prev_handler  # uninstalled
+    with AsyncCheckpointManager(ckpt, keep=2) as mgr:
+        saved = mgr.latest_step()
+    assert saved is not None and 1 <= saved < steps
+
+    p_resumed, hist = train_model(model(), make_iter(), lambda: [], steps,
+                                  verbose=False, augment=False,
+                                  ckpt_dir=ckpt, resume=True)
+    assert len(hist["train_loss"]) == steps - saved  # no step repeated
+
+    p_solo, _ = train_model(model(), make_iter(), lambda: [], steps,
+                            verbose=False, augment=False)
+    flat_r = jax.tree_util.tree_leaves(p_resumed)
+    flat_s = jax.tree_util.tree_leaves(p_solo)
+    assert all(jnp.array_equal(a, b) for a, b in zip(flat_r, flat_s))
