@@ -52,7 +52,10 @@ API:
   "queued": Q, "completed": C}``
 - ``GET /metrics`` -> Prometheus text format (requests
   completed/cancelled/active/queued, tokens generated, engine steps,
-  prefix-cache hits and reused tokens).
+  prefix-cache hits and reused tokens, plus latency histograms:
+  ``mop_ttft_seconds`` — submit to first generated token — and
+  ``mop_tpot_seconds`` — mean time per subsequent token — the two
+  numbers a serving SLO is written against).
 
 Graceful drain (preemption-aware shutdown, the serving counterpart of
 :class:`mop_tpu.training.preemption.PreemptionGuard`): ``srv.drain()`` —
@@ -88,6 +91,41 @@ from .json_schema import json_schema_to_dfa
 from .regex_dfa import regex_to_dfa
 
 
+class _Histogram:
+    """Minimal Prometheus histogram: cumulative buckets + sum + count."""
+
+    def __init__(self, buckets):
+        self.buckets = tuple(sorted(buckets))
+        self.counts = [0] * (len(self.buckets) + 1)  # last = +Inf
+        self.total = 0.0
+        self.n = 0
+
+    def observe(self, v: float) -> None:
+        i = 0
+        while i < len(self.buckets) and v > self.buckets[i]:
+            i += 1
+        self.counts[i] += 1
+        self.total += v
+        self.n += 1
+
+    def render(self, name: str, help_: str) -> list:
+        out = [f"# HELP {name} {help_}", f"# TYPE {name} histogram"]
+        cum = 0
+        for le, c in zip(self.buckets, self.counts):
+            cum += c
+            out.append(f'{name}_bucket{{le="{le}"}} {cum}')
+        out.append(f'{name}_bucket{{le="+Inf"}} {self.n}')
+        out.append(f"{name}_sum {self.total}")
+        out.append(f"{name}_count {self.n}")
+        return out
+
+
+_TTFT_BUCKETS = (0.0025, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5,
+                 1.0, 2.5, 5.0, 10.0)
+_TPOT_BUCKETS = (0.0005, 0.001, 0.0025, 0.005, 0.01, 0.025, 0.05,
+                 0.1, 0.25, 0.5)
+
+
 class ServingServer:
     """HTTP wrapper around a decode engine; one device-worker thread.
 
@@ -112,6 +150,10 @@ class ServingServer:
         self._draining = False
         self._drained = threading.Event()      # set when drain completes
         self._poll = poll_interval
+        # latency tracking (all under _lock): rid -> submit/first times
+        self._lat_pending = {}                 # rid -> (t_submit, t_first)
+        self._hist_ttft = _Histogram(_TTFT_BUCKETS)
+        self._hist_tpot = _Histogram(_TPOT_BUCKETS)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -171,6 +213,13 @@ class ServingServer:
                     out.append(f"# HELP mop_{name} {help_}")
                     out.append(f"# TYPE mop_{name} {kind}")
                     out.append(f"mop_{name} {val}")
+                with outer._lock:
+                    out += outer._hist_ttft.render(
+                        "mop_ttft_seconds",
+                        "Submit to first generated token.")
+                    out += outer._hist_tpot.render(
+                        "mop_tpot_seconds",
+                        "Mean per-token time after the first.")
                 body = ("\n".join(out) + "\n").encode()
                 self.send_response(200)
                 self.send_header("Content-Type",
@@ -191,6 +240,8 @@ class ServingServer:
                     with outer._lock:
                         ok = outer.engine.cancel(rid)
                         outer._cancelled += ok
+                        if ok:
+                            outer._lat_pending.pop(rid, None)
                     return self._json(200, {"request_id": rid,
                                             "cancelled": ok})
                 if self.path != "/generate":
@@ -278,6 +329,7 @@ class ServingServer:
                             return self._json(503, {
                                 "error": "server draining (preemption)"})
                         rid = outer.engine.submit(prompt, max_new, **kw)
+                        outer._lat_pending[rid] = [time.monotonic(), None]
                 except ValueError as e:  # bad length / budget / sampling
                     return self._json(400, {"error": str(e)})
                 if stream:
@@ -334,7 +386,9 @@ class ServingServer:
                         time.sleep(outer._poll)
                 except OSError:  # client disconnected mid-stream
                     with outer._lock:
-                        outer._cancelled += outer.engine.cancel(rid)
+                        if outer.engine.cancel(rid):
+                            outer._cancelled += 1
+                            outer._lat_pending.pop(rid, None)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host = host
@@ -427,8 +481,28 @@ class ServingServer:
                     self.engine.step()
                     self._completed += (
                         sum(self.engine._done.values()) - done_before)
+                    self._observe_latency_locked(time.monotonic())
             if not busy:
                 time.sleep(self._poll)
+
+    def _observe_latency_locked(self, now: float) -> None:
+        """After an engine step (lock held): record TTFT the first time a
+        request has any output, TPOT when it finishes. Granularity is the
+        worker's step loop — per-token times within one engine step (e.g.
+        a speculative chunk) are averaged, not resolved."""
+        finished = []
+        for rid, st in self._lat_pending.items():
+            toks = self.engine.results.get(rid)
+            n = 0 if toks is None else len(toks)
+            if st[1] is None and n > 0:
+                st[1] = now
+                self._hist_ttft.observe(now - st[0])
+            if self.engine.is_done(rid):
+                if st[1] is not None and n > 1:
+                    self._hist_tpot.observe((now - st[1]) / (n - 1))
+                finished.append(rid)
+        for rid in finished:
+            del self._lat_pending[rid]
 
     def _wait(self, rid: int):
         while True:

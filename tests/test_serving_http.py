@@ -264,6 +264,27 @@ def test_http_metrics_counters(server):
     assert m["mop_engine_steps_total"] > 0
 
 
+def test_http_latency_histograms(server):
+    model, params, srv = server
+    before = _metrics(srv.port)
+    out = _post(srv.port, {"prompt": [5, 2], "max_new_tokens": 6})
+    assert len(out["tokens"]) == 6
+    m = _metrics(srv.port)
+    # one TTFT observation per completed request; TPOT needs >1 token
+    assert m["mop_ttft_seconds_count"] == \
+        before.get("mop_ttft_seconds_count", 0) + 1
+    assert m["mop_tpot_seconds_count"] == \
+        before.get("mop_tpot_seconds_count", 0) + 1
+    assert m["mop_ttft_seconds_sum"] > before.get("mop_ttft_seconds_sum", 0)
+    # +Inf bucket is cumulative over everything observed
+    assert m['mop_ttft_seconds_bucket{le="+Inf"}'] == \
+        m["mop_ttft_seconds_count"]
+    assert m['mop_tpot_seconds_bucket{le="+Inf"}'] == \
+        m["mop_tpot_seconds_count"]
+    # nothing left pending once all requests completed
+    assert not srv._lat_pending
+
+
 def test_http_per_request_sampling(server):
     model, params, srv = server
     base = _post(srv.port, {"prompt": [3, 1, 4], "max_new_tokens": 8})
