@@ -164,6 +164,18 @@ def main():
                     pieces.append(ev["text"])
     print(f"  streamed: 'the quick ' -> {''.join(pieces)!r}", flush=True)
 
+    # OpenAI-compatible client: same slot pool, OpenAI wire shapes
+    body = {"model": "mop", "prompt": "the quick ", "max_tokens": 16,
+            "stop": ["."]}
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/v1/completions",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        choice = json.loads(r.read())["choices"][0]
+    print(f"  /v1/completions: {choice['text']!r} "
+          f"(finish={choice['finish_reason']})", flush=True)
+
     with urllib.request.urlopen(
             f"http://127.0.0.1:{srv.port}/metrics", timeout=30) as r:
         metrics = r.read().decode()

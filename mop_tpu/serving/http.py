@@ -50,6 +50,15 @@ API:
   "cancelled": bool}`` (false = unknown rid or already finished).
 - ``GET /health`` -> ``{"status": "ok"|"draining", "active": A,
   "queued": Q, "completed": C}``
+- **OpenAI-compatible endpoints** (require ``tokenizer=``):
+  ``POST /v1/completions``, ``POST /v1/chat/completions`` (blocking and
+  ``"stream": true`` SSE chunk formats, ``data: [DONE]`` terminator),
+  ``GET /v1/models`` — field mapping, stop-string trimming, and
+  ``finish_reason``/``usage`` semantics in
+  :mod:`mop_tpu.serving.openai_api`. OpenAI requests batch onto the
+  same slot pool as native ``/generate`` traffic. ``model_name=`` sets
+  the advertised model id; ``chat_template=`` overrides the default
+  role-tagged chat rendering.
 - ``GET /metrics`` -> Prometheus text format (requests
   completed/cancelled/active/queued, tokens generated, engine steps,
   prefix-cache hits and reused tokens, plus latency histograms:
@@ -86,6 +95,7 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
+from . import openai_api as _oai
 from .constrain import choices, token_set
 from .json_schema import json_schema_to_dfa
 from .regex_dfa import regex_to_dfa
@@ -136,9 +146,13 @@ class ServingServer:
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  poll_interval: float = 0.002, token_strs=None,
-                 tokenizer=None):
+                 tokenizer=None, model_name: str = "mop",
+                 chat_template=None):
         self.engine = engine
         self._tokenizer = tokenizer
+        self._model_name = model_name
+        self._chat_template = chat_template
+        self._created = int(time.time())
         if token_strs is None and tokenizer is not None:
             token_strs = tokenizer.token_strs
         self._token_strs = None if token_strs is None else \
@@ -171,6 +185,9 @@ class ServingServer:
             def do_GET(self):
                 if self.path == "/metrics":
                     return self._metrics()
+                if self.path == "/v1/models":
+                    return self._json(200, _oai.models_body(
+                        outer._model_name, outer._created))
                 if self.path != "/health":
                     return self._json(404, {"error": "unknown path"})
                 with outer._lock:
@@ -244,6 +261,9 @@ class ServingServer:
                             outer._lat_pending.pop(rid, None)
                     return self._json(200, {"request_id": rid,
                                             "cancelled": ok})
+                if self.path in ("/v1/completions", "/v1/chat/completions"):
+                    return self._openai(
+                        chat=self.path.endswith("chat/completions"))
                 if self.path != "/generate":
                     return self._json(404, {"error": "unknown path"})
                 if outer._draining:
@@ -339,6 +359,130 @@ class ServingServer:
                 if is_text:
                     payload["text"] = outer._tokenizer.decode(toks)
                 self._json(200, payload)
+
+            def _oai_error(self, code: int, msg: str,
+                           kind: str = "invalid_request_error") -> None:
+                self._json(code, {"error": {"message": msg, "type": kind}})
+
+            def _openai(self, chat: bool) -> None:
+                """OpenAI-compatible /v1/completions and
+                /v1/chat/completions (field mapping in
+                :mod:`mop_tpu.serving.openai_api`)."""
+                if outer._tokenizer is None:
+                    return self._oai_error(
+                        400, "this server was constructed without a "
+                        "tokenizer; OpenAI endpoints need one")
+                if outer._draining:
+                    return self._oai_error(
+                        503, "server draining (preemption)", "server_error")
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n))
+                    if chat:
+                        p = _oai.parse_chat(req, outer._tokenizer,
+                                            outer._chat_template)
+                    else:
+                        p = _oai.parse_completion(req, outer._tokenizer)
+                except (KeyError, ValueError, TypeError,
+                        json.JSONDecodeError) as e:
+                    return self._oai_error(400, str(e))
+                try:
+                    with outer._lock:
+                        if outer._draining:
+                            return self._oai_error(
+                                503, "server draining (preemption)",
+                                "server_error")
+                        rid = outer.engine.submit(
+                            p["prompt_ids"], p["max_new"], **p["kw"])
+                        outer._lat_pending[rid] = [time.monotonic(), None]
+                except ValueError as e:  # bad length / budget
+                    return self._oai_error(400, str(e))
+                created = int(time.time())
+                if p["stream"]:
+                    return self._openai_stream(rid, p, chat, created)
+                toks = outer._wait(rid)
+                text, finish = _oai.finalize(
+                    toks, outer._tokenizer, outer.engine.eos_id,
+                    p["stop_strs"])
+                if p["echo"]:
+                    text = p["prompt_text"] + text
+                build = _oai.chat_body if chat else _oai.completion_body
+                self._json(200, build(rid, outer._model_name, created,
+                                      text, finish, len(p["prompt_ids"]),
+                                      len(toks)))
+
+            def _openai_stream(self, rid: int, p: dict, chat: bool,
+                               created: int) -> None:
+                """OpenAI SSE chunks; ends with ``data: [DONE]``. Stop
+                strings are trimmed on the fly (text that could begin a
+                stop string is withheld until disambiguated)."""
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                tok = outer._tokenizer
+                eos = outer.engine.eos_id
+                dec = (tok.stream_decoder()
+                       if hasattr(tok, "stream_decoder") else None)
+                trim = _oai.StopTrimmer(p["stop_strs"])
+                mk = _oai.chat_chunk if chat else _oai.completion_chunk
+
+                def emit(piece, finish=None):
+                    if chat:
+                        delta = {"content": piece} if piece else {}
+                        ev = mk(rid, outer._model_name, created, delta,
+                                finish)
+                    else:
+                        ev = mk(rid, outer._model_name, created, piece,
+                                finish)
+                    self.wfile.write(
+                        f"data: {json.dumps(ev)}\n\n".encode())
+
+                sent = 0
+                saw_eos = False
+                try:
+                    if chat:
+                        ev = mk(rid, outer._model_name, created,
+                                {"role": "assistant"}, None)
+                        self.wfile.write(
+                            f"data: {json.dumps(ev)}\n\n".encode())
+                    elif p["echo"]:
+                        emit(p["prompt_text"])
+                    self.wfile.flush()
+                    while True:
+                        with outer._lock:
+                            done = outer.engine.is_done(rid)
+                            toks = list(outer.engine.results[rid])
+                        wrote = False
+                        for t in toks[sent:]:
+                            if eos is not None and t == eos:
+                                saw_eos = True
+                                continue
+                            raw = (dec.feed(t) if dec is not None
+                                   else tok.decode([t]))
+                            piece = trim.feed(raw)
+                            if piece:
+                                emit(piece)
+                                wrote = True
+                        sent = len(toks)
+                        if done:
+                            tail = "" if trim.hit else trim.flush()
+                            if tail:
+                                emit(tail)
+                            finish = ("stop" if trim.hit or saw_eos
+                                      else "length")
+                            emit("", finish)
+                            self.wfile.write(b"data: [DONE]\n\n")
+                            self.wfile.flush()
+                            return
+                        if wrote:
+                            self.wfile.flush()
+                        time.sleep(outer._poll)
+                except OSError:  # client disconnected mid-stream
+                    with outer._lock:
+                        if outer.engine.cancel(rid):
+                            outer._cancelled += 1
+                            outer._lat_pending.pop(rid, None)
 
             def _stream(self, rid: int, is_text: bool = False) -> None:
                 """Server-Sent Events: one event per token as it lands

@@ -1,0 +1,260 @@
+"""OpenAI-compatible API translation for the serving front-end.
+
+Pure request/response mapping between the public OpenAI REST shapes —
+``POST /v1/completions``, ``POST /v1/chat/completions``, ``GET
+/v1/models``, including their SSE streaming chunk formats — and the
+decode engine's ``submit()`` surface. No device work happens here;
+:class:`~mop_tpu.serving.http.ServingServer` routes the endpoints and
+this module owns the contract, so it is unit-testable without HTTP.
+
+The reference has no serving story at all (SURVEY §0 — its models stop
+at teacher-forced logits); this layer makes the continuous-batching
+engine a drop-in backend for the ecosystem of OpenAI-client tooling
+(openai-python, LangChain, curl recipes).
+
+Field mapping:
+
+- ``prompt`` (string or token-id list) / ``messages`` (rendered through
+  a chat template; see :func:`default_chat_template`) -> prompt ids.
+- ``max_tokens`` -> ``max_new_tokens`` (OpenAI default 16).
+- ``temperature`` / ``top_p`` / ``presence_penalty`` /
+  ``frequency_penalty`` / ``logit_bias`` -> the same-named per-request
+  engine params (``logit_bias`` keys arrive as strings per the wire
+  format).
+- ``stop`` (string or up to 4 strings): each is tokenizer-encoded and
+  passed as a token-level stop sequence, and the decoded output is cut
+  at the first occurrence of any stop string (the OpenAI contract:
+  stop text is excluded from the response). Token-level matching can
+  miss a stop string that the model emits across a different BPE
+  segmentation; the host-side text cut still trims it from the output,
+  but generation then ran to another limit first.
+- ``echo`` (completions only): prompt text is prepended (streamed
+  first, in streaming mode).
+- ``stream``: SSE chunks in the OpenAI shapes, terminated by
+  ``data: [DONE]``.
+
+Explicitly rejected rather than silently ignored: ``n`` > 1,
+``best_of`` > 1, ``logprobs``, ``suffix``, ``tools`` /
+``tool_choice`` / ``functions``, ``response_format``.
+``finish_reason`` is ``"stop"`` (EOS or stop sequence) or ``"length"``
+(``max_tokens`` or the context window). ``usage`` counts prompt and
+completion tokens exactly as submitted/emitted.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+__all__ = [
+    "parse_completion", "parse_chat", "default_chat_template",
+    "finalize", "StopTrimmer", "completion_body", "chat_body",
+    "completion_chunk", "chat_chunk", "models_body",
+]
+
+_UNSUPPORTED = ("suffix", "tools", "tool_choice", "functions",
+                "function_call", "response_format")
+
+
+def default_chat_template(messages: Sequence[dict]) -> str:
+    """Render chat messages as role-tagged plain-text lines ending with
+    an ``assistant:`` cue — a trainable format for the char/BPE toy
+    models. Pass ``chat_template=`` to :class:`ServingServer` for
+    anything model-specific."""
+    lines = []
+    for m in messages:
+        lines.append(f"{m['role']}: {m['content']}\n")
+    lines.append("assistant:")
+    return "".join(lines)
+
+
+def _common(req: dict, tokenizer) -> tuple:
+    """Shared sampling/limit parsing. Returns (max_new, kw, stop_strs,
+    stream). Raises ValueError on anything we can't honor exactly."""
+    if int(req.get("n") or 1) != 1:
+        raise ValueError("only n=1 is supported")
+    if int(req.get("best_of") or 1) != 1:
+        raise ValueError("only best_of=1 is supported")
+    if req.get("logprobs"):
+        raise ValueError("logprobs are not supported")
+    for key in _UNSUPPORTED:
+        if req.get(key) is not None:
+            raise ValueError(f"'{key}' is not supported")
+    kw: Dict[str, object] = {}
+    for key, cast in (("temperature", float), ("top_p", float),
+                      ("presence_penalty", float),
+                      ("frequency_penalty", float)):
+        if req.get(key) is not None:
+            kw[key] = cast(req[key])
+    if req.get("logit_bias") is not None:
+        kw["logit_bias"] = {int(t): float(v)
+                            for t, v in req["logit_bias"].items()}
+    stop = req.get("stop")
+    if stop is None:
+        stop_strs: List[str] = []
+    elif isinstance(stop, str):
+        stop_strs = [stop]
+    else:
+        stop_strs = [str(s) for s in stop]
+    if len(stop_strs) > 4:
+        raise ValueError("at most 4 stop sequences are supported")
+    if any(not s for s in stop_strs):
+        raise ValueError("stop sequences must be non-empty strings")
+    if stop_strs:
+        seqs = [tokenizer.encode(s) for s in stop_strs]
+        if any(not s for s in seqs):
+            raise ValueError("a stop sequence encoded to zero tokens")
+        kw["stop"] = seqs
+    max_new = req.get("max_tokens")
+    max_new = 16 if max_new is None else int(max_new)  # 0 stays invalid
+    return max_new, kw, stop_strs, bool(req.get("stream", False))
+
+
+def parse_completion(req: dict, tokenizer) -> dict:
+    """``/v1/completions`` request -> submit plan. ``prompt`` may be a
+    string or a token-id list (both OpenAI-legal)."""
+    prompt = req.get("prompt")
+    if prompt is None:
+        raise ValueError("'prompt' is required")
+    if isinstance(prompt, str):
+        prompt_ids = tokenizer.encode(prompt)
+        prompt_text = prompt
+    elif isinstance(prompt, list) and all(
+            isinstance(t, int) for t in prompt):
+        prompt_ids = list(prompt)
+        prompt_text = tokenizer.decode(prompt_ids)
+    else:
+        raise ValueError("prompt must be a string or a list of token ids")
+    if not prompt_ids:
+        raise ValueError("prompt encoded to zero tokens")
+    max_new, kw, stop_strs, stream = _common(req, tokenizer)
+    return {"prompt_ids": prompt_ids, "prompt_text": prompt_text,
+            "max_new": max_new, "kw": kw, "stop_strs": stop_strs,
+            "stream": stream, "echo": bool(req.get("echo", False))}
+
+
+def parse_chat(req: dict, tokenizer,
+               template: Optional[Callable] = None) -> dict:
+    """``/v1/chat/completions`` request -> submit plan."""
+    messages = req.get("messages")
+    if not isinstance(messages, list) or not messages:
+        raise ValueError("'messages' must be a non-empty list")
+    for m in messages:
+        if not isinstance(m, dict) or "role" not in m or "content" not in m:
+            raise ValueError("each message needs 'role' and 'content'")
+    if req.get("echo"):
+        raise ValueError("'echo' is not supported for chat completions")
+    text = (template or default_chat_template)(messages)
+    prompt_ids = tokenizer.encode(text)
+    if not prompt_ids:
+        raise ValueError("messages encoded to zero tokens")
+    max_new, kw, stop_strs, stream = _common(req, tokenizer)
+    return {"prompt_ids": prompt_ids, "prompt_text": text,
+            "max_new": max_new, "kw": kw, "stop_strs": stop_strs,
+            "stream": stream, "echo": False}
+
+
+def finalize(toks: Sequence[int], tokenizer, eos_id: Optional[int],
+             stop_strs: Sequence[str]) -> tuple:
+    """Emitted tokens -> (text, finish_reason) with the OpenAI trimming
+    contract: the EOS token and any matched stop text are excluded."""
+    out = list(toks)
+    finish = "length"
+    if eos_id is not None and out and out[-1] == eos_id:
+        out = out[:-1]
+        finish = "stop"
+    text = tokenizer.decode(out)
+    for s in stop_strs:
+        i = text.find(s)
+        if i >= 0:
+            text = text[:i]
+            finish = "stop"
+            break
+    return text, finish
+
+
+class StopTrimmer:
+    """Streaming-side stop-string cut: withholds any emitted-text suffix
+    that could begin a stop string, cuts at the first full match.
+
+    ``feed(piece) -> safe-to-emit text``; ``hit`` is True once a stop
+    matched (everything after the cut is discarded); ``flush()`` releases
+    the held tail when generation ends for another reason."""
+
+    def __init__(self, stops: Sequence[str]):
+        self.stops = [s for s in stops if s]
+        self.buf = ""
+        self.hit = False
+
+    def feed(self, piece: str) -> str:
+        if self.hit:
+            return ""
+        if not self.stops:
+            return piece
+        self.buf += piece
+        for s in self.stops:
+            i = self.buf.find(s)
+            if i >= 0:
+                out, self.buf, self.hit = self.buf[:i], "", True
+                return out
+        hold = 0
+        for s in self.stops:
+            for k in range(min(len(s) - 1, len(self.buf)), 0, -1):
+                if self.buf.endswith(s[:k]):
+                    hold = max(hold, k)
+                    break
+        cut = len(self.buf) - hold
+        out, self.buf = self.buf[:cut], self.buf[cut:]
+        return out
+
+    def flush(self) -> str:
+        out, self.buf = self.buf, ""
+        return out
+
+
+# ---------------- response bodies ----------------
+
+
+def _usage(n_prompt: int, n_out: int) -> dict:
+    return {"prompt_tokens": n_prompt, "completion_tokens": n_out,
+            "total_tokens": n_prompt + n_out}
+
+
+def completion_body(rid: int, model: str, created: int, text: str,
+                    finish: str, n_prompt: int, n_out: int) -> dict:
+    return {"id": f"cmpl-{rid}", "object": "text_completion",
+            "created": created, "model": model,
+            "choices": [{"index": 0, "text": text, "logprobs": None,
+                         "finish_reason": finish}],
+            "usage": _usage(n_prompt, n_out)}
+
+
+def chat_body(rid: int, model: str, created: int, text: str,
+              finish: str, n_prompt: int, n_out: int) -> dict:
+    return {"id": f"chatcmpl-{rid}", "object": "chat.completion",
+            "created": created, "model": model,
+            "choices": [{"index": 0,
+                         "message": {"role": "assistant", "content": text},
+                         "finish_reason": finish}],
+            "usage": _usage(n_prompt, n_out)}
+
+
+def completion_chunk(rid: int, model: str, created: int, piece: str,
+                     finish: Optional[str] = None) -> dict:
+    return {"id": f"cmpl-{rid}", "object": "text_completion",
+            "created": created, "model": model,
+            "choices": [{"index": 0, "text": piece, "logprobs": None,
+                         "finish_reason": finish}]}
+
+
+def chat_chunk(rid: int, model: str, created: int, delta: dict,
+               finish: Optional[str] = None) -> dict:
+    return {"id": f"chatcmpl-{rid}", "object": "chat.completion.chunk",
+            "created": created, "model": model,
+            "choices": [{"index": 0, "delta": delta,
+                         "finish_reason": finish}]}
+
+
+def models_body(model: str, created: int) -> dict:
+    return {"object": "list",
+            "data": [{"id": model, "object": "model", "created": created,
+                      "owned_by": "mop-tpu"}]}

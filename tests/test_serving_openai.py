@@ -1,0 +1,281 @@
+"""OpenAI-compatible API layer: field mapping, stop trimming, streaming
+chunk shapes, and equality with the native engine drive.
+
+The reference has no serving stack (SURVEY §0); the OpenAI surface is
+part of the production layer around it (serving/openai_api.py)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mop_tpu.data import ByteBPETokenizer
+from mop_tpu.models import TransformerConfig, create_gpt_quartet
+from mop_tpu.serving import DecodeEngine, ServingServer
+from mop_tpu.serving.openai_api import (
+    StopTrimmer,
+    default_chat_template,
+    finalize,
+    parse_chat,
+    parse_completion,
+)
+
+CORPUS = ("the quick brown fox jumps over the lazy dog. "
+          "pack my box with five dozen liquor jugs. ") * 8
+
+
+# ---------------- pure translation units (no HTTP) ----------------
+
+
+class _IdTok:
+    """Identity-ish tokenizer stub: chars <-> their codepoints."""
+
+    def encode(self, s):
+        return [ord(c) for c in s]
+
+    def decode(self, ids):
+        return "".join(chr(i) for i in ids)
+
+
+def test_parse_completion_maps_fields():
+    p = parse_completion(
+        {"prompt": "ab", "max_tokens": 9, "temperature": 0.5,
+         "top_p": 0.9, "presence_penalty": 0.1, "frequency_penalty": 0.2,
+         "logit_bias": {"7": -1.5}, "stop": ["x"], "echo": True},
+        _IdTok())
+    assert p["prompt_ids"] == [97, 98] and p["max_new"] == 9
+    assert p["kw"]["temperature"] == 0.5 and p["kw"]["top_p"] == 0.9
+    assert p["kw"]["logit_bias"] == {7: -1.5}
+    assert p["kw"]["stop"] == [[120]] and p["stop_strs"] == ["x"]
+    assert p["echo"] and not p["stream"]
+    # token-id prompts are OpenAI-legal
+    assert parse_completion({"prompt": [97, 98]},
+                            _IdTok())["prompt_text"] == "ab"
+
+
+@pytest.mark.parametrize("bad", [
+    {"prompt": "a", "n": 2},
+    {"prompt": "a", "best_of": 3},
+    {"prompt": "a", "logprobs": 5},
+    {"prompt": "a", "suffix": "!"},
+    {"prompt": "a", "stop": ["a", "b", "c", "d", "e"]},
+    {"prompt": ""},
+    {"prompt": {"not": "legal"}},
+    {},
+])
+def test_parse_completion_rejects(bad):
+    with pytest.raises((ValueError, TypeError)):
+        parse_completion(bad, _IdTok())
+
+
+def test_parse_chat_renders_template():
+    msgs = [{"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hi"}]
+    p = parse_chat({"messages": msgs}, _IdTok())
+    assert p["prompt_text"] == "system: be brief\nuser: hi\nassistant:"
+    assert p["prompt_text"] == default_chat_template(msgs)
+    custom = parse_chat({"messages": msgs}, _IdTok(),
+                        template=lambda m: m[-1]["content"])
+    assert custom["prompt_text"] == "hi"
+    with pytest.raises(ValueError):
+        parse_chat({"messages": []}, _IdTok())
+    with pytest.raises(ValueError):
+        parse_chat({"messages": [{"role": "user"}]}, _IdTok())
+
+
+def test_finalize_trims_eos_and_stop():
+    tok = _IdTok()
+    # eos (id 0) trimmed, finish=stop
+    assert finalize([104, 105, 0], tok, 0, []) == ("hi", "stop")
+    # stop string cut, finish=stop even without eos
+    assert finalize([104, 105, 33, 122], tok, 0, ["!"]) == ("hi", "stop")
+    # neither -> length
+    assert finalize([104, 105], tok, 0, []) == ("hi", "length")
+
+
+def test_stop_trimmer_holds_prefixes_and_cuts():
+    t = StopTrimmer(["END"])
+    assert t.feed("abcE") == "abc"      # 'E' could begin END -> held
+    assert t.feed("N") == ""            # 'EN' still ambiguous
+    assert t.feed("Dxyz") == ""         # match: cut, tail discarded
+    assert t.hit and t.feed("more") == ""
+    t2 = StopTrimmer(["END"])
+    assert t2.feed("abcE") == "abc"
+    assert t2.feed("Nd") == "ENd"       # disambiguated -> released
+    assert t2.flush() == "" and not t2.hit
+    t3 = StopTrimmer([])
+    assert t3.feed("anything") == "anything"
+
+
+# ---------------- HTTP end-to-end ----------------
+
+
+@pytest.fixture(scope="module")
+def oai_server():
+    tok = ByteBPETokenizer.train(CORPUS, vocab_size=300)
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=96)
+    model = create_gpt_quartet(tok.vocab_size, cfg)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+    eng = DecodeEngine(model, params, max_batch=2)
+    srv = ServingServer(eng, tokenizer=tok, model_name="mop-test")
+    srv.start()
+    yield tok, eng, srv
+    srv.stop()
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def _sse(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    events, done = [], False
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            body = line[len("data: "):]
+            if body == "[DONE]":
+                done = True
+                break
+            events.append(json.loads(body))
+    return events, done
+
+
+def test_v1_models(oai_server):
+    tok, eng, srv = oai_server
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/v1/models", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["object"] == "list"
+    assert body["data"][0]["id"] == "mop-test"
+
+
+def test_v1_completions_matches_native(oai_server):
+    tok, eng, srv = oai_server
+    text = "the quick brown"
+    out = _post(srv.port, "/v1/completions",
+                {"prompt": text, "max_tokens": 8})
+    native = _post(srv.port, "/generate",
+                   {"text": text, "max_new_tokens": 8})
+    assert out["object"] == "text_completion"
+    assert out["choices"][0]["text"] == native["text"]
+    assert out["choices"][0]["finish_reason"] == "length"
+    assert out["usage"] == {
+        "prompt_tokens": len(tok.encode(text)),
+        "completion_tokens": 8, "total_tokens": len(tok.encode(text)) + 8}
+    # token-id prompt gives the same completion
+    by_ids = _post(srv.port, "/v1/completions",
+                   {"prompt": tok.encode(text), "max_tokens": 8})
+    assert by_ids["choices"][0]["text"] == out["choices"][0]["text"]
+    # echo prepends the prompt text
+    echoed = _post(srv.port, "/v1/completions",
+                   {"prompt": text, "max_tokens": 8, "echo": True})
+    assert echoed["choices"][0]["text"] == text + out["choices"][0]["text"]
+
+
+def test_v1_completions_stop_trimming(oai_server):
+    tok, eng, srv = oai_server
+    text = "pack my box"
+    free = _post(srv.port, "/v1/completions",
+                 {"prompt": text, "max_tokens": 12})["choices"][0]["text"]
+    assert len(free) > 3
+    stop = free[2:5]  # a substring the model will definitely emit
+    out = _post(srv.port, "/v1/completions",
+                {"prompt": text, "max_tokens": 12, "stop": stop})
+    c = out["choices"][0]
+    assert c["finish_reason"] == "stop"
+    assert c["text"] == free[:free.find(stop)]
+    assert stop not in c["text"]
+
+
+def test_v1_chat_completions(oai_server):
+    tok, eng, srv = oai_server
+    msgs = [{"role": "user", "content": "the quick"}]
+    out = _post(srv.port, "/v1/chat/completions",
+                {"messages": msgs, "max_tokens": 6})
+    assert out["object"] == "chat.completion"
+    m = out["choices"][0]["message"]
+    assert m["role"] == "assistant" and isinstance(m["content"], str)
+    assert out["usage"]["prompt_tokens"] == \
+        len(tok.encode(default_chat_template(msgs)))
+    # equals a native drive of the rendered template
+    native = _post(srv.port, "/generate",
+                   {"text": default_chat_template(msgs),
+                    "max_new_tokens": 6})
+    assert m["content"] == native["text"]
+
+
+def test_v1_completions_streaming_matches_blocking(oai_server):
+    tok, eng, srv = oai_server
+    payload = {"prompt": "five dozen", "max_tokens": 10}
+    blocking = _post(srv.port, "/v1/completions", payload)
+    events, done = _sse(srv.port, "/v1/completions",
+                        dict(payload, stream=True))
+    assert done
+    assert all(e["object"] == "text_completion" for e in events)
+    joined = "".join(e["choices"][0]["text"] for e in events)
+    assert joined == blocking["choices"][0]["text"]
+    assert events[-1]["choices"][0]["finish_reason"] == "length"
+    assert all(e["choices"][0]["finish_reason"] is None
+               for e in events[:-1])
+
+
+def test_v1_chat_streaming_shapes(oai_server):
+    tok, eng, srv = oai_server
+    msgs = [{"role": "user", "content": "lazy dog"}]
+    blocking = _post(srv.port, "/v1/chat/completions",
+                     {"messages": msgs, "max_tokens": 8})
+    events, done = _sse(srv.port, "/v1/chat/completions",
+                        {"messages": msgs, "max_tokens": 8,
+                         "stream": True})
+    assert done
+    assert all(e["object"] == "chat.completion.chunk" for e in events)
+    assert events[0]["choices"][0]["delta"] == {"role": "assistant"}
+    joined = "".join(e["choices"][0]["delta"].get("content", "")
+                     for e in events)
+    assert joined == blocking["choices"][0]["message"]["content"]
+    assert events[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_v1_rejects_unsupported(oai_server):
+    tok, eng, srv = oai_server
+    for payload in ({"prompt": "a", "n": 2},
+                    {"prompt": "a", "logprobs": 1},
+                    {"messages": "nope"},
+                    {"prompt": "a", "max_tokens": 0}):
+        path = ("/v1/chat/completions" if "messages" in payload
+                else "/v1/completions")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, path, payload)
+        assert e.value.code == 400
+        err = json.loads(e.value.read())
+        assert err["error"]["type"] == "invalid_request_error"
+
+
+def test_v1_requires_tokenizer():
+    cfg = TransformerConfig(n_layer=1, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=32)
+    model = create_gpt_quartet(50, cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    srv = ServingServer(DecodeEngine(model, params, max_batch=1))
+    srv.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, "/v1/completions", {"prompt": "hi"})
+        assert e.value.code == 400
+    finally:
+        srv.stop()
