@@ -647,6 +647,14 @@ class DecodeEngine:
             raise ValueError(
                 f"prompt length {prompt.size} must be in [1, "
                 f"{self.block_size})")
+        # Validate ids here, at submit: an out-of-range id that reached
+        # _admit_one would raise inside the engine-driving thread (e.g. the
+        # HTTP server's device worker), killing it and hanging every
+        # pending request.
+        if prompt.min() < 0 or prompt.max() >= self._vocab:
+            bad = int(prompt[(prompt < 0) | (prompt >= self._vocab)][0])
+            raise ValueError(
+                f"prompt token {bad} outside vocab [0, {self._vocab})")
         if max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
         temp = self.temperature if temperature is None else temperature
@@ -671,6 +679,11 @@ class DecodeEngine:
         if rp <= 0.0:
             raise ValueError(
                 f"repetition_penalty must be > 0, got {rp}")
+        # negative eos is the explicit "never fires" idiom (matches the
+        # internal -1 = none sentinel); above-vocab is always a bug
+        if eos is not None and int(eos) >= self._vocab:
+            raise ValueError(
+                f"eos_id {eos} outside vocab [0, {self._vocab})")
         sp = (np.float32(temp), np.int32(tk or 0),
               np.float32(1.0 if tp is None else tp),
               np.int64(-1 if eos is None else eos),
@@ -691,6 +704,10 @@ class DecodeEngine:
             seq = [int(s)] if np.isscalar(s) else [int(t) for t in s]
             if not seq:
                 raise ValueError("empty stop sequence")
+            for t in seq:
+                if not 0 <= t < self._vocab:
+                    raise ValueError(
+                        f"stop token {t} outside vocab [0, {self._vocab})")
             stops.append(seq)
         if adapter is not None and adapter not in self._adapter_idx:
             raise ValueError(

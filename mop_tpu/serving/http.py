@@ -48,14 +48,18 @@ API:
   request automatically (the slot frees for the next queued request).
 - ``POST /cancel`` body ``{"request_id": rid}`` -> ``{"request_id": rid,
   "cancelled": bool}`` (false = unknown rid or already finished).
-- ``GET /health`` -> ``{"status": "ok"|"draining", "active": A,
-  "queued": Q, "completed": C}``
+- ``GET /health`` -> ``{"status": "ok"|"draining"|"failed", "active": A,
+  "queued": Q, "completed": C}``. ``"failed"`` means the device worker
+  hit a fatal ``engine.step()`` exception: in-flight waiters fail fast
+  with 500 (instead of hanging) and new submissions are rejected.
 - **OpenAI-compatible endpoints** (require ``tokenizer=``):
   ``POST /v1/completions``, ``POST /v1/chat/completions`` (blocking and
   ``"stream": true`` SSE chunk formats, ``data: [DONE]`` terminator),
   ``GET /v1/models`` — field mapping, stop-string trimming, and
   ``finish_reason``/``usage`` semantics in
-  :mod:`mop_tpu.serving.openai_api`. OpenAI requests batch onto the
+  :mod:`mop_tpu.serving.openai_api`. ``response_format`` type
+  ``json_schema`` compiles to a token DFA (guided decoding) when the
+  server has ``token_strs``. OpenAI requests batch onto the
   same slot pool as native ``/generate`` traffic. ``model_name=`` sets
   the advertised model id; ``chat_template=`` overrides the default
   role-tagged chat rendering.
@@ -163,6 +167,7 @@ class ServingServer:
         self._running = False
         self._draining = False
         self._drained = threading.Event()      # set when drain completes
+        self._step_error = None                # fatal engine.step exception
         self._poll = poll_interval
         # latency tracking (all under _lock): rid -> submit/first times
         self._lat_pending = {}                 # rid -> (t_submit, t_first)
@@ -192,7 +197,9 @@ class ServingServer:
                     return self._json(404, {"error": "unknown path"})
                 with outer._lock:
                     self._json(200, {
-                        "status": "draining" if outer._draining else "ok",
+                        "status": ("failed" if outer._step_error is not None
+                                   else "draining" if outer._draining
+                                   else "ok"),
                         "active": outer.engine.n_active,
                         "queued": outer.engine.n_queued,
                         "completed": outer._completed,
@@ -348,13 +355,20 @@ class ServingServer:
                             # must not admit work onto a stopping engine
                             return self._json(503, {
                                 "error": "server draining (preemption)"})
+                        if outer._step_error is not None:
+                            return self._json(500, {
+                                "error": "device worker failed: "
+                                         f"{outer._step_error!r}"})
                         rid = outer.engine.submit(prompt, max_new, **kw)
                         outer._lat_pending[rid] = [time.monotonic(), None]
                 except ValueError as e:  # bad length / budget / sampling
                     return self._json(400, {"error": str(e)})
                 if stream:
                     return self._stream(rid, is_text)
-                toks = outer._wait(rid)
+                try:
+                    toks = outer._wait(rid)
+                except RuntimeError as e:  # device worker died
+                    return self._json(500, {"error": str(e)})
                 payload = {"request_id": rid, "tokens": toks}
                 if is_text:
                     payload["text"] = outer._tokenizer.decode(toks)
@@ -383,6 +397,13 @@ class ServingServer:
                                             outer._chat_template)
                     else:
                         p = _oai.parse_completion(req, outer._tokenizer)
+                    if p["json_schema"] is not None:
+                        if outer._token_strs is None:
+                            raise ValueError(
+                                "response_format json_schema needs a "
+                                "server constructed with token_strs")
+                        p["kw"]["constraint"] = json_schema_to_dfa(
+                            p["json_schema"], outer._token_strs)
                 except (KeyError, ValueError, TypeError,
                         json.JSONDecodeError) as e:
                     return self._oai_error(400, str(e))
@@ -392,6 +413,11 @@ class ServingServer:
                             return self._oai_error(
                                 503, "server draining (preemption)",
                                 "server_error")
+                        if outer._step_error is not None:
+                            return self._oai_error(
+                                500, "device worker failed: "
+                                     f"{outer._step_error!r}",
+                                "server_error")
                         rid = outer.engine.submit(
                             p["prompt_ids"], p["max_new"], **p["kw"])
                         outer._lat_pending[rid] = [time.monotonic(), None]
@@ -400,7 +426,10 @@ class ServingServer:
                 created = int(time.time())
                 if p["stream"]:
                     return self._openai_stream(rid, p, chat, created)
-                toks = outer._wait(rid)
+                try:
+                    toks = outer._wait(rid)
+                except RuntimeError as e:  # device worker died
+                    return self._oai_error(500, str(e), "server_error")
                 text, finish = _oai.finalize(
                     toks, outer._tokenizer, outer.engine.eos_id,
                     p["stop_strs"])
@@ -451,8 +480,14 @@ class ServingServer:
                     self.wfile.flush()
                     while True:
                         with outer._lock:
+                            err = outer._step_error
                             done = outer.engine.is_done(rid)
                             toks = list(outer.engine.results[rid])
+                        if err is not None and not done:
+                            emit("", "error")
+                            self.wfile.write(b"data: [DONE]\n\n")
+                            self.wfile.flush()
+                            return
                         wrote = False
                         for t in toks[sent:]:
                             if eos is not None and t == eos:
@@ -506,8 +541,15 @@ class ServingServer:
                     self.wfile.flush()
                     while True:
                         with outer._lock:
+                            err = outer._step_error
                             done = outer.engine.is_done(rid)
                             toks = list(outer.engine.results[rid])
+                        if err is not None and not done:
+                            self.wfile.write(
+                                f"data: {json.dumps({'error': repr(err), 'request_id': rid})}\n\n"
+                                .encode())
+                            self.wfile.flush()
+                            return
                         for t in toks[sent:]:
                             ev = {"token": t}
                             if tok is not None:
@@ -616,13 +658,22 @@ class ServingServer:
 
     def _work(self) -> None:
         """The only thread that touches the device: steps the engine
-        whenever work is pending, sleeps briefly otherwise."""
+        whenever work is pending, sleeps briefly otherwise. A step()
+        exception is fatal for the engine but must not silently kill this
+        thread (every waiter would hang forever): it is recorded in
+        ``_step_error``, waiters and streams fail fast, and new
+        submissions are rejected with 500."""
         while self._running:
             with self._lock:
-                busy = self.engine.n_queued or self.engine.n_active
+                busy = (self._step_error is None
+                        and (self.engine.n_queued or self.engine.n_active))
                 if busy:
                     done_before = sum(self.engine._done.values())
-                    self.engine.step()
+                    try:
+                        self.engine.step()
+                    except Exception as e:  # noqa: BLE001 — must not hang
+                        self._step_error = e
+                        continue
                     self._completed += (
                         sum(self.engine._done.values()) - done_before)
                     self._observe_latency_locked(time.monotonic())
@@ -651,6 +702,9 @@ class ServingServer:
     def _wait(self, rid: int):
         while True:
             with self._lock:
+                if self._step_error is not None:
+                    raise RuntimeError(
+                        f"device worker failed: {self._step_error!r}")
                 if self.engine.is_done(rid):
                     return list(self.engine.results[rid])
             time.sleep(self._poll)

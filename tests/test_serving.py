@@ -226,3 +226,23 @@ def test_sampling_param_validation():
                {"top_p": 0.0}, {"top_p": 1.5}):
         with pytest.raises(ValueError):
             eng.submit([1, 2], 4, **kw)
+
+
+def test_submit_validates_vocab_range():
+    """Out-of-vocab ids are rejected at submit (not inside the stepping
+    thread, where the raise would kill the server's device worker)."""
+    model, params = _setup()
+    eng = DecodeEngine(model, params, max_batch=1)
+    v = model.vocab_size
+    with pytest.raises(ValueError, match="outside vocab"):
+        eng.submit([1, v], 4)
+    with pytest.raises(ValueError, match="outside vocab"):
+        eng.submit([1, -3], 4)
+    with pytest.raises(ValueError, match="outside vocab"):
+        eng.submit([1, 2], 4, eos_id=v)
+    eng.submit([1, 2], 1, eos_id=-1)  # negative = explicit "never fires"
+    with pytest.raises(ValueError, match="outside vocab"):
+        eng.submit([1, 2], 4, stop=[[3, v + 7]])
+    # boundary ids are fine
+    rid = eng.submit([0, v - 1], 2, eos_id=v - 1, stop=[[v - 1, 0]])
+    assert len(eng.run()[rid]) <= 2

@@ -403,6 +403,78 @@ def test_http_drain_timeout_cancels_stragglers(long_server):
         assert eng.n_active == 0 and eng.n_queued == 0
 
 
+def test_http_worker_death_fails_fast():
+    """A fatal engine.step() exception (device lost, OOM) must not hang
+    waiters: blocking requests get 500, streams terminate with an error
+    event, /health reports 'failed', and new submissions are rejected."""
+    _, _, eng = _engine()
+    srv = ServingServer(eng)
+
+    def boom():
+        raise RuntimeError("simulated device loss")
+
+    srv.engine.step = boom
+    srv.start()
+    try:
+        # blocking request fails with 500 instead of hanging
+        try:
+            _post(srv.port, {"prompt": [1, 2], "max_new_tokens": 4})
+            assert False, "expected 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "device worker failed" in json.loads(e.read())["error"]
+        # health reflects the failure
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/health", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "failed"
+        # new submissions are rejected up front
+        try:
+            _post(srv.port, {"prompt": [3], "max_new_tokens": 2})
+            assert False, "expected 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+    finally:
+        srv.stop()
+
+
+def test_http_stream_fails_fast_on_worker_death():
+    """An SSE stream opened before the worker dies ends with an error
+    event rather than polling forever."""
+    _, _, eng = _engine()
+    srv = ServingServer(eng)
+    real_step, state = eng.step, {"n": 0}
+
+    def flaky():
+        # let the first request finish so the stream request is accepted,
+        # then die on its first decode step
+        if state["n"] >= 1:
+            raise RuntimeError("simulated device loss")
+        state["n"] += 1
+        while eng.n_queued or eng.n_active:
+            real_step()
+
+    srv.engine.step = flaky
+    srv.start()
+    try:
+        out = _post(srv.port, {"prompt": [1, 2], "max_new_tokens": 3})
+        assert len(out["tokens"]) == 3
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/generate",
+            data=json.dumps({"prompt": [4, 5], "max_new_tokens": 50,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        events = []
+        with urllib.request.urlopen(req, timeout=60) as r:
+            for raw in r:
+                line = raw.decode().strip()
+                if line.startswith("data: "):
+                    events.append(json.loads(line[len("data: "):]))
+        assert any("error" in ev for ev in events)
+        assert not any(ev.get("done") for ev in events)
+    finally:
+        srv.stop()
+
+
 def test_http_signal_triggers_drain():
     """install_drain_handler(): a (harmless, test-safe) signal drains and
     stops the whole server — the TPU-VM preemption path end-to-end."""
