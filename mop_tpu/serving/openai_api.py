@@ -33,12 +33,23 @@ Field mapping:
 - ``stream``: SSE chunks in the OpenAI shapes, terminated by
   ``data: [DONE]``.
 
+- ``response_format``: ``{"type": "text"}`` is a no-op;
+  ``{"type": "json_schema", "json_schema": {"schema": {...}}}`` compiles
+  the schema to a token-level DFA
+  (:func:`mop_tpu.serving.json_schema.json_schema_to_dfa`) so the
+  output is guaranteed to match the schema — the constrained request
+  batches with unconstrained ones in the same device step.
+  ``"json_object"`` (free-form JSON, unbounded nesting) is rejected:
+  the DFA compiler is regular-language-exact and we never silently
+  loosen a constraint.
+
 Explicitly rejected rather than silently ignored: ``n`` > 1,
 ``best_of`` > 1, ``logprobs``, ``suffix``, ``tools`` /
-``tool_choice`` / ``functions``, ``response_format``.
-``finish_reason`` is ``"stop"`` (EOS or stop sequence) or ``"length"``
-(``max_tokens`` or the context window). ``usage`` counts prompt and
-completion tokens exactly as submitted/emitted.
+``tool_choice`` / ``functions``, ``response_format`` type
+``json_object``. ``finish_reason`` is ``"stop"`` (EOS or stop
+sequence) or ``"length"`` (``max_tokens`` or the context window).
+``usage`` counts prompt and completion tokens exactly as
+submitted/emitted.
 """
 
 from __future__ import annotations
@@ -52,7 +63,33 @@ __all__ = [
 ]
 
 _UNSUPPORTED = ("suffix", "tools", "tool_choice", "functions",
-                "function_call", "response_format")
+                "function_call")
+
+
+def _parse_response_format(req: dict):
+    """``response_format`` -> JSON schema dict or None. Only shapes we
+    can honor exactly are accepted (``text`` no-op, ``json_schema``
+    compiled to a token DFA downstream)."""
+    rf = req.get("response_format")
+    if rf is None:
+        return None
+    if not isinstance(rf, dict) or "type" not in rf:
+        raise ValueError("response_format must be an object with 'type'")
+    kind = rf["type"]
+    if kind == "text":
+        return None
+    if kind == "json_schema":
+        js = rf.get("json_schema")
+        if not isinstance(js, dict) or not isinstance(js.get("schema"),
+                                                      dict):
+            raise ValueError(
+                "response_format.json_schema must be an object with a "
+                "'schema' object")
+        return js["schema"]
+    raise ValueError(
+        f"response_format type '{kind}' is not supported (use 'text' or "
+        "'json_schema'; free-form 'json_object' cannot be honored "
+        "exactly by the regular-language constraint compiler)")
 
 
 def default_chat_template(messages: Sequence[dict]) -> str:
@@ -106,7 +143,8 @@ def _common(req: dict, tokenizer) -> tuple:
         kw["stop"] = seqs
     max_new = req.get("max_tokens")
     max_new = 16 if max_new is None else int(max_new)  # 0 stays invalid
-    return max_new, kw, stop_strs, bool(req.get("stream", False))
+    return (max_new, kw, stop_strs, bool(req.get("stream", False)),
+            _parse_response_format(req))
 
 
 def parse_completion(req: dict, tokenizer) -> dict:
@@ -126,10 +164,11 @@ def parse_completion(req: dict, tokenizer) -> dict:
         raise ValueError("prompt must be a string or a list of token ids")
     if not prompt_ids:
         raise ValueError("prompt encoded to zero tokens")
-    max_new, kw, stop_strs, stream = _common(req, tokenizer)
+    max_new, kw, stop_strs, stream, schema = _common(req, tokenizer)
     return {"prompt_ids": prompt_ids, "prompt_text": prompt_text,
             "max_new": max_new, "kw": kw, "stop_strs": stop_strs,
-            "stream": stream, "echo": bool(req.get("echo", False))}
+            "stream": stream, "echo": bool(req.get("echo", False)),
+            "json_schema": schema}
 
 
 def parse_chat(req: dict, tokenizer,
@@ -147,10 +186,10 @@ def parse_chat(req: dict, tokenizer,
     prompt_ids = tokenizer.encode(text)
     if not prompt_ids:
         raise ValueError("messages encoded to zero tokens")
-    max_new, kw, stop_strs, stream = _common(req, tokenizer)
+    max_new, kw, stop_strs, stream, schema = _common(req, tokenizer)
     return {"prompt_ids": prompt_ids, "prompt_text": text,
             "max_new": max_new, "kw": kw, "stop_strs": stop_strs,
-            "stream": stream, "echo": False}
+            "stream": stream, "echo": False, "json_schema": schema}
 
 
 def finalize(toks: Sequence[int], tokenizer, eos_id: Optional[int],

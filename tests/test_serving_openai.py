@@ -71,6 +71,36 @@ def test_parse_completion_rejects(bad):
         parse_completion(bad, _IdTok())
 
 
+def test_parse_response_format():
+    schema = {"type": "object", "properties": {"ok": {"type": "boolean"}}}
+    p = parse_completion(
+        {"prompt": "a",
+         "response_format": {"type": "json_schema",
+                             "json_schema": {"name": "out",
+                                             "schema": schema}}},
+        _IdTok())
+    assert p["json_schema"] == schema
+    # type 'text' and absent response_format are no-ops
+    assert parse_completion({"prompt": "a", "response_format":
+                             {"type": "text"}}, _IdTok())["json_schema"] \
+        is None
+    assert parse_completion({"prompt": "a"}, _IdTok())["json_schema"] is None
+    # chat carries it too
+    c = parse_chat({"messages": [{"role": "user", "content": "hi"}],
+                    "response_format": {"type": "json_schema",
+                                        "json_schema": {"schema": schema}}},
+                   _IdTok())
+    assert c["json_schema"] == schema
+    for bad in ({"type": "json_object"},          # can't honor exactly
+                {"type": "json_schema"},          # missing schema
+                {"type": "json_schema", "json_schema": {"schema": 3}},
+                "json",                           # not an object
+                {"no_type": 1}):
+        with pytest.raises(ValueError):
+            parse_completion({"prompt": "a", "response_format": bad},
+                             _IdTok())
+
+
 def test_parse_chat_renders_template():
     msgs = [{"role": "system", "content": "be brief"},
             {"role": "user", "content": "hi"}]
@@ -276,6 +306,52 @@ def test_v1_requires_tokenizer():
     try:
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(srv.port, "/v1/completions", {"prompt": "hi"})
+        assert e.value.code == 400
+    finally:
+        srv.stop()
+
+
+def test_v1_response_format_json_schema():
+    """response_format json_schema end-to-end: the completion's content
+    json.loads-parses and satisfies the schema (key order, types), for
+    both /v1/completions and /v1/chat/completions; json_object is 400."""
+    from mop_tpu.data import CharTokenizer
+
+    tok = CharTokenizer(sorted(set(
+        '{}[]":,-0123456789truefalsenulxyokag bhi\n')))
+    schema = {"type": "object", "properties": {
+        "ok": {"type": "boolean"},
+        "tag": {"enum": ["x", "y"]},
+    }}
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=96)
+    model = create_gpt_quartet(tok.vocab_size, cfg)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+    eng = DecodeEngine(model, params, max_batch=2, eos_id=tok.eos_id)
+    srv = ServingServer(eng, tokenizer=tok, model_name="mop-json")
+    srv.start()
+    rf = {"type": "json_schema",
+          "json_schema": {"name": "out", "schema": schema}}
+    try:
+        out = _post(srv.port, "/v1/completions",
+                    {"prompt": "hi", "max_tokens": 48,
+                     "response_format": rf})
+        c = out["choices"][0]
+        obj = json.loads(c["text"])
+        assert list(obj) == ["ok", "tag"]
+        assert isinstance(obj["ok"], bool) and obj["tag"] in ("x", "y")
+        assert c["finish_reason"] == "stop"  # DFA accepted -> EOS
+
+        chat = _post(srv.port, "/v1/chat/completions",
+                     {"messages": [{"role": "user", "content": "go"}],
+                      "max_tokens": 48, "response_format": rf})
+        obj = json.loads(chat["choices"][0]["message"]["content"])
+        assert list(obj) == ["ok", "tag"]
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, "/v1/completions",
+                  {"prompt": "hi", "max_tokens": 8,
+                   "response_format": {"type": "json_object"}})
         assert e.value.code == 400
     finally:
         srv.stop()
