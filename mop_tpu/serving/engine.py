@@ -217,7 +217,8 @@ class DecodeEngine:
                  frequency_penalty: float = 0.0,
                  adapters: Optional[Dict[str, dict]] = None,
                  adapter_scale=1.0,
-                 chunk_prefill: Optional[int] = None):
+                 chunk_prefill: Optional[int] = None,
+                 logprobs_topk: int = 0):
         """``cache_sharding``: optional ``jax.sharding.NamedSharding`` for
         the K/K2/V slot pools — e.g. heads over the mesh 'model' axis,
         ``NamedSharding(mesh, P(None, None, 'model', None, None))`` — for
@@ -269,11 +270,25 @@ class DecodeEngine:
         monolithic admission pinned in tests/test_serving_chunked.py), and
         one chunk shape means ONE jit compile for every prompt length.
         Composes with the prefix cache (only the uncached tail is
-        chunked)."""
+        chunked).
+
+        ``logprobs_topk``: if > 0, every emitted token's log-probability
+        plus the ``logprobs_topk`` most likely alternatives are recorded
+        (``logprobs`` / ``top_logprobs``, aligned 1:1 with ``results``).
+        Logprobs are the MODEL's distribution — fp32 log-softmax of the
+        raw logits, before temperature, penalties, logit bias, or
+        constraint masks (the OpenAI semantics: what the model believed,
+        not what the sampler did). Costs one (B, vocab) log-softmax +
+        top-k per step — negligible next to the decode matmuls — and is
+        off by default so untracked engines are byte-identical."""
         self.model = model
         self.params = params
         self.max_batch = max_batch
         self.eos_id = eos_id
+        if not 0 <= int(logprobs_topk) <= 32:
+            raise ValueError(
+                f"logprobs_topk must be in [0, 32], got {logprobs_topk}")
+        self.logprobs_topk = int(logprobs_topk)
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
@@ -336,6 +351,8 @@ class DecodeEngine:
         self._queue: deque = deque()
         self._results: Dict[int, List[int]] = {}
         self._done: Dict[int, bool] = {}
+        self._logprobs: Dict[int, List[float]] = {}
+        self._top_logprobs: Dict[int, List[list]] = {}
         self._next_rid = 0
         self.tokens_generated = 0
         self.engine_steps = 0
@@ -347,7 +364,7 @@ class DecodeEngine:
             nxt = self._pick_rows(logits, rng, temp, topk, topp, minp,
                                   rep, pres, freq, ocounts, pseen, lbias)
             ocounts = ocounts.at[jnp.arange(ocounts.shape[0]), nxt].add(1)
-            return nxt, new_cache, ocounts
+            return (nxt, new_cache, ocounts) + self._lp_of(logits, nxt)
 
         self._step_fn = jax.jit(_step, donate_argnums=(12,))
         self.prefill_buckets = (
@@ -382,7 +399,8 @@ class DecodeEngine:
                 store = (k[:, slot], k2[:, slot], v[:, slot])
             else:
                 store = ()
-            return (k, k2, v, lens, tokens, tok0) + store
+            lpx = self._lp_of(logits, jnp.reshape(tok0, (1,)))
+            return (k, k2, v, lens, tokens, tok0) + lpx + store
 
         def _adm_exact(params, k, k2, v, lens, tokens, prompt, slot, rng,
                        sp, oc, seen, lb):
@@ -452,9 +470,10 @@ class DecodeEngine:
 
         def _chunk_tok0(logits, rng, sp, oc, seen, lb):
             r1 = lambda s: jnp.reshape(s, (1,))
-            return self._pick_rows(
+            tok0 = self._pick_rows(
                 logits, rng, r1(sp[0]), r1(sp[1]), r1(sp[2]), r1(sp[3]),
                 r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen, lb)[0]
+            return (tok0,) + self._lp_of(logits, jnp.reshape(tok0, (1,)))
 
         self._chunk_tok0_fn = jax.jit(_chunk_tok0)
 
@@ -553,6 +572,28 @@ class DecodeEngine:
         return None
 
     # ---------------- sampling ----------------
+
+    def _lp_of(self, logits, toks):
+        """Logprob extras ``(lp, top_vals, top_ids)`` for emitted tokens,
+        or ``()`` when tracking is off (``logprobs_topk == 0`` — the jitted
+        callers' output arity is then unchanged). ``logits``: (..., vocab)
+        raw model logits; ``toks``: matching leading shape. fp32
+        log-softmax of the RAW logits (pre-temperature/penalties/bias —
+        see the ctor docstring)."""
+        if not self.logprobs_topk:
+            return ()
+        lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        lp = jnp.take_along_axis(
+            lsm, toks[..., None].astype(jnp.int32), -1)[..., 0]
+        tv, ti = jax.lax.top_k(lsm, self.logprobs_topk)
+        return (lp, tv, ti)
+
+    def _lp_entry(self, lp_h, tv_h, ti_h, idx):
+        """Host-side (float, [(tok, lp), ...]) for row ``idx`` of the
+        device-fetched extras."""
+        return (float(lp_h[idx]),
+                [(int(t), float(v))
+                 for t, v in zip(ti_h[idx], tv_h[idx])])
 
     @staticmethod
     def _pick_rows(logits, rng, temp, topk, topp, minp, rep, pres, freq,
@@ -737,6 +778,9 @@ class DecodeEngine:
                             stops, aid, constraint))
         self._results[rid] = []
         self._done[rid] = False
+        if self.logprobs_topk:
+            self._logprobs[rid] = []
+            self._top_logprobs[rid] = []
         return rid
 
     @property
@@ -772,12 +816,22 @@ class DecodeEngine:
         return state
 
     def _emit_token(self, emitted: Dict[int, List[int]], slot: int,
-                    rid: int, tok: int, new_len: int) -> bool:
+                    rid: int, tok: int, new_len: int, lp=None) -> bool:
         """Record one emitted token; retire the slot on EOS / window-full /
-        budget-exhausted. Returns whether the request is still live."""
+        budget-exhausted. Returns whether the request is still live.
+        ``lp``: (logprob, [(tok, logprob), ...]) when the engine tracks
+        logprobs — every emit path must supply it then (the lists stay
+        1:1 with ``results``)."""
         self.tokens_generated += 1
         res = self._results[rid]
         res.append(tok)
+        if self.logprobs_topk:
+            if lp is None:
+                raise RuntimeError(
+                    "logprob tracking is on but an emit path supplied no "
+                    "logprob (results/logprobs would desynchronize)")
+            self._logprobs[rid].append(lp[0])
+            self._top_logprobs[rid].append(lp[1])
         emitted.setdefault(rid, []).append(tok)
         self._budget[slot] -= 1
         hit_eos = tok == self._slot_eos[slot]
@@ -836,7 +890,7 @@ class DecodeEngine:
                   if r >= 0 and s not in self._chunk_state]
         if active:
             self._rng, sub = jax.random.split(self._rng)
-            nxt, self._cache, self._ocounts = self._step_fn(
+            nxt, self._cache, self._ocounts, *lpx = self._step_fn(
                 self._step_params(), self._cache, self._tokens,
                 self._cache["len"], sub, jnp.asarray(self._slot_temp),
                 jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
@@ -858,8 +912,14 @@ class DecodeEngine:
                 jnp.asarray(mask), self._cache["len"], jnp.asarray(keep))
             self._tokens = nxt
             toks, lens = jax.device_get((nxt, self._cache["len"]))
-            for s in active:
-                emit(s, self._slot_rid[s], int(toks[s]), int(lens[s]))
+            if self.logprobs_topk:
+                lp_h, tv_h, ti_h = jax.device_get(tuple(lpx))
+                for s in active:
+                    emit(s, self._slot_rid[s], int(toks[s]), int(lens[s]),
+                         self._lp_entry(lp_h, tv_h, ti_h, s))
+            else:
+                for s in active:
+                    emit(s, self._slot_rid[s], int(toks[s]), int(lens[s]))
         return emitted
 
     def run(self) -> Dict[int, List[int]]:
@@ -872,6 +932,20 @@ class DecodeEngine:
     @property
     def results(self) -> Dict[int, List[int]]:
         return self._results
+
+    @property
+    def logprobs(self) -> Dict[int, List[float]]:
+        """Per-request emitted-token logprobs, 1:1 with ``results``
+        (populated only when the engine was built with
+        ``logprobs_topk > 0``; fp32 log-softmax of the raw logits)."""
+        return self._logprobs
+
+    @property
+    def top_logprobs(self) -> Dict[int, List[list]]:
+        """Per-request top-``logprobs_topk`` alternatives per emitted
+        token: lists of ``[(token_id, logprob), ...]`` sorted most-likely
+        first, 1:1 with ``results``."""
+        return self._top_logprobs
 
     def is_done(self, rid: int) -> bool:
         return self._done[rid]
@@ -900,10 +974,11 @@ class DecodeEngine:
 
     def _admit_one(self) -> Optional[Tuple[int, int, int, int]]:
         """Admit the next queued request into a free slot (B=1 prefill
-        pasted into the pool). Returns (slot, rid, tok0, prompt_len) or
-        None if no slot is free; tok0 is None when chunked prefill
+        pasted into the pool). Returns (slot, rid, tok0, prompt_len, lp0)
+        or None if no slot is free; tok0 is None when chunked prefill
         reserved the slot and the prompt is still feeding
-        (_chunk_advance emits the real tok0 after the last chunk)."""
+        (_chunk_advance emits the real tok0 after the last chunk); lp0 is
+        tok0's logprob entry or None when tracking is off."""
         try:
             slot = self._slot_rid.index(-1)
         except ValueError:
@@ -958,7 +1033,7 @@ class DecodeEngine:
                 "aid": aid}
             self._slot_rid[slot] = rid
             self._budget[slot] = max_new
-            return slot, rid, None, t0
+            return slot, rid, None, t0, None
         pools = (self._admit_params(aid), c["k"], c["k2"], c["v"],
                  c["len"], self._tokens)
         if entry is not None:
@@ -981,8 +1056,14 @@ class DecodeEngine:
             else:
                 out = self._adm_exact_fn(*pools, prompt[None, :], slot_,
                                          sub, spk, oc_j, seen_j, lb)
-        (c["k"], c["k2"], c["v"], c["len"], self._tokens, tok0), store = \
-            out[:6], out[6:]
+        (c["k"], c["k2"], c["v"], c["len"], self._tokens, tok0) = out[:6]
+        lp0 = None
+        if self.logprobs_topk:
+            lp_h, tv_h, ti_h = jax.device_get(out[6:9])
+            lp0 = self._lp_entry(lp_h, tv_h, ti_h, 0)
+            store = out[9:]
+        else:
+            store = out[6:]
         tok0 = int(tok0)
         # tok0 is this request's first output token -> counted
         self._ocounts = self._ocounts.at[slot].set(oc_j[0].at[tok0].add(1))
@@ -991,13 +1072,14 @@ class DecodeEngine:
         self._budget[slot] = max_new  # tokens still to emit, incl. tok0
         self._prefix_store(prompt, store, aid)
         self._on_admit(slot, prompt)
-        return slot, rid, tok0, t0
+        return slot, rid, tok0, t0, lp0
 
     def _chunk_advance(self, slot: int):
         """Feed the next C-token chunk of ``slot``'s pending prompt
         (chunked prefill). On the final chunk, samples the request's
         first token through the full per-slot picker and activates the
-        slot; returns (slot, rid, tok0, t0) then, None while feeding."""
+        slot; returns (slot, rid, tok0, t0, lp0) then, None while
+        feeding."""
         st = self._chunk_state[slot]
         C = self.chunk_prefill
         prompt, fed, t0 = st["prompt"], st["fed"], st["t0"]
@@ -1014,8 +1096,13 @@ class DecodeEngine:
             return None
         # final chunk: sample tok0 and hand the slot to the decode step
         self._rng, sub = jax.random.split(self._rng)
-        tok0 = int(self._chunk_tok0_fn(
-            logits, sub, st["spk"], st["oc"], st["seen"], st["lb"]))
+        tok0, *lpx = self._chunk_tok0_fn(
+            logits, sub, st["spk"], st["oc"], st["seen"], st["lb"])
+        lp0 = None
+        if self.logprobs_topk:
+            lp_h, tv_h, ti_h = jax.device_get(tuple(lpx))
+            lp0 = self._lp_entry(lp_h, tv_h, ti_h, 0)
+        tok0 = int(tok0)
         self._ocounts = self._ocounts.at[slot].set(
             st["oc"][0].at[tok0].add(1))
         self._pseen = self._pseen.at[slot].set(st["seen"][0])
@@ -1026,7 +1113,7 @@ class DecodeEngine:
                 st["aid"])
         del self._chunk_state[slot]
         self._on_admit(slot, prompt)
-        return slot, st["rid"], tok0, t0
+        return slot, st["rid"], tok0, t0, lp0
 
     # ---------------- prefix cache ----------------
 
@@ -1103,12 +1190,13 @@ class SpecDecodeEngine(DecodeEngine):
                  max_batch: int = 8, gamma: int = 4,
                  eos_id: Optional[int] = None, cache_sharding=None,
                  prefill_buckets: Optional[Sequence[int]] = None,
-                 prefix_cache_entries: int = 0, kv_dtype=jnp.float32):
+                 prefix_cache_entries: int = 0, kv_dtype=jnp.float32,
+                 logprobs_topk: int = 0):
         super().__init__(model, params, max_batch=max_batch, eos_id=eos_id,
                          temperature=0.0, cache_sharding=cache_sharding,
                          prefill_buckets=prefill_buckets,
                          prefix_cache_entries=prefix_cache_entries,
-                         kv_dtype=kv_dtype)
+                         kv_dtype=kv_dtype, logprobs_topk=logprobs_topk)
         if gamma < 1:
             raise ValueError(f"gamma must be >= 1, got {gamma}")
         self.draft_model = draft_model
@@ -1175,7 +1263,12 @@ class SpecDecodeEngine(DecodeEngine):
 
             tc2 = dict(tc2, len=tc["len"] + n_acc + 1)
             dc3 = dict(dc3, len=dc["len"] + n_acc + 1)
-            return emit, n_acc, tc2, dc3, corr[:, 0]
+            # logprob extras for every candidate position; the host emits
+            # only the first n_acc+1 per row — the target's distribution at
+            # position j given prefix+emit[:j], identical to what the plain
+            # engine would record for the same tokens
+            return (emit, n_acc, tc2, dc3, corr[:, 0]) + \
+                self._lp_of(logits, emit)
 
         self._spec_fn = jax.jit(_spec)
 
@@ -1245,7 +1338,8 @@ class SpecDecodeEngine(DecodeEngine):
 
         active = [s for s, r in enumerate(self._slot_rid) if r >= 0]
         if active:
-            emit_t, n_acc, self._cache, self._dcache, nxt = self._spec_fn(
+            (emit_t, n_acc, self._cache, self._dcache, nxt,
+             *lpx) = self._spec_fn(
                 self.params, self.draft_params, self._cache, self._dcache,
                 self._tokens)
             mask = np.zeros((self.max_batch,), bool)
@@ -1259,12 +1353,17 @@ class SpecDecodeEngine(DecodeEngine):
             et = np.asarray(emit_t)
             na = np.asarray(n_acc)
             lens = np.asarray(self._cache["len"])
+            lp_h = tv_h = ti_h = None
+            if self.logprobs_topk:
+                lp_h, tv_h, ti_h = jax.device_get(tuple(lpx))
             for s in active:
                 rid = self._slot_rid[s]
                 n_emit = int(na[s]) + 1
                 base_len = int(lens[s]) - n_emit
                 for j in range(n_emit):
+                    lp = (self._lp_entry(lp_h[s], tv_h[s], ti_h[s], j)
+                          if self.logprobs_topk else None)
                     if not self._emit_token(emitted, s, rid, int(et[s, j]),
-                                            base_len + j + 1):
+                                            base_len + j + 1, lp):
                         break
         return emitted

@@ -59,8 +59,11 @@ API:
   ``finish_reason``/``usage`` semantics in
   :mod:`mop_tpu.serving.openai_api`. ``response_format`` type
   ``json_schema`` compiles to a token DFA (guided decoding) when the
-  server has ``token_strs``. OpenAI requests batch onto the
-  same slot pool as native ``/generate`` traffic. ``model_name=`` sets
+  server has ``token_strs``; ``logprobs`` (completions int 0..5, chat
+  ``true`` + ``top_logprobs`` 0..20) are served when the engine was
+  built with ``logprobs_topk > 0`` (blocking responses only). OpenAI
+  requests batch onto the same slot pool as native ``/generate``
+  traffic. ``model_name=`` sets
   the advertised model id; ``chat_template=`` overrides the default
   role-tagged chat rendering.
 - ``GET /metrics`` -> Prometheus text format (requests
@@ -404,6 +407,20 @@ class ServingServer:
                                 "server constructed with token_strs")
                         p["kw"]["constraint"] = json_schema_to_dfa(
                             p["json_schema"], outer._token_strs)
+                    if p["logprobs"] is not None:
+                        have = getattr(outer.engine, "logprobs_topk", 0)
+                        if have <= 0:
+                            raise ValueError(
+                                "this server's engine does not track "
+                                "logprobs (construct it with "
+                                "logprobs_topk > 0)")
+                        if p["logprobs"] > have:
+                            raise ValueError(
+                                f"logprobs {p['logprobs']} exceeds the "
+                                f"engine's tracked top-{have}")
+                        if p["stream"]:
+                            raise ValueError(
+                                "logprobs with stream is not supported")
                 except (KeyError, ValueError, TypeError,
                         json.JSONDecodeError) as e:
                     return self._oai_error(400, str(e))
@@ -435,10 +452,20 @@ class ServingServer:
                     p["stop_strs"])
                 if p["echo"]:
                     text = p["prompt_text"] + text
+                lpobj = None
+                if p["logprobs"] is not None:
+                    with outer._lock:
+                        lps = list(outer.engine.logprobs[rid])
+                        tops = [list(a) for a in
+                                outer.engine.top_logprobs[rid]]
+                    mk_lp = (_oai.chat_logprobs if chat
+                             else _oai.completion_logprobs)
+                    lpobj = mk_lp(toks, lps, tops, p["logprobs"],
+                                  outer._tokenizer, outer.engine.eos_id)
                 build = _oai.chat_body if chat else _oai.completion_body
                 self._json(200, build(rid, outer._model_name, created,
                                       text, finish, len(p["prompt_ids"]),
-                                      len(toks)))
+                                      len(toks), lpobj))
 
             def _openai_stream(self, rid: int, p: dict, chat: bool,
                                created: int) -> None:

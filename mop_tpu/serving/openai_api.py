@@ -43,13 +43,20 @@ Field mapping:
   the DFA compiler is regular-language-exact and we never silently
   loosen a constraint.
 
+- ``logprobs``: completions take an integer 0..5 (alternatives per
+  token); chat takes ``logprobs: true`` + ``top_logprobs`` 0..20.
+  Requires the engine to have been built with ``logprobs_topk >=``
+  the requested count. Values are the raw model distribution (fp32
+  log-softmax before temperature/penalties/bias — the engine
+  contract); blocking responses only (stream + logprobs is rejected).
+
 Explicitly rejected rather than silently ignored: ``n`` > 1,
-``best_of`` > 1, ``logprobs``, ``suffix``, ``tools`` /
+``best_of`` > 1, ``suffix``, ``tools`` /
 ``tool_choice`` / ``functions``, ``response_format`` type
-``json_object``. ``finish_reason`` is ``"stop"`` (EOS or stop
-sequence) or ``"length"`` (``max_tokens`` or the context window).
-``usage`` counts prompt and completion tokens exactly as
-submitted/emitted.
+``json_object``, ``logprobs`` combined with ``stream``.
+``finish_reason`` is ``"stop"`` (EOS or stop sequence) or ``"length"``
+(``max_tokens`` or the context window). ``usage`` counts prompt and
+completion tokens exactly as submitted/emitted.
 """
 
 from __future__ import annotations
@@ -60,6 +67,7 @@ __all__ = [
     "parse_completion", "parse_chat", "default_chat_template",
     "finalize", "StopTrimmer", "completion_body", "chat_body",
     "completion_chunk", "chat_chunk", "models_body",
+    "completion_logprobs", "chat_logprobs",
 ]
 
 _UNSUPPORTED = ("suffix", "tools", "tool_choice", "functions",
@@ -111,8 +119,6 @@ def _common(req: dict, tokenizer) -> tuple:
         raise ValueError("only n=1 is supported")
     if int(req.get("best_of") or 1) != 1:
         raise ValueError("only best_of=1 is supported")
-    if req.get("logprobs"):
-        raise ValueError("logprobs are not supported")
     for key in _UNSUPPORTED:
         if req.get(key) is not None:
             raise ValueError(f"'{key}' is not supported")
@@ -165,10 +171,17 @@ def parse_completion(req: dict, tokenizer) -> dict:
     if not prompt_ids:
         raise ValueError("prompt encoded to zero tokens")
     max_new, kw, stop_strs, stream, schema = _common(req, tokenizer)
+    lp = req.get("logprobs")
+    if lp is not None:
+        if isinstance(lp, bool) or not isinstance(lp, int) or \
+                not 0 <= lp <= 5:
+            raise ValueError(
+                "completions 'logprobs' must be an integer in [0, 5] "
+                "(the number of alternatives per token)")
     return {"prompt_ids": prompt_ids, "prompt_text": prompt_text,
             "max_new": max_new, "kw": kw, "stop_strs": stop_strs,
             "stream": stream, "echo": bool(req.get("echo", False)),
-            "json_schema": schema}
+            "json_schema": schema, "logprobs": lp}
 
 
 def parse_chat(req: dict, tokenizer,
@@ -187,9 +200,22 @@ def parse_chat(req: dict, tokenizer,
     if not prompt_ids:
         raise ValueError("messages encoded to zero tokens")
     max_new, kw, stop_strs, stream, schema = _common(req, tokenizer)
+    lp = None
+    if req.get("logprobs") is not None:
+        if req["logprobs"] is not True:
+            raise ValueError("chat 'logprobs' must be true when present")
+        top = req.get("top_logprobs", 0)
+        if isinstance(top, bool) or not isinstance(top, int) or \
+                not 0 <= top <= 20:
+            raise ValueError("'top_logprobs' must be an integer in "
+                             "[0, 20]")
+        lp = top
+    elif req.get("top_logprobs") is not None:
+        raise ValueError("'top_logprobs' requires 'logprobs': true")
     return {"prompt_ids": prompt_ids, "prompt_text": text,
             "max_new": max_new, "kw": kw, "stop_strs": stop_strs,
-            "stream": stream, "echo": False, "json_schema": schema}
+            "stream": stream, "echo": False, "json_schema": schema,
+            "logprobs": lp}
 
 
 def finalize(toks: Sequence[int], tokenizer, eos_id: Optional[int],
@@ -250,6 +276,63 @@ class StopTrimmer:
         return out
 
 
+# ---------------- logprobs ----------------
+
+
+def _visible(toks, lps, tops, eos_id):
+    """Drop the trailing EOS entry (excluded from the completion text,
+    so excluded from the logprob arrays too — they stay 1:1 with the
+    visible tokens). When a stop STRING cut the text, the arrays still
+    cover every emitted token (token-level data is not re-segmented to
+    the text cut)."""
+    if eos_id is not None and toks and toks[-1] == eos_id:
+        return toks[:-1], lps[:-1], tops[:-1]
+    return list(toks), list(lps), list(tops)
+
+
+def completion_logprobs(toks, lps, tops, n_top: int, tokenizer,
+                        eos_id) -> dict:
+    """Engine logprob arrays -> the completions-API ``logprobs`` object
+    (parallel ``tokens`` / ``token_logprobs`` / ``top_logprobs`` /
+    ``text_offset`` arrays). Values are the engine's raw-model fp32
+    log-softmax (see ``DecodeEngine(logprobs_topk=...)``)."""
+    toks, lps, tops = _visible(toks, lps, tops, eos_id)
+    strs = [tokenizer.decode([t]) for t in toks]
+    offsets, pos = [], 0
+    for s in strs:
+        offsets.append(pos)
+        pos += len(s)
+    out = {"tokens": strs, "token_logprobs": lps,
+           "top_logprobs": None, "text_offset": offsets}
+    if n_top > 0:
+        # the wire format keys alternatives by token STRING; distinct ids
+        # can decode to the same string (byte-level partial UTF-8 all
+        # render as U+FFFD) — keep the highest logprob per string
+        rows = []
+        for alts in tops:
+            d: Dict[str, float] = {}
+            for t, v in alts[:n_top]:
+                d.setdefault(tokenizer.decode([t]), v)
+            rows.append(d)
+        out["top_logprobs"] = rows
+    return out
+
+
+def chat_logprobs(toks, lps, tops, n_top: int, tokenizer, eos_id) -> dict:
+    """Engine logprob arrays -> the chat-API ``logprobs`` object
+    (``content``: one entry per visible token, each with its own
+    ``top_logprobs`` list)."""
+    toks, lps, tops = _visible(toks, lps, tops, eos_id)
+    content = []
+    for t, lp, alts in zip(toks, lps, tops):
+        content.append({
+            "token": tokenizer.decode([t]), "logprob": lp,
+            "top_logprobs": [
+                {"token": tokenizer.decode([a]), "logprob": v}
+                for a, v in alts[:n_top]]})
+    return {"content": content}
+
+
 # ---------------- response bodies ----------------
 
 
@@ -259,20 +342,23 @@ def _usage(n_prompt: int, n_out: int) -> dict:
 
 
 def completion_body(rid: int, model: str, created: int, text: str,
-                    finish: str, n_prompt: int, n_out: int) -> dict:
+                    finish: str, n_prompt: int, n_out: int,
+                    logprobs: Optional[dict] = None) -> dict:
     return {"id": f"cmpl-{rid}", "object": "text_completion",
             "created": created, "model": model,
-            "choices": [{"index": 0, "text": text, "logprobs": None,
+            "choices": [{"index": 0, "text": text, "logprobs": logprobs,
                          "finish_reason": finish}],
             "usage": _usage(n_prompt, n_out)}
 
 
 def chat_body(rid: int, model: str, created: int, text: str,
-              finish: str, n_prompt: int, n_out: int) -> dict:
+              finish: str, n_prompt: int, n_out: int,
+              logprobs: Optional[dict] = None) -> dict:
     return {"id": f"chatcmpl-{rid}", "object": "chat.completion",
             "created": created, "model": model,
             "choices": [{"index": 0,
                          "message": {"role": "assistant", "content": text},
+                         "logprobs": logprobs,
                          "finish_reason": finish}],
             "usage": _usage(n_prompt, n_out)}
 

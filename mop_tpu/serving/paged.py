@@ -136,7 +136,8 @@ class PagedDecodeEngine(DecodeEngine):
                  min_p: float = 0.0, repetition_penalty: float = 1.0,
                  presence_penalty: float = 0.0,
                  frequency_penalty: float = 0.0,
-                 adapters=None, adapter_scale=1.0):
+                 adapters=None, adapter_scale=1.0,
+                 logprobs_topk: int = 0):
         cfg = model.config
         if cfg.block_size % page_size != 0:
             raise ValueError(
@@ -157,7 +158,8 @@ class PagedDecodeEngine(DecodeEngine):
                          repetition_penalty=repetition_penalty,
                          presence_penalty=presence_penalty,
                          frequency_penalty=frequency_penalty,
-                         adapters=adapters, adapter_scale=adapter_scale)
+                         adapters=adapters, adapter_scale=adapter_scale,
+                         logprobs_topk=logprobs_topk)
         # the page pool replaces the dense slot slabs (which _make_cache
         # below prevents from ever being allocated)
         self._pool = init_paged_pool(cfg, n_pages, page_size, kv_dtype)
@@ -179,7 +181,7 @@ class PagedDecodeEngine(DecodeEngine):
             nxt = self._pick_rows(logits, rng_, temp, topk, topp, minp,
                                   rep, pres, freq, ocounts, pseen, lbias)
             ocounts = ocounts.at[jnp.arange(ocounts.shape[0]), nxt].add(1)
-            return nxt, new, ocounts
+            return (nxt, new, ocounts) + self._lp_of(logits, nxt)
 
         self._pstep_fn = jax.jit(_step, donate_argnums=(1, 13))
 
@@ -205,7 +207,8 @@ class PagedDecodeEngine(DecodeEngine):
                 logits, rng_, r1(sp[0]), r1(sp[1]), r1(sp[2]), r1(sp[3]),
                 r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen, lb)[0]
             tokens = tokens.at[slot].set(tok0)
-            return pool, tokens, tok0
+            return (pool, tokens, tok0) + self._lp_of(
+                logits, jnp.reshape(tok0, (1,)))
 
         def _padm_exact(params_, pool, tokens, prompt, pages, slot, rng_,
                         sp, oc, seen, lb):
@@ -389,21 +392,25 @@ class PagedDecodeEngine(DecodeEngine):
         pages_j = jnp.asarray(pages_full)
         padded = self._bucket_pad(prompt)
         if padded is not None:
-            self._pool, self._tokens, tok0 = self._padm_padded_fn(
+            self._pool, self._tokens, tok0, *lpx = self._padm_padded_fn(
                 self._admit_params(aid), self._pool, self._tokens,
                 padded[0], np.int32(padded[1]), pages_j, np.int32(slot),
                 sub, spk, oc_j, seen_j, lb)
         else:
-            self._pool, self._tokens, tok0 = self._padm_exact_fn(
+            self._pool, self._tokens, tok0, *lpx = self._padm_exact_fn(
                 self._admit_params(aid), self._pool, self._tokens,
                 prompt[None, :], pages_j, np.int32(slot), sub, spk, oc_j,
                 seen_j, lb)
+        lp0 = None
+        if self.logprobs_topk:
+            lp_h, tv_h, ti_h = jax.device_get(tuple(lpx))
+            lp0 = self._lp_entry(lp_h, tv_h, ti_h, 0)
         tok0 = int(tok0)
         self._ocounts = self._ocounts.at[slot].set(oc_j[0].at[tok0].add(1))
         self._pseen = self._pseen.at[slot].set(seen_j[0])
         self._slot_rid[slot] = rid
         self._budget[slot] = max_new
-        return slot, rid, tok0, t0
+        return slot, rid, tok0, t0, lp0
 
     # ---------------- engine loop ----------------
 
@@ -427,7 +434,7 @@ class PagedDecodeEngine(DecodeEngine):
         if active:
             self._rng, sub = jax.random.split(self._rng)
             lens_j = jnp.asarray(self._lens)
-            nxt, self._pool, self._ocounts = self._pstep_fn(
+            nxt, self._pool, self._ocounts, *lpx = self._pstep_fn(
                 self._step_params(), self._pool, jnp.asarray(self._table),
                 self._tokens, lens_j, sub, jnp.asarray(self._slot_temp),
                 jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
@@ -436,12 +443,18 @@ class PagedDecodeEngine(DecodeEngine):
                 self._ocounts, self._pseen, self._lbias)
             self._tokens = nxt
             toks = jax.device_get(nxt)
+            lp_h = tv_h = ti_h = None
+            if self.logprobs_topk:
+                lp_h, tv_h, ti_h = jax.device_get(tuple(lpx))
             active_set = set(active)
             for s in range(self.max_batch):
                 self._lens[s] = self._lens[s] + 1 if s in active_set else 0
             for s in active:
+                lp = (self._lp_entry(lp_h, tv_h, ti_h, s)
+                      if self.logprobs_topk else None)
                 if not self._emit_token(emitted, s, self._slot_rid[s],
-                                        int(toks[s]), int(self._lens[s])):
+                                        int(toks[s]), int(self._lens[s]),
+                                        lp):
                     self._free_slot_pages(s)
         return emitted
 

@@ -59,7 +59,8 @@ def test_parse_completion_maps_fields():
 @pytest.mark.parametrize("bad", [
     {"prompt": "a", "n": 2},
     {"prompt": "a", "best_of": 3},
-    {"prompt": "a", "logprobs": 5},
+    {"prompt": "a", "logprobs": 9},      # > 5 alternatives
+    {"prompt": "a", "logprobs": True},   # completions take an int
     {"prompt": "a", "suffix": "!"},
     {"prompt": "a", "stop": ["a", "b", "c", "d", "e"]},
     {"prompt": ""},
@@ -353,5 +354,94 @@ def test_v1_response_format_json_schema():
                   {"prompt": "hi", "max_tokens": 8,
                    "response_format": {"type": "json_object"}})
         assert e.value.code == 400
+    finally:
+        srv.stop()
+
+
+def test_v1_logprobs():
+    """Completions logprobs (int alternatives) and chat logprobs
+    (true + top_logprobs): arrays are 1:1 with the visible tokens,
+    greedy top-1 equals the chosen token, text_offset re-assembles the
+    completion text; validation errors are 400."""
+    tok = ByteBPETokenizer.train(CORPUS, vocab_size=300)
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=96)
+    model = create_gpt_quartet(tok.vocab_size, cfg)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+    eng = DecodeEngine(model, params, max_batch=2, logprobs_topk=5)
+    srv = ServingServer(eng, tokenizer=tok, model_name="mop-lp")
+    srv.start()
+    try:
+        out = _post(srv.port, "/v1/completions",
+                    {"prompt": "the quick", "max_tokens": 6,
+                     "logprobs": 2})
+        c = out["choices"][0]
+        lp = c["logprobs"]
+        assert len(lp["tokens"]) == len(lp["token_logprobs"]) == \
+            len(lp["top_logprobs"]) == len(lp["text_offset"]) == 6
+        assert "".join(lp["tokens"]) == c["text"]
+        assert all(v <= 0 for v in lp["token_logprobs"])
+        for tstr, tlp, alts in zip(lp["tokens"], lp["token_logprobs"],
+                                   lp["top_logprobs"]):
+            # string-keyed dict: distinct ids decoding to the same string
+            # (partial UTF-8) collapse, so <= 2 entries
+            assert 1 <= len(alts) <= 2
+            best = max(alts.items(), key=lambda kv: kv[1])
+            assert best[0] == tstr  # greedy: chosen == top-1
+            assert abs(best[1] - tlp) < 1e-6
+        # offsets re-assemble the text
+        for s, off in zip(lp["tokens"], lp["text_offset"]):
+            assert c["text"][off:off + len(s)] == s
+
+        chat = _post(srv.port, "/v1/chat/completions",
+                     {"messages": [{"role": "user", "content": "hi"}],
+                      "max_tokens": 5, "logprobs": True,
+                      "top_logprobs": 3})
+        ch = chat["choices"][0]
+        entries = ch["logprobs"]["content"]
+        assert len(entries) == 5
+        assert "".join(e["token"] for e in entries) == \
+            ch["message"]["content"]
+        for e in entries:
+            assert len(e["top_logprobs"]) == 3
+            assert e["top_logprobs"][0]["token"] == e["token"]
+
+        # logprobs: 0 -> chosen-token logprobs, no alternatives
+        out0 = _post(srv.port, "/v1/completions",
+                     {"prompt": "pack", "max_tokens": 3, "logprobs": 0})
+        lp0 = out0["choices"][0]["logprobs"]
+        assert lp0["top_logprobs"] is None
+        assert len(lp0["token_logprobs"]) == 3
+
+        for bad in ({"prompt": "a", "max_tokens": 2, "logprobs": 9},
+                    {"prompt": "a", "max_tokens": 2, "logprobs": 2,
+                     "stream": True},
+                    {"messages": [{"role": "user", "content": "x"}],
+                     "top_logprobs": 2}):
+            path = ("/v1/chat/completions" if "messages" in bad
+                    else "/v1/completions")
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(srv.port, path, bad)
+            assert e.value.code == 400
+    finally:
+        srv.stop()
+
+
+def test_v1_logprobs_requires_tracking_engine():
+    tok = ByteBPETokenizer.train(CORPUS, vocab_size=300)
+    cfg = TransformerConfig(n_layer=1, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=32)
+    model = create_gpt_quartet(tok.vocab_size, cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    srv = ServingServer(DecodeEngine(model, params, max_batch=1),
+                        tokenizer=tok)
+    srv.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, "/v1/completions",
+                  {"prompt": "hi", "max_tokens": 2, "logprobs": 1})
+        assert e.value.code == 400
+        assert "logprobs_topk" in json.loads(e.value.read()
+                                             )["error"]["message"]
     finally:
         srv.stop()
