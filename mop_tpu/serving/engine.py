@@ -911,12 +911,15 @@ class DecodeEngine:
             self._cache["len"] = jnp.where(
                 jnp.asarray(mask), self._cache["len"], jnp.asarray(keep))
             self._tokens = nxt
-            toks, lens = jax.device_get((nxt, self._cache["len"]))
+            # ONE host fetch per step whatever is tracked: a second
+            # device_get is a second dispatch round-trip, which at
+            # serving scale costs as much as the decode step itself
+            toks, lens, *lph = jax.device_get(
+                (nxt, self._cache["len"], *lpx))
             if self.logprobs_topk:
-                lp_h, tv_h, ti_h = jax.device_get(tuple(lpx))
                 for s in active:
                     emit(s, self._slot_rid[s], int(toks[s]), int(lens[s]),
-                         self._lp_entry(lp_h, tv_h, ti_h, s))
+                         self._lp_entry(lph[0], lph[1], lph[2], s))
             else:
                 for s in active:
                     emit(s, self._slot_rid[s], int(toks[s]), int(lens[s]))
@@ -1059,7 +1062,9 @@ class DecodeEngine:
         (c["k"], c["k2"], c["v"], c["len"], self._tokens, tok0) = out[:6]
         lp0 = None
         if self.logprobs_topk:
-            lp_h, tv_h, ti_h = jax.device_get(out[6:9])
+            # one fetch for tok0 + extras (int(tok0) alone would be a
+            # separate round-trip)
+            tok0, lp_h, tv_h, ti_h = jax.device_get((tok0,) + out[6:9])
             lp0 = self._lp_entry(lp_h, tv_h, ti_h, 0)
             store = out[9:]
         else:
@@ -1100,7 +1105,7 @@ class DecodeEngine:
             logits, sub, st["spk"], st["oc"], st["seen"], st["lb"])
         lp0 = None
         if self.logprobs_topk:
-            lp_h, tv_h, ti_h = jax.device_get(tuple(lpx))
+            tok0, lp_h, tv_h, ti_h = jax.device_get((tok0, *lpx))
             lp0 = self._lp_entry(lp_h, tv_h, ti_h, 0)
         tok0 = int(tok0)
         self._ocounts = self._ocounts.at[slot].set(
@@ -1350,12 +1355,10 @@ class SpecDecodeEngine(DecodeEngine):
             self._dcache["len"] = jnp.where(
                 jmask, self._dcache["len"], zeros)
             self._tokens = nxt
-            et = np.asarray(emit_t)
-            na = np.asarray(n_acc)
-            lens = np.asarray(self._cache["len"])
-            lp_h = tv_h = ti_h = None
-            if self.logprobs_topk:
-                lp_h, tv_h, ti_h = jax.device_get(tuple(lpx))
+            et, na, lens, *lph = jax.device_get(
+                (emit_t, n_acc, self._cache["len"], *lpx))
+            lp_h, tv_h, ti_h = lph if self.logprobs_topk \
+                else (None, None, None)
             for s in active:
                 rid = self._slot_rid[s]
                 n_emit = int(na[s]) + 1

@@ -61,9 +61,10 @@ API:
   ``json_schema`` compiles to a token DFA (guided decoding) when the
   server has ``token_strs``; ``logprobs`` (completions int 0..5, chat
   ``true`` + ``top_logprobs`` 0..20) are served when the engine was
-  built with ``logprobs_topk > 0`` (blocking responses only). OpenAI
-  requests batch onto the same slot pool as native ``/generate``
-  traffic. ``model_name=`` sets
+  built with ``logprobs_topk > 0`` (blocking responses only); ``n``
+  1..8 choices decode as one batch (each an independent engine
+  request). OpenAI requests batch onto the same slot pool as native
+  ``/generate`` traffic. ``model_name=`` sets
   the advertised model id; ``chat_template=`` overrides the default
   role-tagged chat rendering.
 - ``GET /metrics`` -> Prometheus text format (requests
@@ -435,37 +436,50 @@ class ServingServer:
                                 500, "device worker failed: "
                                      f"{outer._step_error!r}",
                                 "server_error")
-                        rid = outer.engine.submit(
-                            p["prompt_ids"], p["max_new"], **p["kw"])
-                        outer._lat_pending[rid] = [time.monotonic(), None]
+                        # n choices = n engine requests submitted
+                        # together; they decode as one batch on the slot
+                        # pool (not sequentially)
+                        rids = []
+                        for _ in range(p["n"]):
+                            rid = outer.engine.submit(
+                                p["prompt_ids"], p["max_new"], **p["kw"])
+                            outer._lat_pending[rid] = [time.monotonic(),
+                                                       None]
+                            rids.append(rid)
                 except ValueError as e:  # bad length / budget
                     return self._oai_error(400, str(e))
                 created = int(time.time())
-                if p["stream"]:
-                    return self._openai_stream(rid, p, chat, created)
-                try:
-                    toks = outer._wait(rid)
-                except RuntimeError as e:  # device worker died
-                    return self._oai_error(500, str(e), "server_error")
-                text, finish = _oai.finalize(
-                    toks, outer._tokenizer, outer.engine.eos_id,
-                    p["stop_strs"])
-                if p["echo"]:
-                    text = p["prompt_text"] + text
-                lpobj = None
-                if p["logprobs"] is not None:
-                    with outer._lock:
-                        lps = list(outer.engine.logprobs[rid])
-                        tops = [list(a) for a in
-                                outer.engine.top_logprobs[rid]]
-                    mk_lp = (_oai.chat_logprobs if chat
-                             else _oai.completion_logprobs)
-                    lpobj = mk_lp(toks, lps, tops, p["logprobs"],
-                                  outer._tokenizer, outer.engine.eos_id)
+                if p["stream"]:  # parse guarantees n == 1 here
+                    return self._openai_stream(rids[0], p, chat, created)
+                choices, n_out = [], 0
+                for i, rid in enumerate(rids):
+                    try:
+                        toks = outer._wait(rid)
+                    except RuntimeError as e:  # device worker died
+                        return self._oai_error(500, str(e), "server_error")
+                    text, finish = _oai.finalize(
+                        toks, outer._tokenizer, outer.engine.eos_id,
+                        p["stop_strs"])
+                    if p["echo"]:
+                        text = p["prompt_text"] + text
+                    lpobj = None
+                    if p["logprobs"] is not None:
+                        with outer._lock:
+                            lps = list(outer.engine.logprobs[rid])
+                            tops = [list(a) for a in
+                                    outer.engine.top_logprobs[rid]]
+                        mk_lp = (_oai.chat_logprobs if chat
+                                 else _oai.completion_logprobs)
+                        lpobj = mk_lp(toks, lps, tops, p["logprobs"],
+                                      outer._tokenizer,
+                                      outer.engine.eos_id)
+                    choices.append(_oai.make_choice(chat, i, text, finish,
+                                                    lpobj))
+                    n_out += len(toks)
                 build = _oai.chat_body if chat else _oai.completion_body
-                self._json(200, build(rid, outer._model_name, created,
-                                      text, finish, len(p["prompt_ids"]),
-                                      len(toks), lpobj))
+                self._json(200, build(rids[0], outer._model_name, created,
+                                      choices, len(p["prompt_ids"]),
+                                      n_out))
 
             def _openai_stream(self, rid: int, p: dict, chat: bool,
                                created: int) -> None:

@@ -50,8 +50,13 @@ Field mapping:
   log-softmax before temperature/penalties/bias — the engine
   contract); blocking responses only (stream + logprobs is rejected).
 
-Explicitly rejected rather than silently ignored: ``n`` > 1,
-``best_of`` > 1, ``suffix``, ``tools`` /
+- ``n`` (1..8): each choice is an independent engine request sharing
+  the slot pool — they decode as one batch, not sequentially.
+  Temperature 0 gives ``n`` identical choices (greedy), like the
+  upstream API. Blocking responses only.
+
+Explicitly rejected rather than silently ignored: ``n`` > 8,
+``n`` > 1 with ``stream``, ``best_of`` > 1, ``suffix``, ``tools`` /
 ``tool_choice`` / ``functions``, ``response_format`` type
 ``json_object``, ``logprobs`` combined with ``stream``.
 ``finish_reason`` is ``"stop"`` (EOS or stop sequence) or ``"length"``
@@ -67,7 +72,7 @@ __all__ = [
     "parse_completion", "parse_chat", "default_chat_template",
     "finalize", "StopTrimmer", "completion_body", "chat_body",
     "completion_chunk", "chat_chunk", "models_body",
-    "completion_logprobs", "chat_logprobs",
+    "completion_logprobs", "chat_logprobs", "make_choice",
 ]
 
 _UNSUPPORTED = ("suffix", "tools", "tool_choice", "functions",
@@ -115,8 +120,11 @@ def default_chat_template(messages: Sequence[dict]) -> str:
 def _common(req: dict, tokenizer) -> tuple:
     """Shared sampling/limit parsing. Returns (max_new, kw, stop_strs,
     stream). Raises ValueError on anything we can't honor exactly."""
-    if int(req.get("n") or 1) != 1:
-        raise ValueError("only n=1 is supported")
+    n = int(req.get("n") or 1)
+    if not 1 <= n <= 8:
+        raise ValueError(f"n must be in [1, 8], got {n}")
+    if n > 1 and req.get("stream"):
+        raise ValueError("n > 1 with stream is not supported")
     if int(req.get("best_of") or 1) != 1:
         raise ValueError("only best_of=1 is supported")
     for key in _UNSUPPORTED:
@@ -150,7 +158,7 @@ def _common(req: dict, tokenizer) -> tuple:
     max_new = req.get("max_tokens")
     max_new = 16 if max_new is None else int(max_new)  # 0 stays invalid
     return (max_new, kw, stop_strs, bool(req.get("stream", False)),
-            _parse_response_format(req))
+            _parse_response_format(req), n)
 
 
 def parse_completion(req: dict, tokenizer) -> dict:
@@ -170,7 +178,7 @@ def parse_completion(req: dict, tokenizer) -> dict:
         raise ValueError("prompt must be a string or a list of token ids")
     if not prompt_ids:
         raise ValueError("prompt encoded to zero tokens")
-    max_new, kw, stop_strs, stream, schema = _common(req, tokenizer)
+    max_new, kw, stop_strs, stream, schema, n = _common(req, tokenizer)
     lp = req.get("logprobs")
     if lp is not None:
         if isinstance(lp, bool) or not isinstance(lp, int) or \
@@ -181,7 +189,7 @@ def parse_completion(req: dict, tokenizer) -> dict:
     return {"prompt_ids": prompt_ids, "prompt_text": prompt_text,
             "max_new": max_new, "kw": kw, "stop_strs": stop_strs,
             "stream": stream, "echo": bool(req.get("echo", False)),
-            "json_schema": schema, "logprobs": lp}
+            "json_schema": schema, "logprobs": lp, "n": n}
 
 
 def parse_chat(req: dict, tokenizer,
@@ -199,7 +207,7 @@ def parse_chat(req: dict, tokenizer,
     prompt_ids = tokenizer.encode(text)
     if not prompt_ids:
         raise ValueError("messages encoded to zero tokens")
-    max_new, kw, stop_strs, stream, schema = _common(req, tokenizer)
+    max_new, kw, stop_strs, stream, schema, n = _common(req, tokenizer)
     lp = None
     if req.get("logprobs") is not None:
         if req["logprobs"] is not True:
@@ -215,7 +223,7 @@ def parse_chat(req: dict, tokenizer,
     return {"prompt_ids": prompt_ids, "prompt_text": text,
             "max_new": max_new, "kw": kw, "stop_strs": stop_strs,
             "stream": stream, "echo": False, "json_schema": schema,
-            "logprobs": lp}
+            "logprobs": lp, "n": n}
 
 
 def finalize(toks: Sequence[int], tokenizer, eos_id: Optional[int],
@@ -341,25 +349,32 @@ def _usage(n_prompt: int, n_out: int) -> dict:
             "total_tokens": n_prompt + n_out}
 
 
-def completion_body(rid: int, model: str, created: int, text: str,
-                    finish: str, n_prompt: int, n_out: int,
-                    logprobs: Optional[dict] = None) -> dict:
+def make_choice(chat: bool, index: int, text: str, finish: str,
+                logprobs: Optional[dict] = None) -> dict:
+    """One entry of a response's ``choices`` array (``n`` requests give
+    ``n`` of these, index 0..n-1)."""
+    if chat:
+        return {"index": index,
+                "message": {"role": "assistant", "content": text},
+                "logprobs": logprobs, "finish_reason": finish}
+    return {"index": index, "text": text, "logprobs": logprobs,
+            "finish_reason": finish}
+
+
+def completion_body(rid: int, model: str, created: int,
+                    choices: List[dict], n_prompt: int,
+                    n_out: int) -> dict:
+    """``n_prompt`` is counted once however many choices there are (the
+    OpenAI usage convention); ``n_out`` is the total across choices."""
     return {"id": f"cmpl-{rid}", "object": "text_completion",
-            "created": created, "model": model,
-            "choices": [{"index": 0, "text": text, "logprobs": logprobs,
-                         "finish_reason": finish}],
+            "created": created, "model": model, "choices": choices,
             "usage": _usage(n_prompt, n_out)}
 
 
-def chat_body(rid: int, model: str, created: int, text: str,
-              finish: str, n_prompt: int, n_out: int,
-              logprobs: Optional[dict] = None) -> dict:
+def chat_body(rid: int, model: str, created: int, choices: List[dict],
+              n_prompt: int, n_out: int) -> dict:
     return {"id": f"chatcmpl-{rid}", "object": "chat.completion",
-            "created": created, "model": model,
-            "choices": [{"index": 0,
-                         "message": {"role": "assistant", "content": text},
-                         "logprobs": logprobs,
-                         "finish_reason": finish}],
+            "created": created, "model": model, "choices": choices,
             "usage": _usage(n_prompt, n_out)}
 
 

@@ -403,7 +403,9 @@ class PagedDecodeEngine(DecodeEngine):
                 seen_j, lb)
         lp0 = None
         if self.logprobs_topk:
-            lp_h, tv_h, ti_h = jax.device_get(tuple(lpx))
+            # one fetch for tok0 + extras (a second device_get would be a
+            # second dispatch round-trip)
+            tok0, lp_h, tv_h, ti_h = jax.device_get((tok0, *lpx))
             lp0 = self._lp_entry(lp_h, tv_h, ti_h, 0)
         tok0 = int(tok0)
         self._ocounts = self._ocounts.at[slot].set(oc_j[0].at[tok0].add(1))
@@ -442,10 +444,9 @@ class PagedDecodeEngine(DecodeEngine):
                 jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
                 self._ocounts, self._pseen, self._lbias)
             self._tokens = nxt
-            toks = jax.device_get(nxt)
-            lp_h = tv_h = ti_h = None
-            if self.logprobs_topk:
-                lp_h, tv_h, ti_h = jax.device_get(tuple(lpx))
+            toks, *lph = jax.device_get((nxt, *lpx))
+            lp_h, tv_h, ti_h = lph if self.logprobs_topk \
+                else (None, None, None)
             active_set = set(active)
             for s in range(self.max_batch):
                 self._lens[s] = self._lens[s] + 1 if s in active_set else 0

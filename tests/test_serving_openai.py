@@ -57,7 +57,8 @@ def test_parse_completion_maps_fields():
 
 
 @pytest.mark.parametrize("bad", [
-    {"prompt": "a", "n": 2},
+    {"prompt": "a", "n": 9},                 # n capped at 8
+    {"prompt": "a", "n": 2, "stream": True},  # choices are blocking-only
     {"prompt": "a", "best_of": 3},
     {"prompt": "a", "logprobs": 9},      # > 5 alternatives
     {"prompt": "a", "logprobs": True},   # completions take an int
@@ -284,7 +285,7 @@ def test_v1_chat_streaming_shapes(oai_server):
 
 def test_v1_rejects_unsupported(oai_server):
     tok, eng, srv = oai_server
-    for payload in ({"prompt": "a", "n": 2},
+    for payload in ({"prompt": "a", "n": 9},
                     {"prompt": "a", "logprobs": 1},
                     {"messages": "nope"},
                     {"prompt": "a", "max_tokens": 0}):
@@ -445,3 +446,37 @@ def test_v1_logprobs_requires_tracking_engine():
                                              )["error"]["message"]
     finally:
         srv.stop()
+
+
+def test_v1_n_choices(oai_server):
+    """n > 1: independent engine requests batched on the slot pool;
+    greedy gives n identical choices, sampling gives distinct ones;
+    usage counts the prompt once and completions across choices."""
+    tok, eng, srv = oai_server
+    out = _post(srv.port, "/v1/completions",
+                {"prompt": "the quick", "max_tokens": 6, "n": 3})
+    ch = out["choices"]
+    assert [c["index"] for c in ch] == [0, 1, 2]
+    assert len({c["text"] for c in ch}) == 1  # greedy: all identical
+    assert out["usage"]["completion_tokens"] == 18
+    assert out["usage"]["prompt_tokens"] == len(tok.encode("the quick"))
+    assert out["usage"]["total_tokens"] == \
+        len(tok.encode("the quick")) + 18
+
+    sampled = _post(srv.port, "/v1/completions",
+                    {"prompt": "the", "max_tokens": 8, "n": 4,
+                     "temperature": 1.5})
+    assert len({c["text"] for c in sampled["choices"]}) > 1
+
+    chat = _post(srv.port, "/v1/chat/completions",
+                 {"messages": [{"role": "user", "content": "hi"}],
+                  "max_tokens": 4, "n": 2})
+    assert len(chat["choices"]) == 2
+    assert all(c["message"]["role"] == "assistant"
+               for c in chat["choices"])
+
+    for bad in ({"prompt": "a", "n": 9},
+                {"prompt": "a", "n": 2, "stream": True}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, "/v1/completions", bad)
+        assert e.value.code == 400
