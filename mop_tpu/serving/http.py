@@ -422,6 +422,12 @@ class ServingServer:
                         if p["stream"]:
                             raise ValueError(
                                 "logprobs with stream is not supported")
+                    if p.get("best_of", p["n"]) > p["n"] and \
+                            getattr(outer.engine, "logprobs_topk", 0) <= 0:
+                        raise ValueError(
+                            "best_of ranking needs an engine built with "
+                            "logprobs_topk > 0 (candidates are ranked by "
+                            "mean token logprob)")
                 except (KeyError, ValueError, TypeError,
                         json.JSONDecodeError) as e:
                     return self._oai_error(400, str(e))
@@ -436,11 +442,11 @@ class ServingServer:
                                 500, "device worker failed: "
                                      f"{outer._step_error!r}",
                                 "server_error")
-                        # n choices = n engine requests submitted
-                        # together; they decode as one batch on the slot
-                        # pool (not sequentially)
+                        # best_of (>= n) candidates = that many engine
+                        # requests submitted together; they decode as one
+                        # batch on the slot pool (not sequentially)
                         rids = []
-                        for _ in range(p["n"]):
+                        for _ in range(p.get("best_of", p["n"])):
                             rid = outer.engine.submit(
                                 p["prompt_ids"], p["max_new"], **p["kw"])
                             outer._lat_pending[rid] = [time.monotonic(),
@@ -449,14 +455,29 @@ class ServingServer:
                 except ValueError as e:  # bad length / budget
                     return self._oai_error(400, str(e))
                 created = int(time.time())
-                if p["stream"]:  # parse guarantees n == 1 here
+                if p["stream"]:  # parse guarantees n == best_of == 1 here
                     return self._openai_stream(rids[0], p, chat, created)
-                choices, n_out = [], 0
-                for i, rid in enumerate(rids):
+                need_lp = (p["logprobs"] is not None
+                           or len(rids) > p["n"])
+                results, n_out = [], 0
+                for rid in rids:
                     try:
                         toks = outer._wait(rid)
                     except RuntimeError as e:  # device worker died
                         return self._oai_error(500, str(e), "server_error")
+                    n_out += len(toks)  # usage bills every candidate
+                    lps = tops = None
+                    if need_lp:
+                        with outer._lock:
+                            lps = list(outer.engine.logprobs[rid])
+                            tops = [list(a) for a in
+                                    outer.engine.top_logprobs[rid]]
+                    results.append((rid, toks, lps, tops))
+                if len(rids) > p["n"]:  # best_of: keep the n best
+                    order = _oai.best_of_order([r[2] for r in results])
+                    results = [results[j] for j in order[:p["n"]]]
+                choices = []
+                for i, (rid, toks, lps, tops) in enumerate(results):
                     text, finish = _oai.finalize(
                         toks, outer._tokenizer, outer.engine.eos_id,
                         p["stop_strs"])
@@ -464,10 +485,6 @@ class ServingServer:
                         text = p["prompt_text"] + text
                     lpobj = None
                     if p["logprobs"] is not None:
-                        with outer._lock:
-                            lps = list(outer.engine.logprobs[rid])
-                            tops = [list(a) for a in
-                                    outer.engine.top_logprobs[rid]]
                         mk_lp = (_oai.chat_logprobs if chat
                                  else _oai.completion_logprobs)
                         lpobj = mk_lp(toks, lps, tops, p["logprobs"],
@@ -475,7 +492,6 @@ class ServingServer:
                                       outer.engine.eos_id)
                     choices.append(_oai.make_choice(chat, i, text, finish,
                                                     lpobj))
-                    n_out += len(toks)
                 build = _oai.chat_body if chat else _oai.completion_body
                 self._json(200, build(rids[0], outer._model_name, created,
                                       choices, len(p["prompt_ids"]),

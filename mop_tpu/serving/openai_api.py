@@ -55,8 +55,17 @@ Field mapping:
   Temperature 0 gives ``n`` identical choices (greedy), like the
   upstream API. Blocking responses only.
 
+- ``best_of`` (completions only, n..8): ``best_of`` candidates decode
+  server-side as one batch; the ``n`` with the highest mean token
+  logprob are returned (OpenAI's "highest log probability per token"
+  rule). Needs an engine built with ``logprobs_topk > 0`` — the
+  ranking key is the raw-model chosen-token logprob the engine already
+  tracks. ``usage.completion_tokens`` counts ALL candidates (they all
+  decoded — the upstream billing convention). Blocking only.
+
 Explicitly rejected rather than silently ignored: ``n`` > 8,
-``n`` > 1 with ``stream``, ``best_of`` > 1, ``suffix``, ``tools`` /
+``n`` > 1 with ``stream``, ``best_of`` < ``n`` or > 8 or with
+``stream`` or on chat, ``suffix``, ``tools`` /
 ``tool_choice`` / ``functions``, ``response_format`` type
 ``json_object``, ``logprobs`` combined with ``stream``.
 ``finish_reason`` is ``"stop"`` (EOS or stop sequence) or ``"length"``
@@ -73,6 +82,7 @@ __all__ = [
     "finalize", "StopTrimmer", "completion_body", "chat_body",
     "completion_chunk", "chat_chunk", "models_body",
     "completion_logprobs", "chat_logprobs", "make_choice",
+    "best_of_order",
 ]
 
 _UNSUPPORTED = ("suffix", "tools", "tool_choice", "functions",
@@ -117,16 +127,28 @@ def default_chat_template(messages: Sequence[dict]) -> str:
     return "".join(lines)
 
 
-def _common(req: dict, tokenizer) -> tuple:
+def _common(req: dict, tokenizer, allow_best_of: bool = False) -> tuple:
     """Shared sampling/limit parsing. Returns (max_new, kw, stop_strs,
-    stream). Raises ValueError on anything we can't honor exactly."""
+    stream, schema, n, best_of). Raises ValueError on anything we can't
+    honor exactly."""
     n = int(req.get("n") or 1)
     if not 1 <= n <= 8:
         raise ValueError(f"n must be in [1, 8], got {n}")
     if n > 1 and req.get("stream"):
         raise ValueError("n > 1 with stream is not supported")
-    if int(req.get("best_of") or 1) != 1:
-        raise ValueError("only best_of=1 is supported")
+    best_of = int(req.get("best_of") or n)
+    if not allow_best_of:
+        if int(req.get("best_of") or 1) != 1:
+            raise ValueError(
+                "'best_of' is a completions-only parameter")
+        best_of = n
+    else:
+        if best_of < n:
+            raise ValueError(f"best_of ({best_of}) must be >= n ({n})")
+        if best_of > 8:
+            raise ValueError(f"best_of must be in [n, 8], got {best_of}")
+        if best_of > n and req.get("stream"):
+            raise ValueError("best_of > n with stream is not supported")
     for key in _UNSUPPORTED:
         if req.get(key) is not None:
             raise ValueError(f"'{key}' is not supported")
@@ -158,7 +180,7 @@ def _common(req: dict, tokenizer) -> tuple:
     max_new = req.get("max_tokens")
     max_new = 16 if max_new is None else int(max_new)  # 0 stays invalid
     return (max_new, kw, stop_strs, bool(req.get("stream", False)),
-            _parse_response_format(req), n)
+            _parse_response_format(req), n, best_of)
 
 
 def parse_completion(req: dict, tokenizer) -> dict:
@@ -178,7 +200,8 @@ def parse_completion(req: dict, tokenizer) -> dict:
         raise ValueError("prompt must be a string or a list of token ids")
     if not prompt_ids:
         raise ValueError("prompt encoded to zero tokens")
-    max_new, kw, stop_strs, stream, schema, n = _common(req, tokenizer)
+    max_new, kw, stop_strs, stream, schema, n, best_of = _common(
+        req, tokenizer, allow_best_of=True)
     lp = req.get("logprobs")
     if lp is not None:
         if isinstance(lp, bool) or not isinstance(lp, int) or \
@@ -189,7 +212,8 @@ def parse_completion(req: dict, tokenizer) -> dict:
     return {"prompt_ids": prompt_ids, "prompt_text": prompt_text,
             "max_new": max_new, "kw": kw, "stop_strs": stop_strs,
             "stream": stream, "echo": bool(req.get("echo", False)),
-            "json_schema": schema, "logprobs": lp, "n": n}
+            "json_schema": schema, "logprobs": lp, "n": n,
+            "best_of": best_of}
 
 
 def parse_chat(req: dict, tokenizer,
@@ -207,7 +231,8 @@ def parse_chat(req: dict, tokenizer,
     prompt_ids = tokenizer.encode(text)
     if not prompt_ids:
         raise ValueError("messages encoded to zero tokens")
-    max_new, kw, stop_strs, stream, schema, n = _common(req, tokenizer)
+    max_new, kw, stop_strs, stream, schema, n, best_of = _common(
+        req, tokenizer)
     lp = None
     if req.get("logprobs") is not None:
         if req["logprobs"] is not True:
@@ -223,7 +248,7 @@ def parse_chat(req: dict, tokenizer,
     return {"prompt_ids": prompt_ids, "prompt_text": text,
             "max_new": max_new, "kw": kw, "stop_strs": stop_strs,
             "stream": stream, "echo": False, "json_schema": schema,
-            "logprobs": lp, "n": n}
+            "logprobs": lp, "n": n, "best_of": best_of}
 
 
 def finalize(toks: Sequence[int], tokenizer, eos_id: Optional[int],
@@ -282,6 +307,17 @@ class StopTrimmer:
     def flush(self) -> str:
         out, self.buf = self.buf, ""
         return out
+
+
+def best_of_order(token_logprobs: Sequence[Sequence[float]]) -> List[int]:
+    """``best_of`` candidate ranking: indices sorted by mean
+    chosen-token logprob, highest first (OpenAI's "highest log
+    probability per token"). Ties keep submit order; an empty candidate
+    ranks last."""
+    def mean(lps):
+        return sum(lps) / len(lps) if lps else float("-inf")
+    return sorted(range(len(token_logprobs)),
+                  key=lambda i: -mean(token_logprobs[i]))
 
 
 # ---------------- logprobs ----------------

@@ -59,7 +59,7 @@ def test_parse_completion_maps_fields():
 @pytest.mark.parametrize("bad", [
     {"prompt": "a", "n": 9},                 # n capped at 8
     {"prompt": "a", "n": 2, "stream": True},  # choices are blocking-only
-    {"prompt": "a", "best_of": 3},
+    {"prompt": "a", "best_of": 9},       # best_of capped at 8
     {"prompt": "a", "logprobs": 9},      # > 5 alternatives
     {"prompt": "a", "logprobs": True},   # completions take an int
     {"prompt": "a", "suffix": "!"},
@@ -480,3 +480,74 @@ def test_v1_n_choices(oai_server):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(srv.port, "/v1/completions", bad)
         assert e.value.code == 400
+
+
+def test_best_of_order_unit():
+    from mop_tpu.serving.openai_api import best_of_order
+    # ranked by MEAN logprob, not sum (a short good candidate beats a
+    # long mediocre one)
+    assert best_of_order([[-1.0, -1.0], [-0.5], [-2.0, -2.0]]) == [1, 0, 2]
+    # ties keep submit order; an empty candidate ranks last
+    assert best_of_order([[-1.0], [-1.0], []]) == [0, 1, 2]
+
+
+def test_parse_best_of_rules():
+    p = parse_completion({"prompt": "a", "best_of": 3, "n": 2}, _IdTok())
+    assert p["best_of"] == 3 and p["n"] == 2
+    # best_of defaults to n (no extra candidates)
+    assert parse_completion({"prompt": "a", "n": 2},
+                            _IdTok())["best_of"] == 2
+    for bad in ({"prompt": "a", "best_of": 2, "n": 3},   # best_of < n
+                {"prompt": "a", "best_of": 9},           # > 8
+                {"prompt": "a", "best_of": 2, "stream": True}):
+        with pytest.raises(ValueError):
+            parse_completion(bad, _IdTok())
+    with pytest.raises(ValueError):  # completions-only parameter
+        parse_chat({"messages": [{"role": "user", "content": "x"}],
+                    "best_of": 2}, _IdTok())
+
+
+def test_v1_best_of():
+    """best_of candidates decode server-side as one batch; the n with
+    the highest mean token logprob come back (in rank order); usage
+    bills every candidate."""
+    tok = ByteBPETokenizer.train(CORPUS, vocab_size=300)
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=96)
+    model = create_gpt_quartet(tok.vocab_size, cfg)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+    eng = DecodeEngine(model, params, max_batch=4, logprobs_topk=1)
+    srv = ServingServer(eng, tokenizer=tok, model_name="mop-bo")
+    srv.start()
+    try:
+        out = _post(srv.port, "/v1/completions",
+                    {"prompt": "the quick", "max_tokens": 5,
+                     "best_of": 3})
+        assert len(out["choices"]) == 1
+        assert out["usage"]["completion_tokens"] == 15  # 3 candidates
+        assert out["usage"]["prompt_tokens"] == \
+            len(tok.encode("the quick"))
+
+        # sampled, n=2 of best_of=4: choices arrive in rank order
+        # (index 0 is the best candidate)
+        out = _post(srv.port, "/v1/completions",
+                    {"prompt": "the", "max_tokens": 6, "best_of": 4,
+                     "n": 2, "temperature": 1.5, "logprobs": 0})
+        assert [c["index"] for c in out["choices"]] == [0, 1]
+        assert out["usage"]["completion_tokens"] == 24
+        means = [sum(c["logprobs"]["token_logprobs"]) /
+                 len(c["logprobs"]["token_logprobs"])
+                 for c in out["choices"]]
+        assert means[0] >= means[1] - 1e-9
+    finally:
+        srv.stop()
+
+
+def test_v1_best_of_requires_tracking_engine(oai_server):
+    tok, eng, srv = oai_server  # engine built without logprobs_topk
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.port, "/v1/completions",
+              {"prompt": "hi", "max_tokens": 2, "best_of": 2})
+    assert e.value.code == 400
+    assert "logprobs_topk" in json.loads(e.value.read()
+                                         )["error"]["message"]
