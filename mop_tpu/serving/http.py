@@ -455,8 +455,8 @@ class ServingServer:
                 except ValueError as e:  # bad length / budget
                     return self._oai_error(400, str(e))
                 created = int(time.time())
-                if p["stream"]:  # parse guarantees n == best_of == 1 here
-                    return self._openai_stream(rids[0], p, chat, created)
+                if p["stream"]:  # parse guarantees best_of == n here
+                    return self._openai_stream(rids, p, chat, created)
                 need_lp = (p["logprobs"] is not None
                            or len(rids) > p["n"])
                 results, n_out = [], 0
@@ -497,73 +497,94 @@ class ServingServer:
                                       choices, len(p["prompt_ids"]),
                                       n_out))
 
-            def _openai_stream(self, rid: int, p: dict, chat: bool,
+            def _openai_stream(self, rids, p: dict, chat: bool,
                                created: int) -> None:
                 """OpenAI SSE chunks; ends with ``data: [DONE]``. Stop
                 strings are trimmed on the fly (text that could begin a
-                stop string is withheld until disambiguated)."""
+                stop string is withheld until disambiguated). With
+                ``n > 1`` the choices decode as one batch and their
+                chunks interleave, each carrying its choice ``index``
+                (the OpenAI multi-choice streaming contract); the one
+                shared response id is the first request's."""
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
                 tok = outer._tokenizer
                 eos = outer.engine.eos_id
-                dec = (tok.stream_decoder()
-                       if hasattr(tok, "stream_decoder") else None)
-                trim = _oai.StopTrimmer(p["stop_strs"])
+                rid0 = rids[0]
                 mk = _oai.chat_chunk if chat else _oai.completion_chunk
+                # per-choice stream state: the n decodes are independent
+                # token streams (partial UTF-8, stop trimming, EOS)
+                decs = [tok.stream_decoder()
+                        if hasattr(tok, "stream_decoder") else None
+                        for _ in rids]
+                trims = [_oai.StopTrimmer(p["stop_strs"]) for _ in rids]
+                sent = [0] * len(rids)
+                saw_eos = [False] * len(rids)
+                finished = [False] * len(rids)
 
-                def emit(piece, finish=None):
+                def emit(i, piece, finish=None):
                     if chat:
                         delta = {"content": piece} if piece else {}
-                        ev = mk(rid, outer._model_name, created, delta,
-                                finish)
+                        ev = mk(rid0, outer._model_name, created, delta,
+                                finish, index=i)
                     else:
-                        ev = mk(rid, outer._model_name, created, piece,
-                                finish)
+                        ev = mk(rid0, outer._model_name, created, piece,
+                                finish, index=i)
                     self.wfile.write(
                         f"data: {json.dumps(ev)}\n\n".encode())
 
-                sent = 0
-                saw_eos = False
                 try:
-                    if chat:
-                        ev = mk(rid, outer._model_name, created,
-                                {"role": "assistant"}, None)
-                        self.wfile.write(
-                            f"data: {json.dumps(ev)}\n\n".encode())
-                    elif p["echo"]:
-                        emit(p["prompt_text"])
+                    for i in range(len(rids)):
+                        if chat:
+                            ev = mk(rid0, outer._model_name, created,
+                                    {"role": "assistant"}, None, index=i)
+                            self.wfile.write(
+                                f"data: {json.dumps(ev)}\n\n".encode())
+                        elif p["echo"]:
+                            emit(i, p["prompt_text"])
                     self.wfile.flush()
                     while True:
                         with outer._lock:
                             err = outer._step_error
-                            done = outer.engine.is_done(rid)
-                            toks = list(outer.engine.results[rid])
-                        if err is not None and not done:
-                            emit("", "error")
+                            done = [outer.engine.is_done(r) for r in rids]
+                            toks = [list(outer.engine.results[r])
+                                    for r in rids]
+                        if err is not None and not all(done):
+                            for i in range(len(rids)):
+                                if not finished[i]:
+                                    emit(i, "", "error")
                             self.wfile.write(b"data: [DONE]\n\n")
                             self.wfile.flush()
                             return
                         wrote = False
-                        for t in toks[sent:]:
-                            if eos is not None and t == eos:
-                                saw_eos = True
+                        for i, rid in enumerate(rids):
+                            if finished[i]:
                                 continue
-                            raw = (dec.feed(t) if dec is not None
-                                   else tok.decode([t]))
-                            piece = trim.feed(raw)
-                            if piece:
-                                emit(piece)
+                            for t in toks[i][sent[i]:]:
+                                if eos is not None and t == eos:
+                                    saw_eos[i] = True
+                                    continue
+                                raw = (decs[i].feed(t)
+                                       if decs[i] is not None
+                                       else tok.decode([t]))
+                                piece = trims[i].feed(raw)
+                                if piece:
+                                    emit(i, piece)
+                                    wrote = True
+                            sent[i] = len(toks[i])
+                            if done[i]:
+                                tail = ("" if trims[i].hit
+                                        else trims[i].flush())
+                                if tail:
+                                    emit(i, tail)
+                                finish = ("stop" if trims[i].hit
+                                          or saw_eos[i] else "length")
+                                emit(i, "", finish)
+                                finished[i] = True
                                 wrote = True
-                        sent = len(toks)
-                        if done:
-                            tail = "" if trim.hit else trim.flush()
-                            if tail:
-                                emit(tail)
-                            finish = ("stop" if trim.hit or saw_eos
-                                      else "length")
-                            emit("", finish)
+                        if all(finished):
                             self.wfile.write(b"data: [DONE]\n\n")
                             self.wfile.flush()
                             return
@@ -572,9 +593,10 @@ class ServingServer:
                         time.sleep(outer._poll)
                 except OSError:  # client disconnected mid-stream
                     with outer._lock:
-                        if outer.engine.cancel(rid):
-                            outer._cancelled += 1
-                            outer._lat_pending.pop(rid, None)
+                        for rid in rids:
+                            if outer.engine.cancel(rid):
+                                outer._cancelled += 1
+                                outer._lat_pending.pop(rid, None)
 
             def _stream(self, rid: int, is_text: bool = False) -> None:
                 """Server-Sent Events: one event per token as it lands

@@ -53,7 +53,8 @@ Field mapping:
 - ``n`` (1..8): each choice is an independent engine request sharing
   the slot pool — they decode as one batch, not sequentially.
   Temperature 0 gives ``n`` identical choices (greedy), like the
-  upstream API. Blocking responses only.
+  upstream API. Streaming interleaves the choices' chunks, each
+  carrying its ``index`` (the OpenAI multi-choice SSE contract).
 
 - ``best_of`` (completions only, n..8): ``best_of`` candidates decode
   server-side as one batch; the ``n`` with the highest mean token
@@ -64,7 +65,7 @@ Field mapping:
   decoded — the upstream billing convention). Blocking only.
 
 Explicitly rejected rather than silently ignored: ``n`` > 8,
-``n`` > 1 with ``stream``, ``best_of`` < ``n`` or > 8 or with
+``best_of`` < ``n`` or > 8 or exceeding ``n`` with
 ``stream`` or on chat, ``suffix``, ``tools`` /
 ``tool_choice`` / ``functions``, ``response_format`` type
 ``json_object``, ``logprobs`` combined with ``stream``.
@@ -134,8 +135,6 @@ def _common(req: dict, tokenizer, allow_best_of: bool = False) -> tuple:
     n = int(req.get("n") or 1)
     if not 1 <= n <= 8:
         raise ValueError(f"n must be in [1, 8], got {n}")
-    if n > 1 and req.get("stream"):
-        raise ValueError("n > 1 with stream is not supported")
     best_of = int(req.get("best_of") or n)
     if not allow_best_of:
         if int(req.get("best_of") or 1) != 1:
@@ -415,18 +414,19 @@ def chat_body(rid: int, model: str, created: int, choices: List[dict],
 
 
 def completion_chunk(rid: int, model: str, created: int, piece: str,
-                     finish: Optional[str] = None) -> dict:
+                     finish: Optional[str] = None,
+                     index: int = 0) -> dict:
     return {"id": f"cmpl-{rid}", "object": "text_completion",
             "created": created, "model": model,
-            "choices": [{"index": 0, "text": piece, "logprobs": None,
+            "choices": [{"index": index, "text": piece, "logprobs": None,
                          "finish_reason": finish}]}
 
 
 def chat_chunk(rid: int, model: str, created: int, delta: dict,
-               finish: Optional[str] = None) -> dict:
+               finish: Optional[str] = None, index: int = 0) -> dict:
     return {"id": f"chatcmpl-{rid}", "object": "chat.completion.chunk",
             "created": created, "model": model,
-            "choices": [{"index": 0, "delta": delta,
+            "choices": [{"index": index, "delta": delta,
                          "finish_reason": finish}]}
 
 

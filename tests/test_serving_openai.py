@@ -58,7 +58,6 @@ def test_parse_completion_maps_fields():
 
 @pytest.mark.parametrize("bad", [
     {"prompt": "a", "n": 9},                 # n capped at 8
-    {"prompt": "a", "n": 2, "stream": True},  # choices are blocking-only
     {"prompt": "a", "best_of": 9},       # best_of capped at 8
     {"prompt": "a", "logprobs": 9},      # > 5 alternatives
     {"prompt": "a", "logprobs": True},   # completions take an int
@@ -475,11 +474,40 @@ def test_v1_n_choices(oai_server):
     assert all(c["message"]["role"] == "assistant"
                for c in chat["choices"])
 
-    for bad in ({"prompt": "a", "n": 9},
-                {"prompt": "a", "n": 2, "stream": True}):
-        with pytest.raises(urllib.error.HTTPError) as e:
-            _post(srv.port, "/v1/completions", bad)
-        assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.port, "/v1/completions", {"prompt": "a", "n": 9})
+    assert e.value.code == 400
+
+
+def test_v1_n_streaming(oai_server):
+    """n > 1 streaming: the choices' chunks interleave on one SSE
+    stream, each with its index; every choice gets its own finish
+    chunk; reassembled text equals the blocking response (greedy)."""
+    tok, eng, srv = oai_server
+    blocking = _post(srv.port, "/v1/completions",
+                     {"prompt": "the quick", "max_tokens": 6, "n": 2})
+    events, done = _sse(srv.port, "/v1/completions",
+                        {"prompt": "the quick", "max_tokens": 6, "n": 2,
+                         "stream": True})
+    assert done
+    texts, finishes = {0: "", 1: ""}, {}
+    for ev in events:
+        c = ev["choices"][0]
+        texts[c["index"]] += c["text"]
+        if c["finish_reason"]:
+            finishes[c["index"]] = c["finish_reason"]
+    assert sorted(finishes) == [0, 1]
+    for i in (0, 1):
+        assert texts[i] == blocking["choices"][i]["text"]
+
+    # chat: per-choice role chunk, then content deltas with indexes
+    events, done = _sse(srv.port, "/v1/chat/completions",
+                        {"messages": [{"role": "user", "content": "hi"}],
+                         "max_tokens": 4, "n": 2, "stream": True})
+    assert done
+    roles = [ev["choices"][0]["index"] for ev in events
+             if ev["choices"][0]["delta"].get("role")]
+    assert sorted(roles) == [0, 1]
 
 
 def test_best_of_order_unit():
