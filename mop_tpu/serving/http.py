@@ -105,7 +105,7 @@ from typing import Optional
 
 from . import openai_api as _oai
 from .constrain import choices, token_set
-from .json_schema import json_schema_to_dfa
+from .json_schema import json_schema_to_dfa, tool_call_to_dfa
 from .regex_dfa import regex_to_dfa
 
 
@@ -408,6 +408,13 @@ class ServingServer:
                                 "server constructed with token_strs")
                         p["kw"]["constraint"] = json_schema_to_dfa(
                             p["json_schema"], outer._token_strs)
+                    if p.get("tools"):
+                        if outer._token_strs is None:
+                            raise ValueError(
+                                "tool calling needs a server "
+                                "constructed with token_strs")
+                        p["kw"]["constraint"] = tool_call_to_dfa(
+                            p["tools"], outer._token_strs)
                     if p["logprobs"] is not None:
                         have = getattr(outer.engine, "logprobs_topk", 0)
                         if have <= 0:
@@ -483,6 +490,13 @@ class ServingServer:
                         p["stop_strs"])
                     if p["echo"]:
                         text = p["prompt_text"] + text
+                    if p.get("tools"):
+                        # constrained tool call; None = truncated ->
+                        # plain content choice keeps it visible
+                        tc = _oai.tool_call_choice(i, rid, text, finish)
+                        if tc is not None:
+                            choices.append(tc)
+                            continue
                     lpobj = None
                     if p["logprobs"] is not None:
                         mk_lp = (_oai.chat_logprobs if chat

@@ -39,7 +39,8 @@ import json
 
 from .regex_dfa import regex_to_dfa
 
-__all__ = ["json_schema_to_regex", "json_schema_to_dfa"]
+__all__ = ["json_schema_to_regex", "json_schema_to_dfa",
+           "tool_call_regex", "tool_call_to_dfa"]
 
 _META = set(r"\.^$*+?{}[]()|")
 
@@ -151,3 +152,37 @@ def json_schema_to_dfa(schema: dict, token_strs):
     """Token DFA enforcing ``schema`` over a vocabulary table (see
     :func:`~mop_tpu.serving.regex_dfa.regex_to_dfa`)."""
     return regex_to_dfa(json_schema_to_regex(schema), token_strs)
+
+
+def tool_call_regex(tools) -> str:
+    """Anchored regex for a forced tool call: the compact JSON object
+    ``{"name":"<tool>","arguments":<args>}`` where ``<tool>`` ranges
+    over ``tools`` (a regex union — the model picks WHICH tool) and
+    each tool's arguments satisfy that tool's parameter schema exactly
+    (per-branch coupling a single json-schema ``oneOf`` could not
+    express in this compiler).
+
+    ``tools``: sequence of ``(name, parameters)`` pairs; ``parameters``
+    is a json-schema dict or None. None / ``{}`` / a bare
+    ``{"type": "object"}`` with no properties mean the no-argument
+    call ``"arguments":{}``."""
+    if not tools:
+        raise ValueError("no tools to constrain to")
+    opts = []
+    for name, params in tools:
+        key = _esc(json.dumps(name, separators=(",", ":")))
+        if not params or not params.get("properties"):
+            if params and params.get("type") not in (None, "object"):
+                raise ValueError(
+                    f"tool '{name}' parameters must be an object "
+                    f"schema, got type {params.get('type')!r}")
+            args = "\\{\\}"
+        else:
+            args = json_schema_to_regex(params)
+        opts.append('\\{"name":' + key + ',"arguments":' + args + "\\}")
+    return "(" + "|".join(opts) + ")"
+
+
+def tool_call_to_dfa(tools, token_strs):
+    """Token DFA for :func:`tool_call_regex` over a vocabulary table."""
+    return regex_to_dfa(tool_call_regex(tools), token_strs)

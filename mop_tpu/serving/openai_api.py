@@ -64,10 +64,22 @@ Field mapping:
   tracks. ``usage.completion_tokens`` counts ALL candidates (they all
   decoded — the upstream billing convention). Blocking only.
 
+- ``tools`` + ``tool_choice`` (chat): FORCED tool calls ride guided
+  decoding — the tool-call JSON ``{"name":...,"arguments":...}`` is
+  compiled to a token DFA (union over the tools for ``"required"``,
+  one branch for a named function), so ``message.tool_calls[0]``'s
+  arguments are GUARANTEED to satisfy that tool's parameter schema;
+  finish_reason ``"tool_calls"``. ``tool_choice`` must be explicit:
+  ``"auto"`` is rejected (deciding WHETHER to call needs a
+  tool-trained model; we never guess), ``"none"`` ignores the tools.
+  Blocking only; truncated calls come back as plain content with the
+  real finish_reason.
+
 Explicitly rejected rather than silently ignored: ``n`` > 8,
 ``best_of`` < ``n`` or > 8 or exceeding ``n`` with
-``stream`` or on chat, ``suffix``, ``tools`` /
-``tool_choice`` / ``functions``, ``response_format`` type
+``stream`` or on chat, ``suffix``, ``functions`` /
+``function_call`` (legacy), ``tool_choice`` ``"auto"``, tools with
+``stream`` or on completions, ``response_format`` type
 ``json_object``, ``logprobs`` combined with ``stream``.
 ``finish_reason`` is ``"stop"`` (EOS or stop sequence) or ``"length"``
 (``max_tokens`` or the context window). ``usage`` counts prompt and
@@ -76,6 +88,7 @@ completion tokens exactly as submitted/emitted.
 
 from __future__ import annotations
 
+import json
 from typing import Callable, Dict, List, Optional, Sequence
 
 __all__ = [
@@ -83,11 +96,10 @@ __all__ = [
     "finalize", "StopTrimmer", "completion_body", "chat_body",
     "completion_chunk", "chat_chunk", "models_body",
     "completion_logprobs", "chat_logprobs", "make_choice",
-    "best_of_order",
+    "best_of_order", "tool_call_choice",
 ]
 
-_UNSUPPORTED = ("suffix", "tools", "tool_choice", "functions",
-                "function_call")
+_UNSUPPORTED = ("suffix", "functions", "function_call")
 
 
 def _parse_response_format(req: dict):
@@ -114,6 +126,53 @@ def _parse_response_format(req: dict):
         f"response_format type '{kind}' is not supported (use 'text' or "
         "'json_schema'; free-form 'json_object' cannot be honored "
         "exactly by the regular-language constraint compiler)")
+
+
+def _parse_tools(req: dict):
+    """``tools`` + ``tool_choice`` -> list of (name, parameters) to
+    constrain generation to, or None (no tool call). Only shapes we can
+    honor EXACTLY are accepted: a forced call (``tool_choice`` names
+    one function, or ``"required"`` — the model picks among the tools
+    via a union DFA) or ``"none"``. ``"auto"`` is rejected: deciding
+    whether to call a tool needs a tool-trained model, and guessing
+    would silently change semantics."""
+    tools = req.get("tools")
+    tc = req.get("tool_choice")
+    if tools is None:
+        if tc is not None:
+            raise ValueError("'tool_choice' requires 'tools'")
+        return None
+    if not isinstance(tools, list) or not tools:
+        raise ValueError("'tools' must be a non-empty list")
+    byname: Dict[str, Optional[dict]] = {}
+    for t in tools:
+        fn = t.get("function") if isinstance(t, dict) else None
+        if not isinstance(t, dict) or t.get("type") != "function" or \
+                not isinstance(fn, dict) or not fn.get("name"):
+            raise ValueError(
+                "each tool must be {'type': 'function', 'function': "
+                "{'name': ..., 'parameters': {...}}}")
+        byname[fn["name"]] = fn.get("parameters")
+    if tc is None or tc == "auto":
+        raise ValueError(
+            "tool_choice 'auto' cannot be honored exactly (the model "
+            "has no trained tool-call decision); pass 'required', "
+            "'none', or {'type': 'function', 'function': {'name': ...}}")
+    if tc == "none":
+        return None
+    if tc == "required":
+        return list(byname.items())
+    if isinstance(tc, dict):
+        name = (tc.get("function") or {}).get("name") \
+            if isinstance(tc.get("function"), dict) else None
+        if tc.get("type") != "function" or not name:
+            raise ValueError(
+                "tool_choice object must be {'type': 'function', "
+                "'function': {'name': ...}}")
+        if name not in byname:
+            raise ValueError(f"tool_choice names unknown tool '{name}'")
+        return [(name, byname[name])]
+    raise ValueError(f"unsupported tool_choice: {tc!r}")
 
 
 def default_chat_template(messages: Sequence[dict]) -> str:
@@ -199,6 +258,9 @@ def parse_completion(req: dict, tokenizer) -> dict:
         raise ValueError("prompt must be a string or a list of token ids")
     if not prompt_ids:
         raise ValueError("prompt encoded to zero tokens")
+    for key in ("tools", "tool_choice"):  # chat-only in the OpenAI API
+        if req.get(key) is not None:
+            raise ValueError(f"'{key}' is a chat-completions parameter")
     max_new, kw, stop_strs, stream, schema, n, best_of = _common(
         req, tokenizer, allow_best_of=True)
     lp = req.get("logprobs")
@@ -244,10 +306,18 @@ def parse_chat(req: dict, tokenizer,
         lp = top
     elif req.get("top_logprobs") is not None:
         raise ValueError("'top_logprobs' requires 'logprobs': true")
+    tools = _parse_tools(req)
+    if tools is not None:
+        if stream:
+            raise ValueError("tools with stream is not supported")
+        if schema is not None:
+            raise ValueError("tools cannot combine with "
+                             "response_format json_schema (two output "
+                             "constraints)")
     return {"prompt_ids": prompt_ids, "prompt_text": text,
             "max_new": max_new, "kw": kw, "stop_strs": stop_strs,
             "stream": stream, "echo": False, "json_schema": schema,
-            "logprobs": lp, "n": n, "best_of": best_of}
+            "logprobs": lp, "n": n, "best_of": best_of, "tools": tools}
 
 
 def finalize(toks: Sequence[int], tokenizer, eos_id: Optional[int],
@@ -306,6 +376,29 @@ class StopTrimmer:
     def flush(self) -> str:
         out, self.buf = self.buf, ""
         return out
+
+
+def tool_call_choice(index: int, rid: int, text: str,
+                     finish: str) -> Optional[dict]:
+    """Constrained ``{"name":...,"arguments":...}`` output -> an OpenAI
+    chat choice with ``message.tool_calls`` and finish_reason
+    ``"tool_calls"``. Returns None when the text is not a complete tool
+    call (``max_tokens``/window truncated the constrained generation —
+    the caller falls back to a plain content choice so truncation stays
+    visible, the upstream behavior)."""
+    try:
+        obj = json.loads(text)
+        name, args = obj["name"], obj["arguments"]
+    except (ValueError, KeyError, TypeError):
+        return None
+    call = {"id": f"call_{rid}_{index}", "type": "function",
+            "function": {"name": name,
+                         "arguments": json.dumps(
+                             args, separators=(",", ":"))}}
+    return {"index": index,
+            "message": {"role": "assistant", "content": None,
+                        "tool_calls": [call]},
+            "logprobs": None, "finish_reason": "tool_calls"}
 
 
 def best_of_order(token_logprobs: Sequence[Sequence[float]]) -> List[int]:

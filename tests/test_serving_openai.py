@@ -579,3 +579,139 @@ def test_v1_best_of_requires_tracking_engine(oai_server):
     assert e.value.code == 400
     assert "logprobs_topk" in json.loads(e.value.read()
                                          )["error"]["message"]
+
+
+def test_parse_tools_rules():
+    msgs = {"messages": [{"role": "user", "content": "x"}]}
+    tools = [{"type": "function",
+              "function": {"name": "add", "parameters": {
+                  "type": "object",
+                  "properties": {"x": {"type": "integer"}}}}},
+             {"type": "function", "function": {"name": "nop"}}]
+    # required -> union over the tools, in listing order
+    p = parse_chat({**msgs, "tools": tools, "tool_choice": "required"},
+                   _IdTok())
+    assert [t[0] for t in p["tools"]] == ["add", "nop"]
+    # a named function -> that branch only
+    p = parse_chat({**msgs, "tools": tools,
+                    "tool_choice": {"type": "function",
+                                    "function": {"name": "nop"}}},
+                   _IdTok())
+    assert p["tools"] == [("nop", None)]
+    # none -> tools ignored entirely
+    assert parse_chat({**msgs, "tools": tools, "tool_choice": "none"},
+                      _IdTok())["tools"] is None
+    for bad in ({**msgs, "tools": tools},                    # auto default
+                {**msgs, "tools": tools, "tool_choice": "auto"},
+                {**msgs, "tools": [], "tool_choice": "required"},
+                {**msgs, "tool_choice": "required"},         # no tools
+                {**msgs, "tools": [{"type": "function"}],
+                 "tool_choice": "required"},
+                {**msgs, "tools": tools,
+                 "tool_choice": {"type": "function",
+                                 "function": {"name": "ghost"}}},
+                {**msgs, "tools": tools, "tool_choice": "required",
+                 "stream": True}):
+        with pytest.raises(ValueError):
+            parse_chat(bad, _IdTok())
+    # chat-only parameter
+    with pytest.raises(ValueError):
+        parse_completion({"prompt": "a", "tools": tools,
+                          "tool_choice": "required"}, _IdTok())
+
+
+def test_tool_call_regex_language():
+    from mop_tpu.serving.json_schema import tool_call_regex
+    import re as _re
+    rx = tool_call_regex([
+        ("add", {"type": "object",
+                 "properties": {"x": {"type": "integer"}}}),
+        ("nop", None)])
+    pat = _re.compile(rx.replace("\\{", "[{]").replace("\\}", "[}]"))
+    assert pat.fullmatch('{"name":"add","arguments":{"x":3}}')
+    assert pat.fullmatch('{"name":"nop","arguments":{}}')
+    assert not pat.fullmatch('{"name":"add","arguments":{}}')
+    assert not pat.fullmatch('{"name":"nop","arguments":{"x":3}}')
+    assert not pat.fullmatch('{"name":"ghost","arguments":{}}')
+
+
+def test_v1_tool_calls():
+    """Forced tool calls end-to-end: tool_choice 'required' over two
+    tools -> message.tool_calls[0] names one of them and its arguments
+    json-parse and satisfy THAT tool's parameter schema; finish_reason
+    'tool_calls', content null. usage/logprob paths untouched."""
+    from mop_tpu.data import CharTokenizer
+
+    tok = CharTokenizer(sorted(set(
+        '{}":,-0123456789 adnopxmeurgtsfl\n')))
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=96)
+    model = create_gpt_quartet(tok.vocab_size, cfg)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+    eng = DecodeEngine(model, params, max_batch=2, eos_id=tok.eos_id)
+    srv = ServingServer(eng, tokenizer=tok, model_name="mop-tools")
+    srv.start()
+    # bounded argument languages (boolean/enum) so greedy constrained
+    # decoding must reach an accepting state inside the token budget
+    # (an unbounded integer can ride digits past max_tokens)
+    tools = [{"type": "function",
+              "function": {"name": "add", "parameters": {
+                  "type": "object",
+                  "properties": {"x": {"enum": [1, 2, 3]}}}}},
+             {"type": "function", "function": {"name": "nop"}}]
+    try:
+        out = _post(srv.port, "/v1/chat/completions",
+                    {"messages": [{"role": "user", "content": "go"}],
+                     "max_tokens": 64, "tools": tools,
+                     "tool_choice": "required"})
+        c = out["choices"][0]
+        assert c["finish_reason"] == "tool_calls"
+        assert c["message"]["content"] is None
+        call = c["message"]["tool_calls"][0]
+        assert call["type"] == "function"
+        name = call["function"]["name"]
+        args = json.loads(call["function"]["arguments"])
+        assert name in ("add", "nop")
+        if name == "add":
+            assert list(args) == ["x"] and args["x"] in (1, 2, 3)
+        else:
+            assert args == {}
+
+        # forced single tool: that tool comes back
+        out = _post(srv.port, "/v1/chat/completions",
+                    {"messages": [{"role": "user", "content": "go"}],
+                     "max_tokens": 64, "tools": tools,
+                     "tool_choice": {"type": "function",
+                                     "function": {"name": "add"}}})
+        call = out["choices"][0]["message"]["tool_calls"][0]
+        assert call["function"]["name"] == "add"
+
+        # truncation: 3 tokens cannot finish the JSON -> plain content
+        out = _post(srv.port, "/v1/chat/completions",
+                    {"messages": [{"role": "user", "content": "go"}],
+                     "max_tokens": 3, "tools": tools,
+                     "tool_choice": "required"})
+        c = out["choices"][0]
+        assert c["finish_reason"] == "length"
+        assert "tool_calls" not in c["message"]
+
+        # tool_choice none: tools ignored, ordinary completion
+        out = _post(srv.port, "/v1/chat/completions",
+                    {"messages": [{"role": "user", "content": "go"}],
+                     "max_tokens": 4, "tools": tools,
+                     "tool_choice": "none"})
+        assert out["choices"][0]["message"]["content"] is not None
+
+        for bad in ({"messages": [{"role": "user", "content": "g"}],
+                     "max_tokens": 4, "tools": tools},  # auto
+                    {"messages": [{"role": "user", "content": "g"}],
+                     "max_tokens": 4, "tools": tools,
+                     "tool_choice": "required",
+                     "response_format": {"type": "json_schema",
+                                         "json_schema": {"schema": {
+                                             "type": "integer"}}}}):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(srv.port, "/v1/chat/completions", bad)
+            assert e.value.code == 400
+    finally:
+        srv.stop()
