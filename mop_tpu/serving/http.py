@@ -538,6 +538,8 @@ class ServingServer:
                 saw_eos = [False] * len(rids)
                 finished = [False] * len(rids)
 
+                inc_usage = p.get("include_usage", False)
+
                 def emit(i, piece, finish=None):
                     if chat:
                         delta = {"content": piece} if piece else {}
@@ -546,6 +548,8 @@ class ServingServer:
                     else:
                         ev = mk(rid0, outer._model_name, created, piece,
                                 finish, index=i)
+                    if inc_usage:  # the OpenAI contract: data chunks
+                        ev["usage"] = None  # carry usage: null
                     self.wfile.write(
                         f"data: {json.dumps(ev)}\n\n".encode())
 
@@ -554,6 +558,8 @@ class ServingServer:
                         if chat:
                             ev = mk(rid0, outer._model_name, created,
                                     {"role": "assistant"}, None, index=i)
+                            if inc_usage:
+                                ev["usage"] = None
                             self.wfile.write(
                                 f"data: {json.dumps(ev)}\n\n".encode())
                         elif p["echo"]:
@@ -599,6 +605,14 @@ class ServingServer:
                                 finished[i] = True
                                 wrote = True
                         if all(finished):
+                            if inc_usage:
+                                ev = _oai.usage_chunk(
+                                    rid0, outer._model_name, created,
+                                    chat, len(p["prompt_ids"]),
+                                    sum(sent))
+                                self.wfile.write(
+                                    f"data: {json.dumps(ev)}\n\n"
+                                    .encode())
                             self.wfile.write(b"data: [DONE]\n\n")
                             self.wfile.flush()
                             return

@@ -96,7 +96,7 @@ __all__ = [
     "finalize", "StopTrimmer", "completion_body", "chat_body",
     "completion_chunk", "chat_chunk", "models_body",
     "completion_logprobs", "chat_logprobs", "make_choice",
-    "best_of_order", "tool_call_choice",
+    "best_of_order", "tool_call_choice", "usage_chunk",
 ]
 
 _UNSUPPORTED = ("suffix", "functions", "function_call")
@@ -237,8 +237,21 @@ def _common(req: dict, tokenizer, allow_best_of: bool = False) -> tuple:
         kw["stop"] = seqs
     max_new = req.get("max_tokens")
     max_new = 16 if max_new is None else int(max_new)  # 0 stays invalid
-    return (max_new, kw, stop_strs, bool(req.get("stream", False)),
-            _parse_response_format(req), n, best_of)
+    stream = bool(req.get("stream", False))
+    so = req.get("stream_options")
+    include_usage = False
+    if so is not None:
+        if not isinstance(so, dict):
+            raise ValueError("stream_options must be an object")
+        if not stream:
+            raise ValueError("stream_options requires stream")
+        unknown = set(so) - {"include_usage"}
+        if unknown:
+            raise ValueError(
+                f"unsupported stream_options: {sorted(unknown)}")
+        include_usage = bool(so.get("include_usage"))
+    return (max_new, kw, stop_strs, stream,
+            _parse_response_format(req), n, best_of, include_usage)
 
 
 def parse_completion(req: dict, tokenizer) -> dict:
@@ -261,8 +274,8 @@ def parse_completion(req: dict, tokenizer) -> dict:
     for key in ("tools", "tool_choice"):  # chat-only in the OpenAI API
         if req.get(key) is not None:
             raise ValueError(f"'{key}' is a chat-completions parameter")
-    max_new, kw, stop_strs, stream, schema, n, best_of = _common(
-        req, tokenizer, allow_best_of=True)
+    max_new, kw, stop_strs, stream, schema, n, best_of, inc_usage = \
+        _common(req, tokenizer, allow_best_of=True)
     lp = req.get("logprobs")
     if lp is not None:
         if isinstance(lp, bool) or not isinstance(lp, int) or \
@@ -274,7 +287,7 @@ def parse_completion(req: dict, tokenizer) -> dict:
             "max_new": max_new, "kw": kw, "stop_strs": stop_strs,
             "stream": stream, "echo": bool(req.get("echo", False)),
             "json_schema": schema, "logprobs": lp, "n": n,
-            "best_of": best_of}
+            "best_of": best_of, "include_usage": inc_usage}
 
 
 def parse_chat(req: dict, tokenizer,
@@ -292,8 +305,8 @@ def parse_chat(req: dict, tokenizer,
     prompt_ids = tokenizer.encode(text)
     if not prompt_ids:
         raise ValueError("messages encoded to zero tokens")
-    max_new, kw, stop_strs, stream, schema, n, best_of = _common(
-        req, tokenizer)
+    max_new, kw, stop_strs, stream, schema, n, best_of, inc_usage = \
+        _common(req, tokenizer)
     lp = None
     if req.get("logprobs") is not None:
         if req["logprobs"] is not True:
@@ -317,7 +330,8 @@ def parse_chat(req: dict, tokenizer,
     return {"prompt_ids": prompt_ids, "prompt_text": text,
             "max_new": max_new, "kw": kw, "stop_strs": stop_strs,
             "stream": stream, "echo": False, "json_schema": schema,
-            "logprobs": lp, "n": n, "best_of": best_of, "tools": tools}
+            "logprobs": lp, "n": n, "best_of": best_of, "tools": tools,
+            "include_usage": inc_usage}
 
 
 def finalize(toks: Sequence[int], tokenizer, eos_id: Optional[int],
@@ -521,6 +535,21 @@ def chat_chunk(rid: int, model: str, created: int, delta: dict,
             "created": created, "model": model,
             "choices": [{"index": index, "delta": delta,
                          "finish_reason": finish}]}
+
+
+def usage_chunk(rid: int, model: str, created: int, chat: bool,
+                n_prompt: int, n_out: int) -> dict:
+    """The final ``stream_options.include_usage`` chunk: empty
+    ``choices``, the request's full usage (prompt counted once,
+    completions across choices — same as the blocking body)."""
+    if chat:
+        return {"id": f"chatcmpl-{rid}",
+                "object": "chat.completion.chunk", "created": created,
+                "model": model, "choices": [],
+                "usage": _usage(n_prompt, n_out)}
+    return {"id": f"cmpl-{rid}", "object": "text_completion",
+            "created": created, "model": model, "choices": [],
+            "usage": _usage(n_prompt, n_out)}
 
 
 def models_body(model: str, created: int) -> dict:

@@ -715,3 +715,38 @@ def test_v1_tool_calls():
             assert e.value.code == 400
     finally:
         srv.stop()
+
+
+def test_v1_stream_options_include_usage(oai_server):
+    """stream_options.include_usage: data chunks carry usage: null and
+    one final pre-[DONE] chunk has empty choices + the full usage
+    (equal to the blocking response's)."""
+    tok, eng, srv = oai_server
+    blocking = _post(srv.port, "/v1/completions",
+                     {"prompt": "the quick", "max_tokens": 5})
+    events, done = _sse(srv.port, "/v1/completions",
+                        {"prompt": "the quick", "max_tokens": 5,
+                         "stream": True,
+                         "stream_options": {"include_usage": True}})
+    assert done
+    assert all("usage" in ev for ev in events)
+    *data, last = events
+    assert all(ev["usage"] is None for ev in data)
+    assert last["choices"] == []
+    assert last["usage"] == blocking["usage"]
+
+    # without the flag no usage key appears anywhere
+    events, _ = _sse(srv.port, "/v1/completions",
+                     {"prompt": "the quick", "max_tokens": 4,
+                      "stream": True})
+    assert all("usage" not in ev for ev in events)
+
+    for bad in ({"prompt": "a", "stream_options":
+                 {"include_usage": True}},              # requires stream
+                {"prompt": "a", "stream": True,
+                 "stream_options": {"continuous": 1}},  # unknown key
+                {"prompt": "a", "stream": True,
+                 "stream_options": "yes"}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, "/v1/completions", bad)
+        assert e.value.code == 400
