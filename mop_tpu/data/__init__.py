@@ -1,6 +1,7 @@
 """Data loading: CIFAR pickles + synthetic fallback, batch iterators,
-text tokenizers."""
+text tokenizers, WAV + log-mel audio frontend."""
 
+from .audio import load_wav, log_mel, mel_filterbank, resample, wav_bytes
 from .tokenizer import ByteBPETokenizer, CharTokenizer
 from .cifar import (
     BatchIterator,
@@ -20,4 +21,9 @@ __all__ = [
     "eval_batches",
     "ByteBPETokenizer",
     "CharTokenizer",
+    "load_wav",
+    "wav_bytes",
+    "resample",
+    "mel_filterbank",
+    "log_mel",
 ]

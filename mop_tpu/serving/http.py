@@ -104,6 +104,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from . import openai_api as _oai
+from ..data.audio import load_wav, log_mel, resample
 from .constrain import choices, token_set
 from .json_schema import json_schema_to_dfa, tool_call_to_dfa
 from .regex_dfa import regex_to_dfa
@@ -155,11 +156,19 @@ class ServingServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  poll_interval: float = 0.002, token_strs=None,
                  tokenizer=None, model_name: str = "mop",
-                 chat_template=None):
+                 chat_template=None, whisper_engine=None,
+                 whisper_tokenizer=None, audio_rate: int = 16000):
         self.engine = engine
         self._tokenizer = tokenizer
         self._model_name = model_name
         self._chat_template = chat_template
+        # optional second engine: audio transcription
+        # (POST /v1/audio/transcriptions). Shares the device-worker
+        # thread — text and audio requests interleave step-for-step.
+        self.whisper_engine = whisper_engine
+        self._whisper_tokenizer = whisper_tokenizer or tokenizer
+        self._audio_rate = audio_rate
+        self._completed_audio = 0
         self._created = int(time.time())
         if token_strs is None and tokenizer is not None:
             token_strs = tokenizer.token_strs
@@ -275,6 +284,8 @@ class ServingServer:
                 if self.path in ("/v1/completions", "/v1/chat/completions"):
                     return self._openai(
                         chat=self.path.endswith("chat/completions"))
+                if self.path == "/v1/audio/transcriptions":
+                    return self._audio_transcription()
                 if self.path != "/generate":
                     return self._json(404, {"error": "unknown path"})
                 if outer._draining:
@@ -511,6 +522,74 @@ class ServingServer:
                                       choices, len(p["prompt_ids"]),
                                       n_out))
 
+            def _audio_transcription(self) -> None:
+                """OpenAI-compatible ``POST /v1/audio/transcriptions``:
+                PCM WAV upload -> :func:`mop_tpu.data.audio.log_mel`
+                features -> the whisper engine's continuous-batching
+                slot pool -> ``{"text": ...}`` (or plain text). Audio
+                requests batch with each other and interleave with the
+                text engine on the same device-worker thread."""
+                weng = outer.whisper_engine
+                if weng is None:
+                    return self._oai_error(
+                        400, "this server was constructed without a "
+                             "whisper_engine")
+                if outer._whisper_tokenizer is None:
+                    return self._oai_error(
+                        400, "audio transcription needs a tokenizer "
+                             "(whisper_tokenizer= or tokenizer=)")
+                if outer._draining:
+                    return self._oai_error(
+                        503, "server draining (preemption)",
+                        "server_error")
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    plan = _oai.parse_transcription(
+                        self.headers.get("Content-Type", ""),
+                        self.rfile.read(n))
+                    try:
+                        audio, sr = load_wav(plan["file"])
+                    except Exception as e:  # noqa: BLE001 — bad upload
+                        raise ValueError(
+                            "could not parse the audio file (a PCM WAV "
+                            f"is required): {e}")
+                    audio = resample(audio, sr, outer._audio_rate)
+                    mel = log_mel(audio, outer._audio_rate,
+                                  n_mels=weng.model.cfg.n_mels,
+                                  n_frames=weng.t_enc)
+                    with outer._lock:
+                        if outer._draining:
+                            return self._oai_error(
+                                503, "server draining (preemption)",
+                                "server_error")
+                        if outer._step_error is not None:
+                            return self._oai_error(
+                                500, "device worker failed: "
+                                     f"{outer._step_error!r}",
+                                "server_error")
+                        rid = weng.submit(mel, max_new_tokens=max(
+                            1, weng.win - 1))
+                except (KeyError, ValueError, TypeError) as e:
+                    return self._oai_error(400, str(e))
+                try:
+                    toks = outer._wait_whisper(rid)
+                except RuntimeError as e:  # device worker died
+                    return self._oai_error(500, str(e), "server_error")
+                if weng.eos_id is not None and toks and \
+                        toks[-1] == weng.eos_id:
+                    toks = toks[:-1]
+                text = outer._whisper_tokenizer.decode(toks)
+                if plan["response_format"] == "text":
+                    body = text.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                self._json(200, {"text": text})
+
             def _openai_stream(self, rids, p: dict, chat: bool,
                                created: int) -> None:
                 """OpenAI SSE chunks; ends with ``data: [DONE]``. Stop
@@ -723,6 +802,9 @@ class ServingServer:
         while True:
             with self._lock:
                 idle = not (self.engine.n_active or self.engine.n_queued)
+                if idle and self.whisper_engine is not None:
+                    idle = not (self.whisper_engine.n_active
+                                or self.whisper_engine.n_queued)
             if idle:
                 finished = True
                 break
@@ -774,6 +856,9 @@ class ServingServer:
             with self._lock:
                 busy = (self._step_error is None
                         and (self.engine.n_queued or self.engine.n_active))
+                weng = self.whisper_engine
+                wbusy = (self._step_error is None and weng is not None
+                         and (weng.n_queued or weng.n_active))
                 if busy:
                     done_before = sum(self.engine._done.values())
                     try:
@@ -784,7 +869,16 @@ class ServingServer:
                     self._completed += (
                         sum(self.engine._done.values()) - done_before)
                     self._observe_latency_locked(time.monotonic())
-            if not busy:
+                if wbusy:
+                    done_before = sum(weng._done.values())
+                    try:
+                        weng.step()
+                    except Exception as e:  # noqa: BLE001 — must not hang
+                        self._step_error = e
+                        continue
+                    self._completed_audio += (
+                        sum(weng._done.values()) - done_before)
+            if not (busy or wbusy):
                 time.sleep(self._poll)
 
     def _observe_latency_locked(self, now: float) -> None:
@@ -814,4 +908,14 @@ class ServingServer:
                         f"device worker failed: {self._step_error!r}")
                 if self.engine.is_done(rid):
                     return list(self.engine.results[rid])
+            time.sleep(self._poll)
+
+    def _wait_whisper(self, rid: int):
+        while True:
+            with self._lock:
+                if self._step_error is not None:
+                    raise RuntimeError(
+                        f"device worker failed: {self._step_error!r}")
+                if self.whisper_engine.is_done(rid):
+                    return list(self.whisper_engine.results[rid])
             time.sleep(self._poll)

@@ -97,6 +97,7 @@ __all__ = [
     "completion_chunk", "chat_chunk", "models_body",
     "completion_logprobs", "chat_logprobs", "make_choice",
     "best_of_order", "tool_call_choice", "usage_chunk",
+    "parse_transcription",
 ]
 
 _UNSUPPORTED = ("suffix", "functions", "function_call")
@@ -413,6 +414,55 @@ def tool_call_choice(index: int, rid: int, text: str,
             "message": {"role": "assistant", "content": None,
                         "tool_calls": [call]},
             "logprobs": None, "finish_reason": "tool_calls"}
+
+
+def parse_transcription(content_type: str, body: bytes) -> dict:
+    """``POST /v1/audio/transcriptions`` multipart body -> plan dict
+    ``{"file": bytes, "response_format": "json"|"text"}``.
+
+    Accepted fields: ``file`` (required — a PCM WAV upload), ``model``
+    (accepted and ignored; the server advertises its own),
+    ``response_format`` ``json`` (default) or ``text``, and
+    ``temperature`` 0 (the engine decodes greedily). Anything we cannot
+    honor exactly — other response formats, ``language`` / ``prompt``
+    conditioning, ``timestamp_granularities`` — is rejected, never
+    silently ignored."""
+    import email.parser
+    import email.policy
+
+    if not content_type or not content_type.strip().lower().startswith(
+            "multipart/form-data"):
+        raise ValueError("audio transcription requires a "
+                         "multipart/form-data body")
+    msg = email.parser.BytesParser(policy=email.policy.HTTP).parsebytes(
+        b"Content-Type: " + content_type.encode("latin-1")
+        + b"\r\n\r\n" + body)
+    fields: Dict[str, str] = {}
+    file_bytes = None
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name == "file":
+            file_bytes = part.get_payload(decode=True)
+        elif name:
+            payload = part.get_payload(decode=True)
+            fields[str(name)] = (payload or b"").decode(
+                "utf-8", "replace").strip()
+    if not file_bytes:
+        raise ValueError("missing 'file' part")
+    for key in ("language", "prompt", "timestamp_granularities"):
+        if key in fields:
+            raise ValueError(f"'{key}' is not supported")
+    unknown = set(fields) - {"model", "response_format", "temperature"}
+    if unknown:
+        raise ValueError(f"unsupported fields: {sorted(unknown)}")
+    if fields.get("temperature") not in (None, "", "0", "0.0"):
+        raise ValueError("only temperature 0 is supported (the "
+                         "transcription engine decodes greedily)")
+    rf = fields.get("response_format", "json")
+    if rf not in ("json", "text"):
+        raise ValueError(f"response_format '{rf}' is not supported "
+                         "(use 'json' or 'text')")
+    return {"file": file_bytes, "response_format": rf}
 
 
 def best_of_order(token_logprobs: Sequence[Sequence[float]]) -> List[int]:
