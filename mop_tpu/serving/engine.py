@@ -321,6 +321,14 @@ class DecodeEngine:
         self._slot_rep = np.ones((max_batch,), np.float32)    # 1 = off
         self._slot_pres = np.zeros((max_batch,), np.float32)  # 0 = off
         self._slot_freq = np.zeros((max_batch,), np.float32)  # 0 = off
+        # per-request seeded sampling: seed >= 0 pins the row's sample
+        # stream to fold_in(PRNGKey(seed), n) for its n-th output token —
+        # depending only on (seed, position), NOT on batch composition,
+        # engine step count, or co-batched traffic, so a seeded request
+        # reproduces bit-exactly on any serving schedule (stronger than
+        # the OpenAI best-effort `seed`). -1 = unseeded (engine rng).
+        self._slot_seed = np.full((max_batch,), -1, np.int64)
+        self._slot_ntok = np.zeros((max_batch,), np.int64)
         # per-slot penalty state: output-token counts and prompt-seen masks
         # ((B, vocab) device buffers, threaded through the jitted step so
         # the counts update on-device; rows are re-seeded at admission from
@@ -357,16 +365,17 @@ class DecodeEngine:
         self.tokens_generated = 0
         self.engine_steps = 0
 
-        def _step(params, cache, tokens, lens, rng, temp, topk, topp,
-                  minp, rep, pres, freq, ocounts, pseen, lbias):
+        def _step(params, cache, tokens, lens, rng, seeds, ntoks, temp,
+                  topk, topp, minp, rep, pres, freq, ocounts, pseen, lbias):
             logits, new_cache = decode_step_rows(
                 self.model, params, cache, tokens, lens)
             nxt = self._pick_rows(logits, rng, temp, topk, topp, minp,
-                                  rep, pres, freq, ocounts, pseen, lbias)
+                                  rep, pres, freq, ocounts, pseen, lbias,
+                                  seeds=seeds, ntoks=ntoks)
             ocounts = ocounts.at[jnp.arange(ocounts.shape[0]), nxt].add(1)
             return (nxt, new_cache, ocounts) + self._lp_of(logits, nxt)
 
-        self._step_fn = jax.jit(_step, donate_argnums=(12,))
+        self._step_fn = jax.jit(_step, donate_argnums=(14,))
         self.prefill_buckets = (
             sorted(prefill_buckets) if prefill_buckets else None)
         if self.prefill_buckets and self.prefill_buckets[-1] > self.block_size:
@@ -385,15 +394,16 @@ class DecodeEngine:
         # update the (L, B, H, block, dk) pools in place instead of copying
         # them once per .at[].set.
         def _finish(k, k2, v, lens, tokens, pc, logits, slot, t0, rng, sp,
-                    oc, seen, lb):
+                    sd, oc, seen, lb):
             k = k.at[:, slot].set(pc["k"][:, 0].astype(k.dtype))
             k2 = k2.at[:, slot].set(pc["k2"][:, 0].astype(k2.dtype))
             v = v.at[:, slot].set(pc["v"][:, 0].astype(v.dtype))
             lens = lens.at[slot].set(t0)
             r1 = lambda x: jnp.reshape(x, (1,))
             tok0 = self._pick_rows(
-                logits, rng, r1(sp[0]), r1(sp[1]), r1(sp[2]), r1(sp[3]),
-                r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen, lb)[0]
+                logits, rng, r1(sp[0]), r1(sp[1]), r1(sp[2]),
+                r1(sp[3]), r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen,
+                lb, seeds=sd[:1], ntoks=sd[1:2])[0]
             tokens = tokens.at[slot].set(tok0)
             if self._prefix_max:
                 store = (k[:, slot], k2[:, slot], v[:, slot])
@@ -403,19 +413,19 @@ class DecodeEngine:
             return (k, k2, v, lens, tokens, tok0) + lpx + store
 
         def _adm_exact(params, k, k2, v, lens, tokens, prompt, slot, rng,
-                       sp, oc, seen, lb):
+                       sp, sd, oc, seen, lb):
             logits, pc = prefill(self.model, params, prompt)
             return _finish(k, k2, v, lens, tokens, pc, logits, slot,
-                           prompt.shape[1], rng, sp, oc, seen, lb)
+                           prompt.shape[1], rng, sp, sd, oc, seen, lb)
 
         def _adm_padded(params, k, k2, v, lens, tokens, prompt, t0, slot,
-                        rng, sp, oc, seen, lb):
+                        rng, sp, sd, oc, seen, lb):
             logits, pc = prefill_padded(self.model, params, prompt, t0)
             return _finish(k, k2, v, lens, tokens, pc, logits, slot, t0,
-                           rng, sp, oc, seen, lb)
+                           rng, sp, sd, oc, seen, lb)
 
         def _adm_chunk(params, k, k2, v, lens, tokens, ek, ek2, ev, tail,
-                       lcp, g, slot, rng, sp, oc, seen, lb):
+                       lcp, g, slot, rng, sp, sd, oc, seen, lb):
             # paste the entry's full-width rows; columns past lcp are the
             # OLD prompt's rows — the chunk overwrites [lcp, lcp+G) and
             # anything further is past this row's length, so masked out of
@@ -432,7 +442,7 @@ class DecodeEngine:
                 logits_all, g - 1, axis=1, keepdims=False)
             pc = {key: nc[key] for key in ("k", "k2", "v")}
             return _finish(k, k2, v, lens, tokens, pc, logits, slot,
-                           lcp + g, rng, sp, oc, seen, lb)
+                           lcp + g, rng, sp, sd, oc, seen, lb)
 
         donate = (1, 2, 3, 4, 5)
         self._adm_exact_fn = jax.jit(_adm_exact, donate_argnums=donate)
@@ -468,11 +478,12 @@ class DecodeEngine:
 
         self._chunk_feed_fn = jax.jit(_chunk_feed, donate_argnums=(1, 2, 3))
 
-        def _chunk_tok0(logits, rng, sp, oc, seen, lb):
+        def _chunk_tok0(logits, rng, sp, sd, oc, seen, lb):
             r1 = lambda s: jnp.reshape(s, (1,))
             tok0 = self._pick_rows(
-                logits, rng, r1(sp[0]), r1(sp[1]), r1(sp[2]), r1(sp[3]),
-                r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen, lb)[0]
+                logits, rng, r1(sp[0]), r1(sp[1]), r1(sp[2]),
+                r1(sp[3]), r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen,
+                lb, seeds=sd[:1], ntoks=sd[1:2])[0]
             return (tok0,) + self._lp_of(logits, jnp.reshape(tok0, (1,)))
 
         self._chunk_tok0_fn = jax.jit(_chunk_tok0)
@@ -597,7 +608,7 @@ class DecodeEngine:
 
     @staticmethod
     def _pick_rows(logits, rng, temp, topk, topp, minp, rep, pres, freq,
-                   ocounts, pseen, lbias):
+                   ocounts, pseen, lbias, seeds=None, ntoks=None):
         """Per-row sampler: each row has its own temperature (0 = greedy),
         top_k (0 = off), top_p (1.0 = off), min_p (0 = off), penalties
         (repetition 1.0 = off over prompt+output tokens; presence/frequency
@@ -610,7 +621,17 @@ class DecodeEngine:
         and tokens under the min-p floor, draw, map back through argsort.
 
         ``ocounts``: (B, vocab) int32 output-token counts; ``pseen``:
-        (B, vocab) bool prompt membership; ``lbias``: (B, vocab) float."""
+        (B, vocab) bool prompt membership; ``lbias``: (B, vocab) float.
+
+        ``seeds``/``ntoks`` ((B,) int32, optional): rows with
+        ``seed >= 0`` IGNORE the engine's shared ``rng`` stream and draw
+        from ``fold_in(PRNGKey(seed), ntok)`` — a per-row key identical
+        in the batched step and the single-row admission pickers, which
+        is what makes a seeded request's output independent of
+        co-batching, engine rng, and paged preemption. Unseeded rows
+        draw from the shared ``rng`` exactly as before the seed feature
+        existed (one ``categorical`` over the (B, vocab) block), keeping
+        unseeded streams bit-stable."""
         b, v = logits.shape
         logits = logits + lbias
         seen = pseen | (ocounts > 0)
@@ -633,8 +654,13 @@ class DecodeEngine:
         # logit >= max_logit + log(minp); rank-0 (the max) always kept
         floor = srt[:, :1] + jnp.log(jnp.maximum(minp, 1e-38))[:, None]
         keep &= (srt >= floor) | (minp[:, None] <= 0.0)
-        choice = jax.random.categorical(
-            rng, jnp.where(keep, srt, -jnp.inf))
+        masked = jnp.where(keep, srt, -jnp.inf)
+        choice = jax.random.categorical(rng, masked)
+        if seeds is not None:
+            keys = jax.vmap(lambda s, n: jax.random.fold_in(
+                jax.random.PRNGKey(s), n))(seeds, ntoks)
+            seeded = jax.vmap(jax.random.categorical)(keys, masked)
+            choice = jnp.where(seeds >= 0, seeded, choice)
         sampled = jnp.take_along_axis(order, choice[:, None], -1)[:, 0]
         return jnp.where(temp <= 0.0, greedy, sampled).astype(jnp.int32)
 
@@ -651,7 +677,7 @@ class DecodeEngine:
                frequency_penalty: Optional[float] = None,
                logit_bias: Optional[dict] = None,
                stop=None, adapter: Optional[str] = None,
-               constraint=None) -> int:
+               constraint=None, seed: Optional[int] = None) -> int:
         """Queue a request. ``prompt``: 1-D int sequence, 1 <= len <
         block_size. Generation stops at ``max_new_tokens``, EOS, a ``stop``
         match, or the context window, whichever first.
@@ -682,7 +708,15 @@ class DecodeEngine:
         override the engine defaults FOR THIS REQUEST (None = use the
         engine's). Requests with different sampling params share the same
         fixed-shape batched step — the picker consumes them as per-row
-        vectors (penalty semantics in :meth:`_pick_rows`)."""
+        vectors (penalty semantics in :meth:`_pick_rows`).
+
+        ``seed``: optional int in [0, 2**31) pinning THIS request's sample
+        stream: its n-th output token draws from
+        ``fold_in(PRNGKey(seed), n)``, so the output depends only on the
+        prompt, the sampling params, and the seed — bit-reproducible
+        regardless of co-batched traffic, engine step count, admission
+        order, or paged preemption (the OpenAI ``seed`` semantics, made
+        exact). Greedy rows (temperature 0) ignore it."""
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if not 1 <= prompt.size < self.block_size:
             raise ValueError(
@@ -772,10 +806,13 @@ class DecodeEngine:
                             f"constraint state {state!r} uses eos_id {eosi}"
                             " as a transition token; EOS may only END a "
                             "constrained output (accepting states)")
+        if seed is not None and not 0 <= int(seed) < 2 ** 31:
+            raise ValueError(f"seed must be in [0, 2**31), got {seed}")
+        seed_q = -1 if seed is None else int(seed)
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append((rid, prompt, max_new_tokens, sp, bias_row,
-                            stops, aid, constraint))
+                            stops, aid, constraint, seed_q))
         self._results[rid] = []
         self._done[rid] = False
         if self.logprobs_topk:
@@ -790,6 +827,7 @@ class DecodeEngine:
     @property
     def n_queued(self) -> int:
         return len(self._queue)
+
 
     def _bias_mask_row(self, slot: int) -> Optional[np.ndarray]:
         """This slot's combined (vocab,) additive bias: the user's
@@ -823,6 +861,7 @@ class DecodeEngine:
         logprobs — every emit path must supply it then (the lists stay
         1:1 with ``results``)."""
         self.tokens_generated += 1
+        self._slot_ntok[slot] += 1  # next pick = seeded-stream position n+1
         res = self._results[rid]
         res.append(tok)
         if self.logprobs_topk:
@@ -892,7 +931,10 @@ class DecodeEngine:
             self._rng, sub = jax.random.split(self._rng)
             nxt, self._cache, self._ocounts, *lpx = self._step_fn(
                 self._step_params(), self._cache, self._tokens,
-                self._cache["len"], sub, jnp.asarray(self._slot_temp),
+                self._cache["len"], sub,
+                jnp.asarray(self._slot_seed.astype(np.int32)),
+                jnp.asarray(self._slot_ntok.astype(np.int32)),
+                jnp.asarray(self._slot_temp),
                 jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
                 jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
                 jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
@@ -986,10 +1028,16 @@ class DecodeEngine:
             slot = self._slot_rid.index(-1)
         except ValueError:
             return None
-        rid, prompt, max_new, sp, bias_row, stops, aid, con = \
+        rid, prompt, max_new, sp, bias_row, stops, aid, con, seed = \
             self._queue.popleft()
         t0 = int(prompt.size)
         c = self._cache
+        self._slot_seed[slot] = seed
+        # tokens already emitted for this rid (non-zero only on paged
+        # re-admission): the seeded stream continues at that position, so
+        # a preempted seeded request replays bit-exactly
+        self._slot_ntok[slot] = len(self._results[rid])
+        sd = np.asarray([seed, self._slot_ntok[slot]], np.int32)
         self._rng, sub = jax.random.split(self._rng)
         entry, lcp = self._prefix_lookup(prompt, aid)
         slot_ = np.int32(slot)
@@ -1032,8 +1080,8 @@ class DecodeEngine:
             c["len"] = c["len"].at[slot].set(base)
             self._chunk_state[slot] = {
                 "rid": rid, "prompt": prompt, "fed": base, "t0": t0,
-                "spk": spk, "oc": oc_j, "seen": seen_j, "lb": lb,
-                "aid": aid}
+                "spk": spk, "sd": sd, "oc": oc_j, "seen": seen_j,
+                "lb": lb, "aid": aid}
             self._slot_rid[slot] = rid
             self._budget[slot] = max_new
             return slot, rid, None, t0, None
@@ -1047,7 +1095,7 @@ class DecodeEngine:
             out = self._adm_chunk_fn(
                 *pools, entry["k"], entry["k2"], entry["v"],
                 jnp.asarray(tail), np.int32(lcp), np.int32(g), slot_, sub,
-                spk, oc_j, seen_j, lb)
+                spk, sd, oc_j, seen_j, lb)
             self.prefix_cache_hits += 1
             self.prefix_tokens_reused += lcp
         else:
@@ -1055,10 +1103,10 @@ class DecodeEngine:
             if padded is not None:
                 out = self._adm_padded_fn(*pools, padded[0],
                                           np.int32(padded[1]), slot_, sub,
-                                          spk, oc_j, seen_j, lb)
+                                          spk, sd, oc_j, seen_j, lb)
             else:
                 out = self._adm_exact_fn(*pools, prompt[None, :], slot_,
-                                         sub, spk, oc_j, seen_j, lb)
+                                         sub, spk, sd, oc_j, seen_j, lb)
         (c["k"], c["k2"], c["v"], c["len"], self._tokens, tok0) = out[:6]
         lp0 = None
         if self.logprobs_topk:
@@ -1102,7 +1150,8 @@ class DecodeEngine:
         # final chunk: sample tok0 and hand the slot to the decode step
         self._rng, sub = jax.random.split(self._rng)
         tok0, *lpx = self._chunk_tok0_fn(
-            logits, sub, st["spk"], st["oc"], st["seen"], st["lb"])
+            logits, sub, st["spk"], st["sd"], st["oc"], st["seen"],
+            st["lb"])
         lp0 = None
         if self.logprobs_topk:
             tok0, lp_h, tv_h, ti_h = jax.device_get((tok0, *lpx))
@@ -1288,14 +1337,15 @@ class SpecDecodeEngine(DecodeEngine):
                frequency_penalty: Optional[float] = None,
                logit_bias: Optional[dict] = None,
                stop=None, adapter: Optional[str] = None,
-               constraint=None) -> int:
+               constraint=None, seed: Optional[int] = None) -> int:
         """Greedy-only: speculative verification compares the target's
         argmax against the draft's (and penalties, logit bias, or a
         constraint mask would change the argmax per emitted position,
         breaking draft/verify agreement; a per-request adapter would
         change the target while the draft stays fixed), so per-request
         overrides other than ``eos_id`` and ``stop`` (host-side suffix
-        matching, decode-semantics-neutral) are rejected."""
+        matching, decode-semantics-neutral) are rejected. ``seed`` is
+        accepted and ignored: greedy decode is already deterministic."""
         if temperature not in (None, 0, 0.0) or top_k is not None or \
                 top_p not in (None, 1.0) or min_p not in (None, 0.0) or \
                 repetition_penalty not in (None, 1.0) or \

@@ -15,7 +15,9 @@ API:
   -> ``{"request_id": rid, "tokens": [int, ...]}`` (blocks until done).
   Optional per-request sampling fields: ``temperature`` (0 = greedy),
   ``top_k``, ``top_p``, ``eos_id``, ``min_p``, ``repetition_penalty``,
-  ``presence_penalty``, ``frequency_penalty``, ``logit_bias`` (JSON object
+  ``presence_penalty``, ``frequency_penalty``, ``seed`` (pins the
+  request's sample stream — bit-reproducible regardless of co-batched
+  traffic), ``logit_bias`` (JSON object
   ``{token_id: bias}``), ``stop`` (list of ints or token-id lists),
   ``adapter`` (LoRA adapter name from the engine's bank) — requests with
   different sampling params (or adapters) still batch onto the same
@@ -67,6 +69,12 @@ API:
   ``/generate`` traffic. ``model_name=`` sets
   the advertised model id; ``chat_template=`` overrides the default
   role-tagged chat rendering.
+- ``POST /v1/embeddings`` (OpenAI-compatible): ``input`` as a string /
+  list of strings (needs ``tokenizer=``) / token-id list(s);
+  ``encoding_format`` ``float``|``base64``; ``dimensions`` truncation.
+  Vectors are final-LN masked-mean-pooled, unit-norm hidden states of
+  the serving model (or a dedicated ``embed_model=``); the whole batch
+  runs as one forward pass (:mod:`mop_tpu.serving.embeddings`).
 - ``GET /metrics`` -> Prometheus text format (requests
   completed/cancelled/active/queued, tokens generated, engine steps,
   prefix-cache hits and reused tokens, plus latency histograms:
@@ -106,8 +114,11 @@ from typing import Optional
 from . import openai_api as _oai
 from ..data.audio import load_wav, log_mel, resample
 from .constrain import choices, token_set
+from .embeddings import EmbeddingModel, embeddings_body, \
+    parse_embedding_input
 from .json_schema import json_schema_to_dfa, tool_call_to_dfa
 from .regex_dfa import regex_to_dfa
+from .scoring import prompt_logprobs
 
 
 class _Histogram:
@@ -157,8 +168,13 @@ class ServingServer:
                  poll_interval: float = 0.002, token_strs=None,
                  tokenizer=None, model_name: str = "mop",
                  chat_template=None, whisper_engine=None,
-                 whisper_tokenizer=None, audio_rate: int = 16000):
+                 whisper_tokenizer=None, audio_rate: int = 16000,
+                 embed_model: Optional[EmbeddingModel] = None):
         self.engine = engine
+        # /v1/embeddings backend: an explicit EmbeddingModel, or (lazily,
+        # on first request) the serving engine's own model + params
+        self._embed_model = embed_model
+        self._embeddings_served = 0
         self._tokenizer = tokenizer
         self._model_name = model_name
         self._chat_template = chat_template
@@ -244,6 +260,9 @@ class ServingServer:
                         ("prefix_tokens_reused_total", "counter",
                          "Prompt tokens whose prefill was skipped via the "
                          "prefix cache.", eng.prefix_tokens_reused),
+                        ("embeddings_served_total", "counter",
+                         "Input sequences embedded via /v1/embeddings.",
+                         outer._embeddings_served),
                     ]
                 out = []
                 for name, kind, help_, val in rows:
@@ -286,6 +305,8 @@ class ServingServer:
                         chat=self.path.endswith("chat/completions"))
                 if self.path == "/v1/audio/transcriptions":
                     return self._audio_transcription()
+                if self.path == "/v1/embeddings":
+                    return self._embeddings()
                 if self.path != "/generate":
                     return self._json(404, {"error": "unknown path"})
                 if outer._draining:
@@ -323,7 +344,8 @@ class ServingServer:
                                       ("eos_id", int), ("min_p", float),
                                       ("repetition_penalty", float),
                                       ("presence_penalty", float),
-                                      ("frequency_penalty", float)):
+                                      ("frequency_penalty", float),
+                                      ("seed", int)):
                         if req.get(key) is not None:
                             kw[key] = cast(req[key])
                     if req.get("logit_bias") is not None:
@@ -464,9 +486,15 @@ class ServingServer:
                         # requests submitted together; they decode as one
                         # batch on the slot pool (not sequentially)
                         rids = []
-                        for _ in range(p.get("best_of", p["n"])):
+                        base_seed = p["kw"].get("seed")
+                        for ci in range(p.get("best_of", p["n"])):
+                            kw_i = dict(p["kw"])
+                            if base_seed is not None:
+                                # distinct-but-reproducible candidates
+                                kw_i["seed"] = \
+                                    (int(base_seed) + ci) % (2 ** 31)
                             rid = outer.engine.submit(
-                                p["prompt_ids"], p["max_new"], **p["kw"])
+                                p["prompt_ids"], p["max_new"], **kw_i)
                             outer._lat_pending[rid] = [time.monotonic(),
                                                        None]
                             rids.append(rid)
@@ -494,6 +522,14 @@ class ServingServer:
                 if len(rids) > p["n"]:  # best_of: keep the n best
                     order = _oai.best_of_order([r[2] for r in results])
                     results = [results[j] for j in order[:p["n"]]]
+                # echo + logprobs (completions): score the prompt once
+                # (same prefix semantics as the engine's own logprobs)
+                # and prepend its entries to every choice's arrays
+                p_lp = p_tp = None
+                if not chat and p["echo"] and p["logprobs"] is not None:
+                    p_lp, p_tp = prompt_logprobs(
+                        outer.engine.model, outer.engine.params,
+                        p["prompt_ids"], p["logprobs"])
                 choices = []
                 for i, (rid, toks, lps, tops) in enumerate(results):
                     text, finish = _oai.finalize(
@@ -510,17 +546,51 @@ class ServingServer:
                             continue
                     lpobj = None
                     if p["logprobs"] is not None:
-                        mk_lp = (_oai.chat_logprobs if chat
-                                 else _oai.completion_logprobs)
-                        lpobj = mk_lp(toks, lps, tops, p["logprobs"],
-                                      outer._tokenizer,
-                                      outer.engine.eos_id)
+                        if chat:
+                            lpobj = _oai.chat_logprobs(
+                                toks, lps, tops, p["logprobs"],
+                                outer._tokenizer, outer.engine.eos_id)
+                        else:
+                            lpobj = _oai.completion_logprobs(
+                                toks, lps, tops, p["logprobs"],
+                                outer._tokenizer, outer.engine.eos_id,
+                                prompt_toks=(p["prompt_ids"]
+                                             if p_lp is not None
+                                             else None),
+                                prompt_lps=p_lp, prompt_tops=p_tp)
                     choices.append(_oai.make_choice(chat, i, text, finish,
                                                     lpobj))
                 build = _oai.chat_body if chat else _oai.completion_body
                 self._json(200, build(rids[0], outer._model_name, created,
                                       choices, len(p["prompt_ids"]),
                                       n_out))
+
+            def _embeddings(self) -> None:
+                """OpenAI-compatible ``POST /v1/embeddings``: the batch
+                of inputs runs as ONE forward pass over the serving
+                model (final-LN masked-mean pooling, unit-norm — see
+                :mod:`mop_tpu.serving.embeddings`). Embedding forwards
+                are one-shot device calls: they dispatch from the
+                handler thread and interleave with the decode worker's
+                steps at the device queue."""
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n))
+                    seqs = parse_embedding_input(req, outer._tokenizer)
+                    emb = outer._embedder()
+                    fmt = req.get("encoding_format", "float")
+                    dims = req.get("dimensions")
+                    dims = None if dims is None else int(dims)
+                    vecs = emb.embed(seqs)
+                    body = embeddings_body(
+                        vecs, outer._model_name, sum(map(len, seqs)),
+                        encoding_format=fmt, dimensions=dims)
+                except (KeyError, ValueError, TypeError,
+                        json.JSONDecodeError) as e:
+                    return self._oai_error(400, str(e))
+                with outer._lock:
+                    outer._embeddings_served += len(seqs)
+                return self._json(200, body)
 
             def _audio_transcription(self) -> None:
                 """OpenAI-compatible ``POST /v1/audio/transcriptions``:
@@ -767,6 +837,12 @@ class ServingServer:
         self.port = self._httpd.server_address[1]
 
     # ---------------- lifecycle ----------------
+
+    def _embedder(self) -> EmbeddingModel:
+        if self._embed_model is None:
+            self._embed_model = EmbeddingModel(self.engine.model,
+                                               self.engine.params)
+        return self._embed_model
 
     def start(self) -> None:
         """Start the HTTP listener and the device-worker thread."""

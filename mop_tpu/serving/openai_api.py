@@ -220,6 +220,12 @@ def _common(req: dict, tokenizer, allow_best_of: bool = False) -> tuple:
     if req.get("logit_bias") is not None:
         kw["logit_bias"] = {int(t): float(v)
                             for t, v in req["logit_bias"].items()}
+    if req.get("seed") is not None:
+        # exact (not best-effort) determinism: the engine pins the
+        # request's sample stream to the seed (engine.submit docstring);
+        # with n/best_of > 1 each candidate gets seed + choice index so
+        # choices stay distinct yet reproducible (http.py submit loop)
+        kw["seed"] = int(req["seed"])
     stop = req.get("stop")
     if stop is None:
         stop_strs: List[str] = []
@@ -491,12 +497,22 @@ def _visible(toks, lps, tops, eos_id):
 
 
 def completion_logprobs(toks, lps, tops, n_top: int, tokenizer,
-                        eos_id) -> dict:
+                        eos_id, prompt_toks=None, prompt_lps=None,
+                        prompt_tops=None) -> dict:
     """Engine logprob arrays -> the completions-API ``logprobs`` object
     (parallel ``tokens`` / ``token_logprobs`` / ``top_logprobs`` /
     ``text_offset`` arrays). Values are the engine's raw-model fp32
-    log-softmax (see ``DecodeEngine(logprobs_topk=...)``)."""
+    log-softmax (see ``DecodeEngine(logprobs_topk=...)``).
+
+    ``prompt_*`` (echo mode): prompt-token entries from
+    :func:`mop_tpu.serving.scoring.prompt_logprobs` are prepended —
+    ``token_logprobs[0]`` is null and offsets start at the echoed text's
+    position 0, the upstream ``echo`` + ``logprobs`` contract."""
     toks, lps, tops = _visible(toks, lps, tops, eos_id)
+    if prompt_toks:
+        toks = list(prompt_toks) + toks
+        lps = list(prompt_lps) + lps
+        tops = list(prompt_tops) + tops
     strs = [tokenizer.decode([t]) for t in toks]
     offsets, pos = [], 0
     for s in strs:
@@ -509,7 +525,10 @@ def completion_logprobs(toks, lps, tops, n_top: int, tokenizer,
         # can decode to the same string (byte-level partial UTF-8 all
         # render as U+FFFD) — keep the highest logprob per string
         rows = []
-        for alts in tops:
+        for alts, lp in zip(tops, lps):
+            if lp is None:  # echoed first prompt token: null, like upstream
+                rows.append(None)
+                continue
             d: Dict[str, float] = {}
             for t, v in alts[:n_top]:
                 d.setdefault(tokenizer.decode([t]), v)
@@ -563,10 +582,17 @@ def completion_body(rid: int, model: str, created: int,
             "usage": _usage(n_prompt, n_out)}
 
 
+SYSTEM_FINGERPRINT = "fp_mop_tpu"
+"""Returned on chat responses (the OpenAI field that accompanies
+``seed``): one static backend id — this server has no fleet of
+heterogeneous backends, so determinism is per-seed, not per-deploy."""
+
+
 def chat_body(rid: int, model: str, created: int, choices: List[dict],
               n_prompt: int, n_out: int) -> dict:
     return {"id": f"chatcmpl-{rid}", "object": "chat.completion",
             "created": created, "model": model, "choices": choices,
+            "system_fingerprint": SYSTEM_FINGERPRINT,
             "usage": _usage(n_prompt, n_out)}
 
 
@@ -583,6 +609,7 @@ def chat_chunk(rid: int, model: str, created: int, delta: dict,
                finish: Optional[str] = None, index: int = 0) -> dict:
     return {"id": f"chatcmpl-{rid}", "object": "chat.completion.chunk",
             "created": created, "model": model,
+            "system_fingerprint": SYSTEM_FINGERPRINT,
             "choices": [{"index": index, "delta": delta,
                          "finish_reason": finish}]}
 

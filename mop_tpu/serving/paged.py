@@ -174,21 +174,23 @@ class PagedDecodeEngine(DecodeEngine):
         self.preemptions = 0
         self.peak_pages_in_use = 0
 
-        def _step(params_, pool, table, tokens, lens, rng_, temp, topk,
-                  topp, minp, rep, pres, freq, ocounts, pseen, lbias):
+        def _step(params_, pool, table, tokens, lens, rng_, seeds, ntoks,
+                  temp, topk, topp, minp, rep, pres, freq, ocounts, pseen,
+                  lbias):
             logits, new = paged_decode_step_rows(
                 self.model, params_, pool, table, tokens, lens)
             nxt = self._pick_rows(logits, rng_, temp, topk, topp, minp,
-                                  rep, pres, freq, ocounts, pseen, lbias)
+                                  rep, pres, freq, ocounts, pseen, lbias,
+                                  seeds=seeds, ntoks=ntoks)
             ocounts = ocounts.at[jnp.arange(ocounts.shape[0]), nxt].add(1)
             return (nxt, new, ocounts) + self._lp_of(logits, nxt)
 
-        self._pstep_fn = jax.jit(_step, donate_argnums=(1, 13))
+        self._pstep_fn = jax.jit(_step, donate_argnums=(1, 15))
 
         npb = self.pages_per_slot
 
         def _padm_finish(pool, pc, logits, pages, tokens, slot, rng_, sp,
-                         oc, seen, lb):
+                         sd, oc, seen, lb):
             # Slice the prefill's full-width rows into the allocated pages.
             # ``pages`` is always the full (pages_per_slot,) row — entries
             # past the allocation point at scratch page 0, whose duplicate
@@ -204,23 +206,24 @@ class PagedDecodeEngine(DecodeEngine):
                     chunk.astype(pool[key].dtype))
             r1 = lambda x: jnp.reshape(x, (1,))
             tok0 = self._pick_rows(
-                logits, rng_, r1(sp[0]), r1(sp[1]), r1(sp[2]), r1(sp[3]),
-                r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen, lb)[0]
+                logits, rng_, r1(sp[0]), r1(sp[1]), r1(sp[2]),
+                r1(sp[3]), r1(sp[4]), r1(sp[5]), r1(sp[6]), oc, seen,
+                lb, seeds=sd[:1], ntoks=sd[1:2])[0]
             tokens = tokens.at[slot].set(tok0)
             return (pool, tokens, tok0) + self._lp_of(
                 logits, jnp.reshape(tok0, (1,)))
 
         def _padm_exact(params_, pool, tokens, prompt, pages, slot, rng_,
-                        sp, oc, seen, lb):
+                        sp, sd, oc, seen, lb):
             logits, pc = prefill(self.model, params_, prompt)
             return _padm_finish(pool, pc, logits, pages, tokens, slot, rng_,
-                                sp, oc, seen, lb)
+                                sp, sd, oc, seen, lb)
 
         def _padm_padded(params_, pool, tokens, prompt, t0, pages, slot,
-                         rng_, sp, oc, seen, lb):
+                         rng_, sp, sd, oc, seen, lb):
             logits, pc = prefill_padded(self.model, params_, prompt, t0)
             return _padm_finish(pool, pc, logits, pages, tokens, slot, rng_,
-                                sp, oc, seen, lb)
+                                sp, sd, oc, seen, lb)
 
         self._padm_exact_fn = jax.jit(_padm_exact, donate_argnums=(1, 2))
         self._padm_padded_fn = jax.jit(_padm_padded, donate_argnums=(1, 2))
@@ -296,7 +299,8 @@ class PagedDecodeEngine(DecodeEngine):
             (rid, prefix.astype(np.int32), int(self._budget[victim]), sp,
              self._slot_bias[victim], self._slot_stops[victim],
              int(self._slot_adapter[victim]),
-             self._slot_constraint[victim]))
+             self._slot_constraint[victim],
+             int(self._slot_seed[victim])))
         self._slot_rid[victim] = -1
         self._slot_constraint[victim] = None
         self._slot_cstate[victim] = None
@@ -347,7 +351,8 @@ class PagedDecodeEngine(DecodeEngine):
         if not self._queue:
             return None
         self._reclaim_retired()
-        rid, prompt, max_new, sp, bias_row, stops, aid, con = self._queue[0]
+        rid, prompt, max_new, sp, bias_row, stops, aid, con, seed = \
+            self._queue[0]
         t0 = int(prompt.size)
         # pages covering positions 0..t0 (t0 = where tok0's K lands next)
         n_need = t0 // self.page_size + 1
@@ -385,6 +390,9 @@ class PagedDecodeEngine(DecodeEngine):
         seen = np.zeros((1, self._vocab), bool)
         seen[0, prompt] = True
         oc_j, seen_j = jnp.asarray(oc), jnp.asarray(seen)
+        self._slot_seed[slot] = seed
+        self._slot_ntok[slot] = len(self._results[rid])
+        sd = np.asarray([seed, self._slot_ntok[slot]], np.int32)
         self._rng, sub = jax.random.split(self._rng)
         # full-width page row (scratch-padded) -> one compile per bucket
         pages_full = np.zeros((self.pages_per_slot,), np.int32)
@@ -395,12 +403,12 @@ class PagedDecodeEngine(DecodeEngine):
             self._pool, self._tokens, tok0, *lpx = self._padm_padded_fn(
                 self._admit_params(aid), self._pool, self._tokens,
                 padded[0], np.int32(padded[1]), pages_j, np.int32(slot),
-                sub, spk, oc_j, seen_j, lb)
+                sub, spk, sd, oc_j, seen_j, lb)
         else:
             self._pool, self._tokens, tok0, *lpx = self._padm_exact_fn(
                 self._admit_params(aid), self._pool, self._tokens,
-                prompt[None, :], pages_j, np.int32(slot), sub, spk, oc_j,
-                seen_j, lb)
+                prompt[None, :], pages_j, np.int32(slot), sub, spk, sd,
+                oc_j, seen_j, lb)
         lp0 = None
         if self.logprobs_topk:
             # one fetch for tok0 + extras (a second device_get would be a
@@ -438,7 +446,10 @@ class PagedDecodeEngine(DecodeEngine):
             lens_j = jnp.asarray(self._lens)
             nxt, self._pool, self._ocounts, *lpx = self._pstep_fn(
                 self._step_params(), self._pool, jnp.asarray(self._table),
-                self._tokens, lens_j, sub, jnp.asarray(self._slot_temp),
+                self._tokens, lens_j, sub,
+                jnp.asarray(self._slot_seed.astype(np.int32)),
+                jnp.asarray(self._slot_ntok.astype(np.int32)),
+                jnp.asarray(self._slot_temp),
                 jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
                 jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
                 jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
