@@ -54,7 +54,7 @@ class EmbeddingModel:
     OpenAI convention)."""
 
     def __init__(self, model, params, pool: str = "mean",
-                 normalize: bool = True):
+                 normalize: bool = True, max_chunk: int = 32):
         if pool not in ("mean", "last"):
             raise ValueError(f"pool must be 'mean' or 'last', got {pool!r}")
         self.model = model
@@ -65,6 +65,11 @@ class EmbeddingModel:
         self.normalize = normalize
         self.block_size = model.config.block_size
         self.n_embd = model.config.n_embd
+        self.vocab_size = model.vocab_size
+        # Large requests are chunked through buckets of at most this many
+        # rows, bounding both the per-forward device footprint and the set
+        # of jit-compiled (B, T) shapes (B buckets: 1,2,4..max_chunk).
+        self.max_chunk = max(1, int(max_chunk))
         self._fns = {}
 
     def _fn(self, b: int, t: int):
@@ -145,7 +150,10 @@ class EmbeddingModel:
 
     def embed(self, token_lists: Sequence[Sequence[int]]) -> np.ndarray:
         """Embed a batch of token-id sequences; returns (N, n_embd)
-        float32. Each sequence must have 1 <= len <= block_size."""
+        float32. Each sequence must have 1 <= len <= block_size and ids in
+        [0, vocab_size). Batches larger than ``max_chunk`` are processed in
+        fixed-size chunks (one bounded forward each) rather than a single
+        unbounded power-of-two pad."""
         if not token_lists:
             return np.zeros((0, self.n_embd), np.float32)
         lens = [len(s) for s in token_lists]
@@ -155,16 +163,28 @@ class EmbeddingModel:
             raise ValueError(
                 f"input length {max(lens)} exceeds the model context "
                 f"window ({self.block_size})")
-        bt = _pow2_at_least(len(token_lists), 1)
-        tt = min(_pow2_at_least(max(lens), 8), self.block_size)
-        idx = np.zeros((bt, tt), np.int32)
-        for i, seq in enumerate(token_lists):
-            idx[i, :len(seq)] = np.asarray(seq, np.int32)
-        ln = np.zeros((bt,), np.int32)
-        ln[:len(lens)] = lens
-        out = self._fn(bt, tt)(self.params, jnp.asarray(idx),
-                               jnp.asarray(ln))
-        return np.asarray(out)[:len(token_lists)]
+        for seq in token_lists:
+            for t in seq:
+                # bool is an int subclass; JAX's gather would silently
+                # clamp out-of-range ids to a plausible-looking embedding
+                if isinstance(t, bool) or not 0 <= int(t) < self.vocab_size:
+                    raise ValueError(
+                        f"token id {t!r} outside [0, {self.vocab_size})")
+        parts = []
+        for lo in range(0, len(token_lists), self.max_chunk):
+            chunk = token_lists[lo:lo + self.max_chunk]
+            clens = lens[lo:lo + self.max_chunk]
+            bt = _pow2_at_least(len(chunk), 1)
+            tt = min(_pow2_at_least(max(clens), 8), self.block_size)
+            idx = np.zeros((bt, tt), np.int32)
+            for i, seq in enumerate(chunk):
+                idx[i, :len(seq)] = np.asarray(seq, np.int32)
+            ln = np.zeros((bt,), np.int32)
+            ln[:len(clens)] = clens
+            out = self._fn(bt, tt)(self.params, jnp.asarray(idx),
+                                   jnp.asarray(ln))
+            parts.append(np.asarray(out)[:len(chunk)])
+        return np.concatenate(parts, axis=0)
 
 
 def parse_embedding_input(req: dict, tokenizer) -> List[List[int]]:
@@ -173,10 +193,10 @@ def parse_embedding_input(req: dict, tokenizer) -> List[List[int]]:
     inp = req.get("input")
     if inp is None:
         raise ValueError("'input' is required")
+    is_id = lambda x: isinstance(x, int) and not isinstance(x, bool)
     if isinstance(inp, str):
         items = [inp]
-    elif isinstance(inp, list) and inp and \
-            all(isinstance(x, int) for x in inp):
+    elif isinstance(inp, list) and inp and all(is_id(x) for x in inp):
         return [[int(t) for t in inp]]
     elif isinstance(inp, list):
         items = inp
@@ -194,8 +214,7 @@ def parse_embedding_input(req: dict, tokenizer) -> List[List[int]]:
             if not ids:
                 raise ValueError("an input encoded to zero tokens")
             out.append([int(t) for t in ids])
-        elif isinstance(it, list) and it and \
-                all(isinstance(x, int) for x in it):
+        elif isinstance(it, list) and it and all(is_id(x) for x in it):
             out.append([int(t) for t in it])
         else:
             raise ValueError(

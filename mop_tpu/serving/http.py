@@ -169,11 +169,16 @@ class ServingServer:
                  tokenizer=None, model_name: str = "mop",
                  chat_template=None, whisper_engine=None,
                  whisper_tokenizer=None, audio_rate: int = 16000,
-                 embed_model: Optional[EmbeddingModel] = None):
+                 embed_model: Optional[EmbeddingModel] = None,
+                 max_embed_inputs: int = 256):
         self.engine = engine
         # /v1/embeddings backend: an explicit EmbeddingModel, or (lazily,
-        # on first request) the serving engine's own model + params
+        # on first request) the serving engine's own model + params.
+        # Requests with more than ``max_embed_inputs`` sequences are
+        # rejected with 400 (the embedder additionally chunks what it
+        # accepts through a bounded device batch).
         self._embed_model = embed_model
+        self._max_embed_inputs = int(max_embed_inputs)
         self._embeddings_served = 0
         self._tokenizer = tokenizer
         self._model_name = model_name
@@ -577,6 +582,10 @@ class ServingServer:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n))
                     seqs = parse_embedding_input(req, outer._tokenizer)
+                    if len(seqs) > outer._max_embed_inputs:
+                        return self._oai_error(
+                            400, f"too many inputs: {len(seqs)} > "
+                            f"{outer._max_embed_inputs}")
                     emb = outer._embedder()
                     fmt = req.get("encoding_format", "float")
                     dims = req.get("dimensions")
@@ -839,10 +848,17 @@ class ServingServer:
     # ---------------- lifecycle ----------------
 
     def _embedder(self) -> EmbeddingModel:
+        # double-checked under the engine lock: concurrent first requests
+        # on the threaded server must not each build an EmbeddingModel
+        # (duplicate jit caches + compiles)
         if self._embed_model is None:
-            self._embed_model = EmbeddingModel(self.engine.model,
-                                               self.engine.params)
+            with self._lock:
+                if self._embed_model is None:
+                    self._embed_model = self._build_embedder()
         return self._embed_model
+
+    def _build_embedder(self) -> EmbeddingModel:
+        return EmbeddingModel(self.engine.model, self.engine.params)
 
     def start(self) -> None:
         """Start the HTTP listener and the device-worker thread."""

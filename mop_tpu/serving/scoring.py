@@ -33,9 +33,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from collections import OrderedDict
+
 from ..models.generate import init_decode_cache
 
-_CACHE = {}
+_CACHE: "OrderedDict" = OrderedDict()
+_CACHE_MAX = 16  # LRU bound: each entry pins a model + jitted closure
 
 
 def _fn(model, t_pad: int, k: int):
@@ -43,8 +46,11 @@ def _fn(model, t_pad: int, k: int):
     # the model strongly in the entry so its id can't be recycled while
     # the cached jit exists (the id(mesh) pitfall from ADVICE r2)
     key = (id(model), t_pad, k)
-    if key in _CACHE and _CACHE[key][0] is model:
-        return _CACHE[key][1]
+    if key in _CACHE:
+        if _CACHE[key][0] is model:
+            _CACHE.move_to_end(key)
+            return _CACHE[key][1]
+        del _CACHE[key]  # stale: the id was recycled by a new object
     from .engine import decode_chunk_rows  # circular-import guard
 
     def run(params, tail):
@@ -59,6 +65,8 @@ def _fn(model, t_pad: int, k: int):
         tv, ti = jax.lax.top_k(logp[:-1], k)               # (T_pad-1, k)
         return chosen, tv, ti
 
+    while len(_CACHE) >= _CACHE_MAX:
+        _CACHE.popitem(last=False)
     _CACHE[key] = (model, jax.jit(run))
     return _CACHE[key][1]
 

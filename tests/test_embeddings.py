@@ -163,3 +163,31 @@ def test_http_v1_embeddings(setup):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_token_id_validation(setup):
+    """Out-of-range and boolean token ids are rejected, not silently
+    clamped by the gather (ADVICE r3)."""
+    model, params = setup
+    emb = EmbeddingModel(model, params)
+    with pytest.raises(ValueError):
+        emb.embed([[0, VOCAB]])          # == vocab_size: out of range
+    with pytest.raises(ValueError):
+        emb.embed([[-1]])
+    with pytest.raises(ValueError):
+        emb.embed([[True, 2]])           # bool is not a token id
+    with pytest.raises(ValueError):
+        parse_embedding_input({"input": [True, False]}, None)
+
+
+def test_large_batch_chunks_match_solo(setup):
+    """Batches above max_chunk run as bounded chunks and match the
+    unchunked result row-for-row (ADVICE r3: no unbounded pow2 pad)."""
+    model, params = setup
+    emb = EmbeddingModel(model, params, max_chunk=4)
+    seqs = [[(7 * i + j) % VOCAB for j in range(1 + i % 5)]
+            for i in range(11)]
+    out = emb.embed(seqs)
+    assert out.shape == (11, 32)
+    ref = EmbeddingModel(model, params).embed(seqs)
+    np.testing.assert_allclose(out, ref, atol=2e-5)

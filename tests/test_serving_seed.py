@@ -7,7 +7,7 @@ and are bit-identical regardless of co-batched traffic, admission order,
 the engine's own rng, or paged preemption. The reference has no serving
 or sampling stack at all (SURVEY §0); OpenAI documents `seed` as
 best-effort — the slot-pool engine can make it exact because every row's
-key is derived per row (engine.py _row_keys / _pick_rows).
+key is derived per row (inline in engine.py DecodeEngine._pick_rows).
 """
 
 import jax
