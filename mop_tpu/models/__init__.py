@@ -44,6 +44,7 @@ from .gpt_mop import (
     ViewsLinear1D,
     create_gpt_baseline,
     create_gpt_mop,
+    create_gpt_mop_causal,
     create_gpt_quartet,
 )
 from .quartet_attn_patch import (
@@ -93,6 +94,7 @@ __all__ = [
     # GPT family
     "GPT_MoP",
     "create_gpt_mop",
+    "create_gpt_mop_causal",
     "create_gpt_baseline",
     "create_gpt_quartet",
     "TransformerConfig",

@@ -237,14 +237,19 @@ def _standardize_rows(s, n_valid, eps):
     return (s - mu) / (jnp.sqrt(var) + eps)
 
 
-def init_decode_cache(config, batch: int, dtype=jnp.float32):
+def init_decode_cache(config, batch: int, dtype=jnp.float32,
+                      n_views: int = 0):
     """Per-layer (k, k2, v) ring caches of shape (L, B, H, block, dk).
 
     ``dtype=jnp.int8`` selects the QUANTIZED cache layout: int8 rows plus
     per-row fp32 scales ``k_s/k2_s/v_s`` of shape (L, B, H, block) —
     4x less KV HBM than fp32 at ~3% overhead for the scales. Writers
     quantize with :func:`_q8_rows`; :func:`_attn_step` applies the scales
-    after its dots, so the int8 rows feed the MXU directly."""
+    after its dots, so the int8 rows feed the MXU directly.
+
+    ``n_views > 0`` (GPT_MoP): adds a per-layer view-vector history ``mv``
+    of shape (L, B, block, V) — the gate conv's tap source. V is tiny
+    (default 5) so this is ~V/(3*n_embd) of the KV pool; kept fp32."""
     L, h = config.n_layer, config.n_head
     dk = config.n_embd // h
     shape = (L, batch, h, config.block_size, dk)
@@ -257,7 +262,55 @@ def init_decode_cache(config, batch: int, dtype=jnp.float32):
     if dtype == jnp.int8:
         for key in ("k_s", "k2_s", "v_s"):
             cache[key] = jnp.ones(shape[:4], jnp.float32)
+    if n_views:
+        cache["mv"] = jnp.zeros((L, batch, config.block_size, n_views),
+                                jnp.float32)
     return cache
+
+
+def model_n_views(model) -> int:
+    """Cache-layout probe: GPT_MoP models carry ``n_views`` (their blocks
+    gate between attention and MLP); everything else decodes gate-free."""
+    return int(getattr(model, "n_views", 0) or 0)
+
+
+def _mop_taps(mv, pos, ks: int, causal: bool):
+    """Gather the gate conv's tap rows from the view history.
+
+    mv: (B, block, V) one layer's view vectors; pos: (B,) or (B, G) output
+    positions. Returns (B, G, ks, V) where tap j of output position t is
+    the view row at ``t-(ks-1)+j`` (causal left-pad) or ``t-ks//2+j``
+    (reference centered same-pad). Taps outside ``[0, t]`` are zero: before
+    0 that is the conv's zero padding; after t it is the FRONTIER
+    approximation for the non-causal variant (the same-pad conv sees zeros
+    past the end of the window — exactly what the full forward computes at
+    its last position) and never happens for the causal variant."""
+    b, block, V = mv.shape
+    pos2 = jnp.asarray(pos).reshape(b, -1)  # (B, G)
+    start = pos2 - (ks - 1) if causal else pos2 - (ks // 2)
+    pidx = start[..., None] + jnp.arange(ks)  # (B, G, ks)
+    ok = (pidx >= 0) & (pidx <= pos2[..., None])
+    flat = jnp.clip(pidx.reshape(b, -1), 0, block - 1)
+    g = jnp.take_along_axis(mv, flat[..., None], axis=1)
+    g = g.reshape(b, pos2.shape[1], ks, V)
+    return jnp.where(ok[..., None], g, 0.0)
+
+
+def _mop_gates(bp, mv, pos, causal: bool):
+    """MoP gate values for decode. bp: one block's params (must contain
+    ``views``/``kernels``/``fuse``); mv: (B, block, V) view history already
+    holding the rows at ``pos``; pos: (B,) or (B, G). Returns (B, G) gate
+    = 1 + a_pos*g_pos - a_neg*g_neg (no sigmoid — the 1D fuse, reference
+    gpt_mop.py:50-68)."""
+    kern = bp["kernels"]["conv"]["kernel"]  # (ks, V, K)
+    ks = kern.shape[0]
+    taps = _mop_taps(mv, pos, ks, causal)  # (B, G, ks, V)
+    kmaps = jnp.einsum("bgjv,jvk->bgk", taps, kern)
+    here = ks - 1 if causal else ks // 2  # the tap AT pos
+    maps = jnp.concatenate([taps[:, :, here], kmaps], -1)  # (B, G, V+K)
+    gates = maps @ bp["fuse"]["conv"]["kernel"][0]  # (B, G, 2)
+    alpha = bp["fuse"]["alpha"]
+    return 1.0 + alpha[0] * gates[..., 0] - alpha[1] * gates[..., 1]
 
 
 def _q8_rows(rows):
@@ -335,12 +388,18 @@ def decode_step(model, params, cache, token):
     """One cached decode step. token: (B,) int32 -> (logits (B, vocab),
     new cache). Appends the token at position cache['len'] (caller must
     ensure the window is not full). Accepts int8-quantized params
-    (``mop_tpu.ops.quant.quantize_params``) transparently."""
+    (``mop_tpu.ops.quant.quantize_params``) transparently.
+
+    GPT_MoP (cache carries ``mv``): the per-block gate is applied between
+    attention and MLP from the view history — exact for the causal-gate
+    variant, frontier-approximate for the reference-exact non-causal one
+    (see :func:`_mop_taps`)."""
     cfg = model.config
     p = params["params"]
     b = token.shape[0]
     pos = cache["len"]
     n_valid = pos + 1
+    mop_causal = bool(getattr(model, "causal_gate", False))
     x = p["wte"]["embedding"][token][:, None, :]  # (B, 1, C)
     if cfg.use_abs_pos_emb:
         x = x + p["wpe"]["embedding"][pos][None, None, :]
@@ -370,6 +429,14 @@ def decode_step(model, params, cache, token):
                        new_cache["k2"][i], new_cache["v"][i], n_valid,
                        scales=scales)
         x = x + a
+        if "views" in bp:  # MoP gate between attention and MLP
+            v_row = _lin(x, bp["views"]["proj"])  # (B, 1, V)
+            new_cache["mv"] = jax.lax.dynamic_update_slice(
+                new_cache["mv"], v_row[None].astype(new_cache["mv"].dtype),
+                (i, 0, pos, 0))
+            gate = _mop_gates(bp, new_cache["mv"][i],
+                              jnp.broadcast_to(pos, (b,)), mop_causal)
+            x = x * gate[..., None]  # (B, 1) -> broadcast over C
         hm = _ln(x, bp["ln2"])
         x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
 
@@ -452,6 +519,17 @@ def decode_chunk(model, params, cache, tokens):
         y = jnp.einsum("bhqk,bhkd->bhqd", att, new_cache["v"][i])
         y = y.transpose(0, 2, 1, 3).reshape(b, g, c)
         x = x + _lin(y, ap["o_proj"])
+        if "views" in bp:  # MoP gate, per chunk position (taps <= pos —
+            # matches the composition of decode_step calls exactly)
+            v_rows = _lin(x, bp["views"]["proj"])  # (B, G, V)
+            new_cache["mv"] = jax.lax.dynamic_update_slice(
+                new_cache["mv"],
+                v_rows[None].astype(new_cache["mv"].dtype), (i, 0, pos0, 0))
+            gate = _mop_gates(
+                bp, new_cache["mv"][i],
+                jnp.broadcast_to(positions[None, :], (b, g)),
+                bool(getattr(model, "causal_gate", False)))
+            x = x * gate[..., None]
         hm = _ln(x, bp["ln2"])
         x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
 
@@ -459,6 +537,33 @@ def decode_chunk(model, params, cache, tokens):
     logits = x @ p["wte"]["embedding"].T  # (B, G, vocab)
     new_cache["len"] = pos0 + g
     return logits, new_cache
+
+
+def _mop_gate_full(bp, x, t_live=None, causal: bool = False):
+    """Full-window MoP gate for prefill. x: (B, T, C) post-attention
+    activations. Returns ``(gate (B, T), v (B, T, V))`` computed exactly as
+    the flax forward: views linear -> k-tap conv (left-padded when
+    ``causal``, centered same-pad otherwise) -> 1x1 fuse -> 1 + a+*g+ -
+    a-*g-. ``t_live``: optional live length (padded prefill) — view rows at
+    positions >= t_live are zeroed before the conv so pad columns cannot
+    leak through the taps (the tap at the last live position's right edge
+    then reads zero, matching both the unpadded prefill and the decode
+    frontier)."""
+    v = _lin(x, bp["views"]["proj"])  # (B, T, V)
+    t = v.shape[1]
+    if t_live is not None:
+        v = jnp.where((jnp.arange(t) < t_live)[None, :, None], v, 0.0)
+    kern = bp["kernels"]["conv"]["kernel"]  # (ks, V, K)
+    ks = kern.shape[0]
+    pad = (ks - 1, 0) if causal else (ks // 2, ks - 1 - ks // 2)
+    vp = jnp.pad(v, ((0, 0), pad, (0, 0)))
+    kmaps = sum(jnp.einsum("btv,vk->btk", vp[:, j:j + t], kern[j])
+                for j in range(ks))
+    maps = jnp.concatenate([v, kmaps], -1)  # (B, T, V+K)
+    gates = maps @ bp["fuse"]["conv"]["kernel"][0]  # (B, T, 2)
+    alpha = bp["fuse"]["alpha"]
+    gate = 1.0 + alpha[0] * gates[..., 0] - alpha[1] * gates[..., 1]
+    return gate, v
 
 
 def prefill(model, params, prompt, kv_dtype=jnp.float32):
@@ -473,7 +578,8 @@ def prefill(model, params, prompt, kv_dtype=jnp.float32):
     cfg = model.config
     p = params["params"]
     b, t0 = prompt.shape
-    cache = init_decode_cache(cfg, b, kv_dtype)
+    cache = init_decode_cache(cfg, b, kv_dtype, n_views=model_n_views(model))
+    mop_causal = bool(getattr(model, "causal_gate", False))
     x = p["wte"]["embedding"][prompt]
     if cfg.use_abs_pos_emb:
         x = x + p["wpe"]["embedding"][jnp.arange(t0)][None]
@@ -484,10 +590,17 @@ def prefill(model, params, prompt, kv_dtype=jnp.float32):
     causal = jnp.tril(jnp.ones((t0, t0), bool))
     eps = cfg.score_norm_eps
 
-    def std(s, e=eps):  # unbiased row standardization over all t0 columns
-        mu = jnp.mean(s, -1, keepdims=True)
-        var = jnp.sum(jnp.square(s - mu), -1, keepdims=True) / max(1, t0 - 1)
-        return (s - mu) / (jnp.sqrt(var) + e)
+    if getattr(cfg, "causal_std", False):
+        from ..ops.attention import standardize_scores_causal
+
+        def std(s, e=eps):  # causal variant: per-row prefix statistics
+            return standardize_scores_causal(s, e)
+    else:
+        def std(s, e=eps):  # unbiased row std over all t0 columns
+            mu = jnp.mean(s, -1, keepdims=True)
+            var = jnp.sum(jnp.square(s - mu), -1,
+                          keepdims=True) / max(1, t0 - 1)
+            return (s - mu) / (jnp.sqrt(var) + e)
 
     for i in range(cfg.n_layer):
         bp = p[f"blocks_{i}"]
@@ -511,6 +624,11 @@ def prefill(model, params, prompt, kv_dtype=jnp.float32):
         y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         y = y.transpose(0, 2, 1, 3).reshape(b, t0, cfg.n_embd)
         x = x + _lin(y, ap["o_proj"])
+        if "views" in bp:  # MoP gate between attention and MLP
+            gate, vmaps = _mop_gate_full(bp, x, causal=mop_causal)
+            cache["mv"] = cache["mv"].at[i, :, :t0, :].set(
+                vmaps.astype(cache["mv"].dtype))
+            x = x * gate[..., None]
         hm = _ln(x, bp["ln2"])
         x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
         pad = cfg.block_size - t0
@@ -554,7 +672,8 @@ def prefill_padded(model, params, prompt_padded, t0, kv_dtype=jnp.float32):
     p = params["params"]
     b, t_pad = prompt_padded.shape
     t0 = jnp.asarray(t0, jnp.int32)
-    cache = init_decode_cache(cfg, b, kv_dtype)
+    cache = init_decode_cache(cfg, b, kv_dtype, n_views=model_n_views(model))
+    mop_causal = bool(getattr(model, "causal_gate", False))
     x = p["wte"]["embedding"][prompt_padded]
     if cfg.use_abs_pos_emb:
         x = x + p["wpe"]["embedding"][jnp.arange(t_pad)][None]
@@ -567,14 +686,22 @@ def prefill_padded(model, params, prompt_padded, t0, kv_dtype=jnp.float32):
     nf = jnp.maximum(t0, 1).astype(jnp.float32)
     eps = cfg.score_norm_eps
 
-    def std(s, e=eps):
-        # unbiased row standardization over the t0 live columns (matches
-        # prefill's all-prompt-columns semantics restricted to the pad mask)
-        m = live[None, None, None, :]
-        mu = jnp.sum(jnp.where(m, s, 0.0), -1, keepdims=True) / nf
-        var = jnp.sum(jnp.where(m, jnp.square(s - mu), 0.0), -1,
-                      keepdims=True) / jnp.maximum(nf - 1.0, 1.0)
-        return (s - mu) / (jnp.sqrt(var) + e)
+    if getattr(cfg, "causal_std", False):
+        from ..ops.attention import standardize_scores_causal
+
+        def std(s, e=eps):
+            # causal variant: row i's prefix (cols <= i) is entirely live
+            # for every live row, so the pad mask is a no-op here
+            return standardize_scores_causal(s, e)
+    else:
+        def std(s, e=eps):
+            # unbiased row standardization over the t0 live columns
+            # (prefill's all-prompt-columns semantics under the pad mask)
+            m = live[None, None, None, :]
+            mu = jnp.sum(jnp.where(m, s, 0.0), -1, keepdims=True) / nf
+            var = jnp.sum(jnp.where(m, jnp.square(s - mu), 0.0), -1,
+                          keepdims=True) / jnp.maximum(nf - 1.0, 1.0)
+            return (s - mu) / (jnp.sqrt(var) + e)
 
     for i in range(cfg.n_layer):
         bp = p[f"blocks_{i}"]
@@ -601,6 +728,12 @@ def prefill_padded(model, params, prompt_padded, t0, kv_dtype=jnp.float32):
         y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         y = y.transpose(0, 2, 1, 3).reshape(b, t_pad, cfg.n_embd)
         x = x + _lin(y, ap["o_proj"])
+        if "views" in bp:  # MoP gate; pad-row views zeroed before the conv
+            gate, vmaps = _mop_gate_full(bp, x, t_live=t0,
+                                         causal=mop_causal)
+            cache["mv"] = cache["mv"].at[i, :, :t_pad, :].set(
+                vmaps.astype(cache["mv"].dtype))
+            x = x * gate[..., None]
         hm = _ln(x, bp["ln2"])
         x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
         pad = cfg.block_size - t_pad
@@ -826,20 +959,22 @@ def _generate_grow_window(model, params, prompt, max_new_tokens, cache,
     w = min(1 << max(6, t0.bit_length()), block)  # pow2 >= t0+1, floor 64
 
     def _resize(c, new_w, cur_w):
-        """Slice (new_w < cur_w) or zero-pad the column axis of every KV
-        buffer — rows (axis 3 of 5) and, for int8 caches, the per-row
-        scale arrays (axis 3 of 4)."""
+        """Slice (new_w < cur_w) or zero-pad the position axis of every KV
+        buffer — KV rows (axis 3 of 5), int8 per-row scales (axis 3 of 4),
+        and the MoP view history ``mv`` (axis 2 of its (L, B, block, V))."""
         out = dict(c)
-        for key in ("k", "k2", "v", "k_s", "k2_s", "v_s"):
+        for key in ("k", "k2", "v", "k_s", "k2_s", "v_s", "mv"):
             if key not in c:
                 continue
             v = c[key]
+            axis = 2 if key == "mv" else 3
             if new_w < cur_w:
-                out[key] = v[:, :, :, :new_w] if v.ndim == 4 \
-                    else v[:, :, :, :new_w, :]
+                sl = [slice(None)] * v.ndim
+                sl[axis] = slice(None, new_w)
+                out[key] = v[tuple(sl)]
             else:
                 padw = [(0, 0)] * v.ndim
-                padw[3] = (0, new_w - cur_w)
+                padw[axis] = (0, new_w - cur_w)
                 out[key] = jnp.pad(v, padw)
         return out
 

@@ -41,19 +41,28 @@ class Kernels1D(nn.Module):
     """1D conv kernels for sequential pattern detection (reference :35-47).
 
     (B, V, T) -> (B, K, T); same-padding, bias-free.
+
+    ``causal=True`` switches to LEFT padding (position t sees taps
+    t-ks+1..t instead of the reference's centered t-1,t,t+1) — the
+    serving-exact variant: the gate at position t then depends only on
+    tokens <= t, so KV-cached decode of GPT_MoP is exact rather than a
+    frontier approximation (see models.generate MoP decode).
     """
 
     in_ch: int
     n_kernels: int = 3
     kernel_size: int = 3
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         y = x.transpose(0, 2, 1)  # (B, T, V) channels-last
+        pad = ((self.kernel_size - 1, 0) if self.causal
+               else self.kernel_size // 2)
         y = Conv1d(
             self.n_kernels,
             self.kernel_size,
-            padding=self.kernel_size // 2,
+            padding=pad,
             use_bias=False,
             name="conv",
         )(y)
@@ -85,6 +94,7 @@ class MoPBlock(nn.Module):
     config: TransformerConfig
     n_views: int = 5
     n_kernels: int = 3
+    causal_gate: bool = False
 
     def setup(self):
         cfg = self.config
@@ -93,7 +103,8 @@ class MoPBlock(nn.Module):
         self.ln2 = LayerNorm()
         self.mlp = MLP(cfg)
         self.views = ViewsLinear1D(cfg.n_embd, n_views=self.n_views)
-        self.kernels = Kernels1D(in_ch=self.n_views, n_kernels=self.n_kernels)
+        self.kernels = Kernels1D(in_ch=self.n_views, n_kernels=self.n_kernels,
+                                 causal=self.causal_gate)
         self.fuse = FuseExcInh1D(in_ch=self.n_views + self.n_kernels)
 
     def _mop_gate(self, x: Array):
@@ -127,6 +138,11 @@ class GPT_MoP(nn.Module):
     config: TransformerConfig
     n_views: int = 5
     n_kernels: int = 3
+    # causal_gate=True: the gate convs left-pad (see Kernels1D) and — paired
+    # with config.causal_std=True — position t of the forward depends only
+    # on tokens <= t, making KV-cached decode/serving EXACT. False keeps
+    # the reference's centered (non-causal) convs (gpt_mop.py:35-47).
+    causal_gate: bool = False
 
     def setup(self):
         cfg = self.config
@@ -135,7 +151,8 @@ class GPT_MoP(nn.Module):
             self.wpe = Embedding(cfg.block_size, cfg.n_embd)
         self.drop = nn.Dropout(cfg.dropout)
         self.blocks = [
-            MoPBlock(cfg, n_views=self.n_views, n_kernels=self.n_kernels)
+            MoPBlock(cfg, n_views=self.n_views, n_kernels=self.n_kernels,
+                     causal_gate=self.causal_gate)
             for _ in range(cfg.n_layer)
         ]
         self.ln_f = LayerNorm()
@@ -194,6 +211,21 @@ def create_gpt_mop(vocab_size: int, config: TransformerConfig, n_views=5, n_kern
     return GPT_MoP(
         vocab_size=vocab_size, config=config, n_views=n_views, n_kernels=n_kernels
     )
+
+
+def create_gpt_mop_causal(vocab_size: int, config: TransformerConfig,
+                          n_views=5, n_kernels=3):
+    """The serving-exact GPT_MoP variant: causal gate convs (left-padded
+    ``Kernels1D``) + causal-prefix score standardization
+    (``config.causal_std=True``). Position t depends only on tokens <= t,
+    so KV-cached decode reproduces the full-window sampler token-for-token
+    (pinned in tests/test_gpt_mop_serving.py). Same parameter count and
+    structure as the reference-exact :func:`create_gpt_mop`."""
+    import dataclasses
+
+    cfg = dataclasses.replace(config, causal_std=True)
+    return GPT_MoP(vocab_size=vocab_size, config=cfg, n_views=n_views,
+                   n_kernels=n_kernels, causal_gate=True)
 
 
 def create_gpt_baseline(vocab_size: int, config: TransformerConfig):

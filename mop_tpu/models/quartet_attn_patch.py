@@ -40,6 +40,13 @@ class TransformerConfig:
     quartet_gate_init: float = -5.0  # sigmoid(-5) ~ 0.0067
     score_norm_eps: float = 1e-5
     use_abs_pos_emb: bool = True
+    # Causal-serving variant: standardize each score row over its CAUSAL
+    # PREFIX (columns <= row) instead of the reference's all-columns
+    # pre-mask statistics (quartet_attn_patch.py:95-98). Position i then
+    # depends only on tokens <= i, so KV-cached decode is EXACT (see
+    # ops.attention.standardize_scores_causal). Default False = reference
+    # semantics.
+    causal_std: bool = False
 
 
 def _gpt_linear(features: int, use_bias: bool, name: str) -> Linear:
@@ -87,9 +94,11 @@ class CausalSelfAttention(nn.Module):
                 (1,),
             )
             m = jax.nn.sigmoid(mixture)
+            std = (A.standardize_scores_causal if cfg.causal_std
+                   else A.standardize_scores)
             if (use_fused_quartet() and attention_mask is None
                     and (not train or cfg.dropout == 0.0)
-                    and not need_weights):
+                    and not need_weights and not cfg.causal_std):
                 # Fused kernel: standardize + dual-path product mix + causal
                 # softmax + value matmul in one Pallas program. Grad-safe
                 # (custom VJP recomputes via the reference composition), so
@@ -100,11 +109,13 @@ class CausalSelfAttention(nn.Module):
                 y = _gpt_linear(c, cfg.bias, "o_proj")(y)
                 return nn.Dropout(cfg.dropout, deterministic=not train)(y)
             q2k2 = A.scaled_scores(q2, k2)
-            qk_norm = A.standardize_scores(qk, cfg.score_norm_eps)
-            q2k2_norm = A.standardize_scores(q2k2, cfg.score_norm_eps)
+            qk_norm = std(qk, cfg.score_norm_eps)
+            q2k2_norm = std(q2k2, cfg.score_norm_eps)
             scores = (1.0 - m) * qk_norm + m * (qk_norm * q2k2_norm) * qscale
         else:
-            scores = A.standardize_scores(qk, 1e-5)
+            std = (A.standardize_scores_causal if cfg.causal_std
+                   else A.standardize_scores)
+            scores = std(qk, 1e-5)
 
         causal = A.causal_mask(t)
         scores = A.apply_mask(scores, causal)

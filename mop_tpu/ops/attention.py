@@ -128,6 +128,31 @@ def standardize_scores(scores: Array, eps: float = 1e-5) -> Array:
     return (scores - mu) / (sigma + eps)
 
 
+def standardize_scores_causal(scores: Array, eps: float = 1e-5) -> Array:
+    """Per-row standardization over each row's CAUSAL PREFIX (columns <= row
+    index) with unbiased (N-1) std.
+
+    This is the causal-decode-exact variant of :func:`standardize_scores`:
+    the reference standardizes over ALL columns before masking
+    (``quartet_attn_patch.py:95-98``), which makes every position's
+    activations depend on future keys and forces full-window resampling.
+    Restricting the statistics to the causal prefix makes position i a
+    function of tokens <= i only, so an incremental KV cache reproduces the
+    full forward bit-for-bit (the ``causal_std`` serving variant;
+    tests/test_gpt_mop_serving.py pins the equality).
+
+    scores: (..., N, N). Row i's mean/std use columns 0..i (i+1 columns).
+    """
+    n = scores.shape[-1]
+    rows = jnp.arange(n)[:, None]
+    live = jnp.arange(n)[None, :] <= rows  # (N, N) lower-tri inclusive
+    cnt = (rows + 1).astype(jnp.float32)
+    mu = jnp.sum(jnp.where(live, scores, 0.0), -1, keepdims=True) / cnt
+    var = jnp.sum(jnp.where(live, jnp.square(scores - mu), 0.0), -1,
+                  keepdims=True) / jnp.maximum(cnt - 1.0, 1.0)
+    return (scores - mu) / (jnp.sqrt(var) + eps)
+
+
 def attend(
     q: Array,
     k: Array,

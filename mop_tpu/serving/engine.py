@@ -23,9 +23,14 @@ many requests are in flight. Accepts int8-quantized params
 
 The reference has no serving/inference loop at all (SURVEY §0; its GPT
 stops at teacher-forced logits, ``mop/models/gpt_mop.py:181-207``).
-Covers TinyTransformerLM (base + quartet) — the same scope as
-``generate_cached`` and for the same reason (GPT_MoP's token-axis gate
-convs are non-causal, reference ``gpt_mop.py:35-47``).
+Covers TinyTransformerLM (base + quartet) AND GPT_MoP: the namesake
+model's per-block gate state (a per-layer view history ``mv``) rides the
+same slot pool as the KV rows. The ``create_gpt_mop_causal`` variant
+(left-padded gate convs + causal-prefix score standardization) serves
+EXACTLY — engine tokens equal its full-window sampler's; the
+reference-exact non-causal variant serves under the documented frontier
+approximation (``models.generate._mop_taps``; divergence measured in
+benchmarks/decode.md).
 """
 
 from __future__ import annotations
@@ -37,8 +42,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.generate import (_attn_step, _kv_rows, _lin, _ln,
-                               init_decode_cache, prefill, prefill_padded)
+from ..models.generate import (_attn_step, _kv_rows, _lin, _ln, _mop_gates,
+                               init_decode_cache, model_n_views, prefill,
+                               prefill_padded)
 from ..models.layers import gelu_tanh
 from .constrain import mask_row
 
@@ -103,6 +109,14 @@ def decode_step_rows(model, params, cache, tokens, lens):
         a = _attn_step(bp["attn"], cfg, h, new_cache["k"][i],
                        new_cache["k2"][i], new_cache["v"][i], n_valid)
         x = x + a
+        if "views" in bp:  # GPT_MoP: gate between attention and MLP, each
+            # row's conv taps read its OWN view history at its own position
+            v_row = _lin(x, bp["views"]["proj"])  # (B, 1, V)
+            new_cache["mv"] = new_cache["mv"].at[i, rows, lens, :].set(
+                v_row[:, 0, :].astype(new_cache["mv"].dtype))
+            gate = _mop_gates(bp, new_cache["mv"][i], lens,
+                              bool(getattr(model, "causal_gate", False)))
+            x = x * gate[..., None]
         hm = _ln(x, bp["ln2"])
         x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
 
@@ -182,6 +196,14 @@ def decode_chunk_rows(model, params, cache, tokens, lens):
         y = jnp.einsum("bhqk,bhkd->bhqd", att, new_cache["v"][i])
         y = y.transpose(0, 2, 1, 3).reshape(b, g, c)
         x = x + _lin(y, ap["o_proj"])
+        if "views" in bp:  # GPT_MoP gate, per row per chunk position
+            v_rows = _lin(x, bp["views"]["proj"])  # (B, G, V)
+            new_cache["mv"] = new_cache["mv"].at[
+                i, rows[:, None], pos, :].set(
+                v_rows.astype(new_cache["mv"].dtype))
+            gate = _mop_gates(bp, new_cache["mv"][i], pos,
+                              bool(getattr(model, "causal_gate", False)))
+            x = x * gate[..., None]
         hm = _ln(x, bp["ln2"])
         x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
 
@@ -304,6 +326,13 @@ class DecodeEngine:
                 "the serving engines support fp32/bfloat16 KV pools; the "
                 "int8 per-row-scale layout is a generate_cached feature")
         self.kv_dtype = kv_dtype
+        # GPT_MoP models carry a per-layer view history ``mv`` beside the
+        # K/K2/V pools; every pool paste/store/slice below loops over
+        # ``_pool_keys`` so the gate state rides the same admission,
+        # prefix-cache, and preemption machinery as the KV rows.
+        self._n_views = model_n_views(model)
+        self._pool_keys = (("k", "k2", "v", "mv") if self._n_views
+                           else ("k", "k2", "v"))
         self._cache = self._make_cache(cfg, max_batch, kv_dtype,
                                        cache_sharding)
         self._tokens = jnp.zeros((max_batch,), jnp.int32)
@@ -393,12 +422,15 @@ class DecodeEngine:
         # admission cost on a remote/tunneled device, and donation lets XLA
         # update the (L, B, H, block, dk) pools in place instead of copying
         # them once per .at[].set.
-        def _finish(k, k2, v, lens, tokens, pc, logits, slot, t0, rng, sp,
+        pool_keys = self._pool_keys
+
+        def _finish(c, tokens, pc, logits, slot, t0, rng, sp,
                     sd, oc, seen, lb):
-            k = k.at[:, slot].set(pc["k"][:, 0].astype(k.dtype))
-            k2 = k2.at[:, slot].set(pc["k2"][:, 0].astype(k2.dtype))
-            v = v.at[:, slot].set(pc["v"][:, 0].astype(v.dtype))
-            lens = lens.at[slot].set(t0)
+            c = dict(c)
+            for key in pool_keys:  # slot axis is 1 for KV rows AND mv
+                c[key] = c[key].at[:, slot].set(
+                    pc[key][:, 0].astype(c[key].dtype))
+            c["len"] = c["len"].at[slot].set(t0)
             r1 = lambda x: jnp.reshape(x, (1,))
             tok0 = self._pick_rows(
                 logits, rng, r1(sp[0]), r1(sp[1]), r1(sp[2]),
@@ -406,45 +438,45 @@ class DecodeEngine:
                 lb, seeds=sd[:1], ntoks=sd[1:2])[0]
             tokens = tokens.at[slot].set(tok0)
             if self._prefix_max:
-                store = (k[:, slot], k2[:, slot], v[:, slot])
+                store = tuple(c[key][:, slot] for key in pool_keys)
             else:
                 store = ()
             lpx = self._lp_of(logits, jnp.reshape(tok0, (1,)))
-            return (k, k2, v, lens, tokens, tok0) + lpx + store
+            return (c, tokens, tok0) + lpx + store
 
-        def _adm_exact(params, k, k2, v, lens, tokens, prompt, slot, rng,
+        def _adm_exact(params, c, tokens, prompt, slot, rng,
                        sp, sd, oc, seen, lb):
             logits, pc = prefill(self.model, params, prompt)
-            return _finish(k, k2, v, lens, tokens, pc, logits, slot,
+            return _finish(c, tokens, pc, logits, slot,
                            prompt.shape[1], rng, sp, sd, oc, seen, lb)
 
-        def _adm_padded(params, k, k2, v, lens, tokens, prompt, t0, slot,
+        def _adm_padded(params, c, tokens, prompt, t0, slot,
                         rng, sp, sd, oc, seen, lb):
             logits, pc = prefill_padded(self.model, params, prompt, t0)
-            return _finish(k, k2, v, lens, tokens, pc, logits, slot, t0,
+            return _finish(c, tokens, pc, logits, slot, t0,
                            rng, sp, sd, oc, seen, lb)
 
-        def _adm_chunk(params, k, k2, v, lens, tokens, ek, ek2, ev, tail,
+        def _adm_chunk(params, c, tokens, entry, tail,
                        lcp, g, slot, rng, sp, sd, oc, seen, lb):
             # paste the entry's full-width rows; columns past lcp are the
             # OLD prompt's rows — the chunk overwrites [lcp, lcp+G) and
             # anything further is past this row's length, so masked out of
             # every softmax/standardization until overwritten by decode.
-            k = k.at[:, slot].set(ek)
-            k2 = k2.at[:, slot].set(ek2)
-            v = v.at[:, slot].set(ev)
+            c = dict(c)
+            for key in pool_keys:
+                c[key] = c[key].at[:, slot].set(entry[key])
             sl = lambda b: jax.lax.dynamic_slice_in_dim(b, slot, 1, 1)
-            c1 = {"k": sl(k), "k2": sl(k2), "v": sl(v),
-                  "len": jnp.reshape(lcp, (1,))}
+            c1 = {key: sl(c[key]) for key in pool_keys}
+            c1["len"] = jnp.reshape(lcp, (1,))
             logits_all, nc = decode_chunk_rows(
                 self.model, params, c1, tail, c1["len"])
             logits = jax.lax.dynamic_index_in_dim(
                 logits_all, g - 1, axis=1, keepdims=False)
-            pc = {key: nc[key] for key in ("k", "k2", "v")}
-            return _finish(k, k2, v, lens, tokens, pc, logits, slot,
+            pc = {key: nc[key] for key in pool_keys}
+            return _finish(c, tokens, pc, logits, slot,
                            lcp + g, rng, sp, sd, oc, seen, lb)
 
-        donate = (1, 2, 3, 4, 5)
+        donate = (1, 2)
         self._adm_exact_fn = jax.jit(_adm_exact, donate_argnums=donate)
         self._adm_padded_fn = jax.jit(_adm_padded, donate_argnums=donate)
         self._adm_chunk_fn = jax.jit(_adm_chunk, donate_argnums=donate)
@@ -460,23 +492,24 @@ class DecodeEngine:
                 f"(0, block_size={self.block_size}]")
         self._chunk_state: Dict[int, dict] = {}
 
-        def _chunk_feed(params, k, k2, v, tail, base, g, slot):
+        def _chunk_feed(params, c, tail, base, g, slot):
             """Append one (1, C) token chunk to ``slot``'s rows at
             position ``base``; returns updated pools + the logits after
             the chunk's g-th (last real) token."""
             sl = lambda buf: jax.lax.dynamic_slice_in_dim(buf, slot, 1, 1)
-            c1 = {"k": sl(k), "k2": sl(k2), "v": sl(v),
-                  "len": jnp.reshape(base, (1,))}
+            c1 = {key: sl(c[key]) for key in pool_keys}
+            c1["len"] = jnp.reshape(base, (1,))
             logits_all, nc = decode_chunk_rows(
                 self.model, params, c1, tail, c1["len"])
-            k = k.at[:, slot].set(nc["k"][:, 0].astype(k.dtype))
-            k2 = k2.at[:, slot].set(nc["k2"][:, 0].astype(k2.dtype))
-            v = v.at[:, slot].set(nc["v"][:, 0].astype(v.dtype))
+            c = dict(c)
+            for key in pool_keys:
+                c[key] = c[key].at[:, slot].set(
+                    nc[key][:, 0].astype(c[key].dtype))
             logits = jax.lax.dynamic_index_in_dim(
                 logits_all, g - 1, axis=1, keepdims=False)
-            return k, k2, v, logits
+            return c, logits
 
-        self._chunk_feed_fn = jax.jit(_chunk_feed, donate_argnums=(1, 2, 3))
+        self._chunk_feed_fn = jax.jit(_chunk_feed, donate_argnums=(1,))
 
         def _chunk_tok0(logits, rng, sp, sd, oc, seen, lb):
             r1 = lambda s: jnp.reshape(s, (1,))
@@ -492,7 +525,8 @@ class DecodeEngine:
         """Allocate the per-slot KV state. Subclasses with a different
         cache layout (PagedDecodeEngine) override this so the dense
         ``max_batch x block_size`` slabs are never materialized."""
-        cache = init_decode_cache(cfg, max_batch, kv_dtype)
+        cache = init_decode_cache(cfg, max_batch, kv_dtype,
+                                  n_views=self._n_views)
         if cache_sharding is not None:
             for key in ("k", "k2", "v"):
                 cache[key] = jax.device_put(cache[key], cache_sharding)
@@ -1072,9 +1106,8 @@ class DecodeEngine:
             # C-token chunk per step (_chunk_advance) instead of one
             # monolithic dispatch; tok0 is sampled after the last chunk
             if entry is not None:
-                c["k"] = c["k"].at[:, slot].set(entry["k"])
-                c["k2"] = c["k2"].at[:, slot].set(entry["k2"])
-                c["v"] = c["v"].at[:, slot].set(entry["v"])
+                for key in self._pool_keys:
+                    c[key] = c[key].at[:, slot].set(entry[key])
                 self.prefix_cache_hits += 1
                 self.prefix_tokens_reused += lcp
             c["len"] = c["len"].at[slot].set(base)
@@ -1085,15 +1118,15 @@ class DecodeEngine:
             self._slot_rid[slot] = rid
             self._budget[slot] = max_new
             return slot, rid, None, t0, None
-        pools = (self._admit_params(aid), c["k"], c["k2"], c["v"],
-                 c["len"], self._tokens)
+        pools = (self._admit_params(aid), c, self._tokens)
         if entry is not None:
             g = t0 - lcp
             g_pad = 1 << (g - 1).bit_length() if g > 1 else 1
             tail = np.zeros((1, g_pad), np.int32)
             tail[0, :g] = prompt[lcp:]
+            ent = {key: entry[key] for key in self._pool_keys}
             out = self._adm_chunk_fn(
-                *pools, entry["k"], entry["k2"], entry["v"],
+                *pools, ent,
                 jnp.asarray(tail), np.int32(lcp), np.int32(g), slot_, sub,
                 spk, sd, oc_j, seen_j, lb)
             self.prefix_cache_hits += 1
@@ -1107,16 +1140,16 @@ class DecodeEngine:
             else:
                 out = self._adm_exact_fn(*pools, prompt[None, :], slot_,
                                          sub, spk, sd, oc_j, seen_j, lb)
-        (c["k"], c["k2"], c["v"], c["len"], self._tokens, tok0) = out[:6]
+        self._cache, self._tokens, tok0 = out[:3]
         lp0 = None
         if self.logprobs_topk:
             # one fetch for tok0 + extras (int(tok0) alone would be a
             # separate round-trip)
-            tok0, lp_h, tv_h, ti_h = jax.device_get((tok0,) + out[6:9])
+            tok0, lp_h, tv_h, ti_h = jax.device_get((tok0,) + out[3:6])
             lp0 = self._lp_entry(lp_h, tv_h, ti_h, 0)
-            store = out[9:]
-        else:
             store = out[6:]
+        else:
+            store = out[3:]
         tok0 = int(tok0)
         # tok0 is this request's first output token -> counted
         self._ocounts = self._ocounts.at[slot].set(oc_j[0].at[tok0].add(1))
@@ -1139,10 +1172,10 @@ class DecodeEngine:
         g = min(C, t0 - fed)
         tail = np.zeros((1, C), np.int32)
         tail[0, :g] = prompt[fed:fed + g]
-        c = self._cache
-        c["k"], c["k2"], c["v"], logits = self._chunk_feed_fn(
-            self._admit_params(st["aid"]), c["k"], c["k2"], c["v"],
+        self._cache, logits = self._chunk_feed_fn(
+            self._admit_params(st["aid"]), self._cache,
             jnp.asarray(tail), np.int32(fed), np.int32(g), np.int32(slot))
+        c = self._cache
         st["fed"] = fed + g
         c["len"] = c["len"].at[slot].set(st["fed"])
         if st["fed"] < t0:
@@ -1163,7 +1196,8 @@ class DecodeEngine:
         self._tokens = self._tokens.at[slot].set(tok0)
         if self._prefix_max:
             self._prefix_store(
-                prompt, (c["k"][:, slot], c["k2"][:, slot], c["v"][:, slot]),
+                prompt,
+                tuple(c[key][:, slot] for key in self._pool_keys),
                 st["aid"])
         del self._chunk_state[slot]
         self._on_admit(slot, prompt)
@@ -1210,10 +1244,9 @@ class DecodeEngine:
         if key in self._prefix_lru:
             self._prefix_lru.move_to_end(key)
             return
-        self._prefix_lru[key] = {
-            "tokens": prompt.copy(), "aid": aid,
-            "k": store[0], "k2": store[1], "v": store[2],
-        }
+        entry = {"tokens": prompt.copy(), "aid": aid}
+        entry.update(zip(self._pool_keys, store))
+        self._prefix_lru[key] = entry
         while len(self._prefix_lru) > self._prefix_max:
             self._prefix_lru.popitem(last=False)
 
@@ -1261,25 +1294,30 @@ class SpecDecodeEngine(DecodeEngine):
             raise ValueError(
                 f"draft block_size {dcfg.block_size} must be >= target's "
                 f"{self.block_size}")
-        self._dcache = init_decode_cache(dcfg, max_batch, kv_dtype)
+        d_keys = (("k", "k2", "v", "mv") if model_n_views(draft_model)
+                  else ("k", "k2", "v"))
+        self._dcache = init_decode_cache(
+            dcfg, max_batch, kv_dtype, n_views=model_n_views(draft_model))
         self._dcache["len"] = jnp.zeros((max_batch,), jnp.int32)
 
         # fused single-dispatch draft admission (mirrors the target's)
-        def _d_finish(k, k2, v, lens, pc, slot, t0):
-            k = k.at[:, slot].set(pc["k"][:, 0].astype(k.dtype))
-            k2 = k2.at[:, slot].set(pc["k2"][:, 0].astype(k2.dtype))
-            v = v.at[:, slot].set(pc["v"][:, 0].astype(v.dtype))
-            return k, k2, v, lens.at[slot].set(t0)
+        def _d_finish(d, pc, slot, t0):
+            d = dict(d)
+            for key in d_keys:
+                d[key] = d[key].at[:, slot].set(
+                    pc[key][:, 0].astype(d[key].dtype))
+            d["len"] = d["len"].at[slot].set(t0)
+            return d
 
-        def _d_adm_exact(params, k, k2, v, lens, prompt, slot):
+        def _d_adm_exact(params, d, prompt, slot):
             _, pc = prefill(self.draft_model, params, prompt)
-            return _d_finish(k, k2, v, lens, pc, slot, prompt.shape[1])
+            return _d_finish(d, pc, slot, prompt.shape[1])
 
-        def _d_adm_padded(params, k, k2, v, lens, prompt, t0, slot):
+        def _d_adm_padded(params, d, prompt, t0, slot):
             _, pc = prefill_padded(self.draft_model, params, prompt, t0)
-            return _d_finish(k, k2, v, lens, pc, slot, t0)
+            return _d_finish(d, pc, slot, t0)
 
-        donate = (1, 2, 3, 4)
+        donate = (1,)
         self._d_adm_exact_fn = jax.jit(_d_adm_exact, donate_argnums=donate)
         self._d_adm_padded_fn = jax.jit(_d_adm_padded,
                                         donate_argnums=donate)
@@ -1360,17 +1398,15 @@ class SpecDecodeEngine(DecodeEngine):
                               stop=stop)
 
     def _on_admit(self, slot: int, prompt: np.ndarray) -> None:
-        d = self._dcache
-        pools = (self.draft_params, d["k"], d["k2"], d["v"], d["len"])
         padded = self._bucket_pad(prompt)
         if padded is not None:
-            out = self._d_adm_padded_fn(*pools, padded[0],
-                                        np.int32(padded[1]),
-                                        np.int32(slot))
+            self._dcache = self._d_adm_padded_fn(
+                self.draft_params, self._dcache, padded[0],
+                np.int32(padded[1]), np.int32(slot))
         else:
-            out = self._d_adm_exact_fn(*pools, prompt[None, :],
-                                       np.int32(slot))
-        d["k"], d["k2"], d["v"], d["len"] = out
+            self._dcache = self._d_adm_exact_fn(
+                self.draft_params, self._dcache, prompt[None, :],
+                np.int32(slot))
 
     def step(self) -> Dict[int, List[int]]:
         """One engine iteration: admit, retire rows whose next speculative

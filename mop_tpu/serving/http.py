@@ -116,7 +116,8 @@ from ..data.audio import load_wav, log_mel, resample
 from .constrain import choices, token_set
 from .embeddings import EmbeddingModel, embeddings_body, \
     parse_embedding_input
-from .json_schema import json_schema_to_dfa, tool_call_to_dfa
+from .json_schema import (json_schema_to_dfa, tool_call_auto_to_dfa,
+                          tool_call_to_dfa)
 from .regex_dfa import regex_to_dfa
 from .scoring import prompt_logprobs
 
@@ -451,8 +452,11 @@ class ServingServer:
                             raise ValueError(
                                 "tool calling needs a server "
                                 "constructed with token_strs")
-                        p["kw"]["constraint"] = tool_call_to_dfa(
-                            p["tools"], outer._token_strs)
+                        build = (tool_call_auto_to_dfa
+                                 if p["tools"]["mode"] == "auto"
+                                 else tool_call_to_dfa)
+                        p["kw"]["constraint"] = build(
+                            p["tools"]["tools"], outer._token_strs)
                     if p["logprobs"] is not None:
                         have = getattr(outer.engine, "logprobs_topk", 0)
                         if have <= 0:

@@ -186,3 +186,25 @@ def tool_call_regex(tools) -> str:
 def tool_call_to_dfa(tools, token_strs):
     """Token DFA for :func:`tool_call_regex` over a vocabulary table."""
     return regex_to_dfa(tool_call_regex(tools), token_strs)
+
+
+def tool_call_auto_regex(tools) -> str:
+    """Anchored regex for ``tool_choice: "auto"``: the union language
+    *free text* ∪ *well-formed tool call*. The model decides naturally —
+    nothing is constrained until the output commits to the tool-call
+    trigger prefix ``{"`` — and from that point the DFA only enforces
+    well-formedness (the call must then complete
+    ``{"name":...,"arguments":<schema>}`` for one of ``tools``).
+
+    The free-text branch is everything that does NOT start with ``{"``
+    (empty, a lone ``{``, any first char other than ``{``, or ``{`` +
+    any char other than ``"``). The one documented tradeoff: free text
+    beginning with the literal two characters ``{"`` is interpreted as
+    starting a tool call and must complete one."""
+    free = '(\\{?|[^{].*|\\{[^"].*)'
+    return "(" + tool_call_regex(tools) + "|" + free + ")"
+
+
+def tool_call_auto_to_dfa(tools, token_strs):
+    """Token DFA for :func:`tool_call_auto_regex` over a vocabulary."""
+    return regex_to_dfa(tool_call_auto_regex(tools), token_strs)

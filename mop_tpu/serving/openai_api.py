@@ -64,21 +64,24 @@ Field mapping:
   tracks. ``usage.completion_tokens`` counts ALL candidates (they all
   decoded — the upstream billing convention). Blocking only.
 
-- ``tools`` + ``tool_choice`` (chat): FORCED tool calls ride guided
-  decoding — the tool-call JSON ``{"name":...,"arguments":...}`` is
-  compiled to a token DFA (union over the tools for ``"required"``,
-  one branch for a named function), so ``message.tool_calls[0]``'s
+- ``tools`` + ``tool_choice`` (chat): tool calls ride guided decoding.
+  FORCED (``"required"`` or a named function): the tool-call JSON
+  ``{"name":...,"arguments":...}`` is compiled to a token DFA (union
+  over the tools for ``"required"``), so ``message.tool_calls[0]``'s
   arguments are GUARANTEED to satisfy that tool's parameter schema;
-  finish_reason ``"tool_calls"``. ``tool_choice`` must be explicit:
-  ``"auto"`` is rejected (deciding WHETHER to call needs a
-  tool-trained model; we never guess), ``"none"`` ignores the tools.
-  Blocking only; truncated calls come back as plain content with the
-  real finish_reason.
+  finish_reason ``"tool_calls"``. ``"auto"`` (the OpenAI default with
+  tools present) uses the union DFA *free text ∪ tool grammar*
+  (``json_schema.tool_call_auto_regex``): the model decides naturally,
+  and the constraint only enforces well-formedness once the output
+  commits to the ``{"`` trigger — free-text answers come back as plain
+  content, started calls are guaranteed complete + schema-valid.
+  ``"none"`` ignores the tools. Blocking only; truncated calls come
+  back as plain content with the real finish_reason.
 
 Explicitly rejected rather than silently ignored: ``n`` > 8,
 ``best_of`` < ``n`` or > 8 or exceeding ``n`` with
 ``stream`` or on chat, ``suffix``, ``functions`` /
-``function_call`` (legacy), ``tool_choice`` ``"auto"``, tools with
+``function_call`` (legacy), tools with
 ``stream`` or on completions, ``response_format`` type
 ``json_object``, ``logprobs`` combined with ``stream``.
 ``finish_reason`` is ``"stop"`` (EOS or stop sequence) or ``"length"``
@@ -130,13 +133,16 @@ def _parse_response_format(req: dict):
 
 
 def _parse_tools(req: dict):
-    """``tools`` + ``tool_choice`` -> list of (name, parameters) to
-    constrain generation to, or None (no tool call). Only shapes we can
-    honor EXACTLY are accepted: a forced call (``tool_choice`` names
-    one function, or ``"required"`` — the model picks among the tools
-    via a union DFA) or ``"none"``. ``"auto"`` is rejected: deciding
-    whether to call a tool needs a tool-trained model, and guessing
-    would silently change semantics."""
+    """``tools`` + ``tool_choice`` -> ``{"mode": "forced"|"auto",
+    "tools": [(name, parameters), ...]}`` to constrain generation with,
+    or None (no tool constraint). Forced = ``tool_choice`` names one
+    function or is ``"required"`` (the model picks among the tools via a
+    union DFA; the output IS a tool call). ``"auto"`` (and the OpenAI
+    default when ``tools`` is present) constrains to *free text ∪
+    tool-call grammar* (:func:`~mop_tpu.serving.json_schema.
+    tool_call_auto_regex`): the model decides whether to call, and the
+    DFA only enforces well-formedness once the output commits to the
+    ``{"`` trigger. ``"none"`` ignores the tools."""
     tools = req.get("tools")
     tc = req.get("tool_choice")
     if tools is None:
@@ -155,14 +161,11 @@ def _parse_tools(req: dict):
                 "{'name': ..., 'parameters': {...}}}")
         byname[fn["name"]] = fn.get("parameters")
     if tc is None or tc == "auto":
-        raise ValueError(
-            "tool_choice 'auto' cannot be honored exactly (the model "
-            "has no trained tool-call decision); pass 'required', "
-            "'none', or {'type': 'function', 'function': {'name': ...}}")
+        return {"mode": "auto", "tools": list(byname.items())}
     if tc == "none":
         return None
     if tc == "required":
-        return list(byname.items())
+        return {"mode": "forced", "tools": list(byname.items())}
     if isinstance(tc, dict):
         name = (tc.get("function") or {}).get("name") \
             if isinstance(tc.get("function"), dict) else None
@@ -172,7 +175,7 @@ def _parse_tools(req: dict):
                 "'function': {'name': ...}}")
         if name not in byname:
             raise ValueError(f"tool_choice names unknown tool '{name}'")
-        return [(name, byname[name])]
+        return {"mode": "forced", "tools": [(name, byname[name])]}
     raise ValueError(f"unsupported tool_choice: {tc!r}")
 
 

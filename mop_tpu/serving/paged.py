@@ -22,9 +22,10 @@ would fit), not bandwidth — the gather reads the same bytes; the honest
 accounting is in ``cache_bytes()`` / ``benchmarks/serving.md``.
 
 The reference has no serving stack at all (SURVEY §0); scope matches
-``DecodeEngine`` (TinyTransformerLM base + quartet), greedy or per-request
-sampling. Prefix cache and speculative decoding remain dense-engine
-features.
+``DecodeEngine`` (TinyTransformerLM base + quartet, and GPT_MoP — the
+gate's per-layer view history pages with the same tables as the KV rows),
+greedy or per-request sampling. Prefix cache and speculative decoding
+remain dense-engine features.
 """
 
 from __future__ import annotations
@@ -35,8 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.generate import _attn_step, _kv_rows, _lin, _ln, prefill, \
-    prefill_padded
+from ..models.generate import _attn_step, _kv_rows, _lin, _ln, _mop_gates, \
+    model_n_views, prefill, prefill_padded
 from ..models.layers import gelu_tanh
 from .engine import DecodeEngine
 
@@ -44,18 +45,26 @@ Array = jax.Array
 
 
 def init_paged_pool(config, n_pages: int, page_size: int,
-                    dtype=jnp.float32) -> dict:
+                    dtype=jnp.float32, n_views: int = 0) -> dict:
     """K/K2/V page pools of shape (L, n_pages + 1, H, page_size, dk).
 
     Physical page 0 is the SCRATCH page: every unallocated page-table entry
     points at it, so inactive/garbage rows write there harmlessly and the
     fixed-shape gather always reads valid indices. Usable pages are
-    1..n_pages."""
+    1..n_pages.
+
+    ``n_views > 0`` (GPT_MoP): adds an ``mv`` view-history pool of shape
+    (L, n_pages + 1, page_size, V) — the gate conv's tap source, paged
+    with the same tables as the KV rows."""
     L, h = config.n_layer, config.n_head
     dk = config.n_embd // h
     shape = (L, n_pages + 1, h, page_size, dk)
-    return {"k": jnp.zeros(shape, dtype), "k2": jnp.zeros(shape, dtype),
+    pool = {"k": jnp.zeros(shape, dtype), "k2": jnp.zeros(shape, dtype),
             "v": jnp.zeros(shape, dtype)}
+    if n_views:
+        pool["mv"] = jnp.zeros((L, n_pages + 1, page_size, n_views),
+                               jnp.float32)
+    return pool
 
 
 def paged_decode_step_rows(model, params, pool, table, tokens, lens):
@@ -102,6 +111,16 @@ def paged_decode_step_rows(model, params, pool, table, tokens, lens):
         a = _attn_step(bp["attn"], cfg, h, gather(new["k"][i]),
                        gather(new["k2"][i]), gather(new["v"][i]), n_valid)
         x = x + a
+        if "views" in bp:  # GPT_MoP gate: write the view row into its
+            # page, assemble the table-ordered history, tap at `lens`
+            v_row = _lin(x, bp["views"]["proj"])  # (B, 1, V)
+            new["mv"] = new["mv"].at[i, page_ids, off, :].set(
+                v_row[:, 0, :].astype(new["mv"].dtype))
+            bsz, pmax = table.shape
+            mv_rows = new["mv"][i][table].reshape(bsz, pmax * ps, -1)
+            gate = _mop_gates(bp, mv_rows, lens,
+                              bool(getattr(model, "causal_gate", False)))
+            x = x * gate[..., None]
         hm = _ln(x, bp["ln2"])
         x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])), bp["mlp"]["proj"])
 
@@ -162,7 +181,8 @@ class PagedDecodeEngine(DecodeEngine):
                          logprobs_topk=logprobs_topk)
         # the page pool replaces the dense slot slabs (which _make_cache
         # below prevents from ever being allocated)
-        self._pool = init_paged_pool(cfg, n_pages, page_size, kv_dtype)
+        self._pool = init_paged_pool(cfg, n_pages, page_size, kv_dtype,
+                                     n_views=model_n_views(model))
         self._free: List[int] = list(range(n_pages, 0, -1))  # stack; 0=scratch
         self._table = np.zeros((max_batch, self.pages_per_slot), np.int32)
         self._n_alloc = np.zeros((max_batch,), np.int32)  # pages per slot
@@ -196,12 +216,16 @@ class PagedDecodeEngine(DecodeEngine):
             # past the allocation point at scratch page 0, whose duplicate
             # garbage writes are harmless by design — so admission compiles
             # once per prefill bucket, NOT once per page count.
-            for key in ("k", "k2", "v"):
-                rows = pc[key][:, 0]  # (L, H, block, dk)
-                L, H, _, dk = rows.shape
-                chunk = rows.reshape(L, H, npb, page_size, dk)
-                chunk = chunk.transpose(0, 2, 1, 3, 4)  # (L, npb, H, ps, dk)
+            for key in self._pool_keys:
+                rows = pc[key][:, 0]  # (L, H, block, dk) / mv: (L, block, V)
                 pool = dict(pool)
+                if key == "mv":
+                    L, _, V = rows.shape
+                    chunk = rows.reshape(L, npb, page_size, V)
+                else:
+                    L, H, _, dk = rows.shape
+                    chunk = rows.reshape(L, H, npb, page_size, dk)
+                    chunk = chunk.transpose(0, 2, 1, 3, 4)  # (L,npb,H,ps,dk)
                 pool[key] = pool[key].at[:, pages].set(
                     chunk.astype(pool[key].dtype))
             r1 = lambda x: jnp.reshape(x, (1,))
@@ -241,8 +265,8 @@ class PagedDecodeEngine(DecodeEngine):
 
     def cache_bytes(self) -> int:
         """Actual cache HBM held by this engine (page pools incl. scratch)."""
-        return sum(int(self._pool[k].size) * self._pool[k].dtype.itemsize
-                   for k in ("k", "k2", "v"))
+        return sum(int(buf.size) * buf.dtype.itemsize
+                   for buf in self._pool.values())
 
     def dense_equivalent_bytes(self) -> int:
         """What the dense engine's slot slabs would hold at this

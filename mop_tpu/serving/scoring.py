@@ -54,7 +54,9 @@ def _fn(model, t_pad: int, k: int):
     from .engine import decode_chunk_rows  # circular-import guard
 
     def run(params, tail):
-        cache = init_decode_cache(model.config, 1)
+        from ..models.generate import model_n_views
+        cache = init_decode_cache(model.config, 1,
+                                  n_views=model_n_views(model))
         cache_lens = jnp.zeros((1,), jnp.int32)
         logits, _ = decode_chunk_rows(model, params, cache, tail,
                                       cache_lens)

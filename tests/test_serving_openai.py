@@ -591,19 +591,25 @@ def test_parse_tools_rules():
     # required -> union over the tools, in listing order
     p = parse_chat({**msgs, "tools": tools, "tool_choice": "required"},
                    _IdTok())
-    assert [t[0] for t in p["tools"]] == ["add", "nop"]
+    assert p["tools"]["mode"] == "forced"
+    assert [t[0] for t in p["tools"]["tools"]] == ["add", "nop"]
     # a named function -> that branch only
     p = parse_chat({**msgs, "tools": tools,
                     "tool_choice": {"type": "function",
                                     "function": {"name": "nop"}}},
                    _IdTok())
-    assert p["tools"] == [("nop", None)]
+    assert p["tools"] == {"mode": "forced", "tools": [("nop", None)]}
+    # auto (explicit or the OpenAI default with tools present) -> the
+    # free-text-or-tool union constraint
+    for r in ({**msgs, "tools": tools},
+              {**msgs, "tools": tools, "tool_choice": "auto"}):
+        p = parse_chat(r, _IdTok())
+        assert p["tools"]["mode"] == "auto"
+        assert [t[0] for t in p["tools"]["tools"]] == ["add", "nop"]
     # none -> tools ignored entirely
     assert parse_chat({**msgs, "tools": tools, "tool_choice": "none"},
                       _IdTok())["tools"] is None
-    for bad in ({**msgs, "tools": tools},                    # auto default
-                {**msgs, "tools": tools, "tool_choice": "auto"},
-                {**msgs, "tools": [], "tool_choice": "required"},
+    for bad in ({**msgs, "tools": [], "tool_choice": "required"},
                 {**msgs, "tool_choice": "required"},         # no tools
                 {**msgs, "tools": [{"type": "function"}],
                  "tool_choice": "required"},
@@ -703,18 +709,86 @@ def test_v1_tool_calls():
         assert out["choices"][0]["message"]["content"] is not None
 
         for bad in ({"messages": [{"role": "user", "content": "g"}],
-                     "max_tokens": 4, "tools": tools},  # auto
-                    {"messages": [{"role": "user", "content": "g"}],
                      "max_tokens": 4, "tools": tools,
                      "tool_choice": "required",
                      "response_format": {"type": "json_schema",
                                          "json_schema": {"schema": {
-                                             "type": "integer"}}}}):
+                                             "type": "integer"}}}},):
             with pytest.raises(urllib.error.HTTPError) as e:
                 _post(srv.port, "/v1/chat/completions", bad)
             assert e.value.code == 400
+
+        # tool_choice auto, steered AWAY from the '{' trigger: the model
+        # decides, free text comes back as a plain content choice
+        ban = {str(tok.encode("{")[0]): -100}
+        out = _post(srv.port, "/v1/chat/completions",
+                    {"messages": [{"role": "user", "content": "go"}],
+                     "max_tokens": 8, "tools": tools,
+                     "tool_choice": "auto", "logit_bias": ban})
+        c = out["choices"][0]
+        assert "tool_calls" not in c["message"]
+        assert isinstance(c["message"]["content"], str)
+        assert not c["message"]["content"].startswith('{"')
+
+        # tool_choice auto, unconstrained model: the response is EITHER
+        # plain content or a complete, schema-valid tool call — never a
+        # malformed call (the union-DFA invariant)
+        out = _post(srv.port, "/v1/chat/completions",
+                    {"messages": [{"role": "user", "content": "go"}],
+                     "max_tokens": 64, "tools": tools,
+                     "tool_choice": "auto"})
+        c = out["choices"][0]
+        if c["finish_reason"] == "tool_calls":
+            call = c["message"]["tool_calls"][0]
+            assert call["function"]["name"] in ("add", "nop")
+            json.loads(call["function"]["arguments"])
+        else:
+            assert c["message"]["content"] is not None
     finally:
         srv.stop()
+
+
+def test_tool_call_auto_dfa_semantics():
+    """The auto union DFA: free text flows unconstrained (EOS legal
+    anywhere off the trigger), but once the output commits to the
+    '{\"' trigger the only legal continuations spell a complete tool
+    call for one of the tools."""
+    from mop_tpu.serving.json_schema import tool_call_auto_to_dfa
+
+    vocab = sorted(set('{}":,abdnoprgumentsx123 '))
+    dfa = tool_call_auto_to_dfa(
+        [("add", {"type": "object",
+                  "properties": {"x": {"enum": [1, 2]}}}),
+         ("nop", None)], vocab)
+    enc = {ch: i for i, ch in enumerate(vocab)}
+
+    def walk(text):
+        s = dfa.init_state()
+        for ch in text:
+            s = dfa.advance(s, enc[ch])
+            if s is None:
+                return None
+        return s
+
+    # free text: accepting (EOS legal) at every non-trigger point
+    for t in ("", "abba", "{", "{x", "ab{\"x"):
+        s = walk(t)
+        assert s is not None and dfa.accepts(s), t
+    # committed to the trigger: NOT accepting, and the only allowed
+    # next char after '{"' is 'n' (both tool names start with n... no —
+    # 'a' for add too). The allowed set must be exactly the tool-name
+    # first chars + nothing free.
+    s = walk('{"')
+    assert s is not None and not dfa.accepts(s)
+    allowed = {vocab[t] for t in dfa.allowed(s)}
+    assert allowed == {"n"}  # '{"name":' — the literal key comes next
+    # a complete call accepts; a wrong-schema call dead-ends
+    s = walk('{"name":"nop","arguments":{}}')
+    assert s is not None and dfa.accepts(s)
+    assert walk('{"name":"nop","arguments":{"x":1}}') is None
+    s = walk('{"name":"add","arguments":{"x":1}}')
+    assert s is not None and dfa.accepts(s)
+    assert walk('{"name":"add","arguments":{"x":3}}') is None
 
 
 def test_v1_stream_options_include_usage(oai_server):
