@@ -171,7 +171,8 @@ class ServingServer:
                  chat_template=None, whisper_engine=None,
                  whisper_tokenizer=None, audio_rate: int = 16000,
                  embed_model: Optional[EmbeddingModel] = None,
-                 max_embed_inputs: int = 256):
+                 max_embed_inputs: int = 256,
+                 max_queue: int = 64, retry_after: int = 1):
         self.engine = engine
         # /v1/embeddings backend: an explicit EmbeddingModel, or (lazily,
         # on first request) the serving engine's own model + params.
@@ -181,6 +182,14 @@ class ServingServer:
         self._embed_model = embed_model
         self._max_embed_inputs = int(max_embed_inputs)
         self._embeddings_served = 0
+        # admission backpressure: requests past ``max_queue`` waiting
+        # entries get 429 + Retry-After instead of unbounded queue (and
+        # host memory) growth; rejections are counted in /metrics
+        if max_queue < 1:
+            raise ValueError(f"max_queue must be >= 1, got {max_queue}")
+        self._max_queue = int(max_queue)
+        self._retry_after = int(retry_after)
+        self._rejected = 0
         self._tokenizer = tokenizer
         self._model_name = model_name
         self._chat_template = chat_template
@@ -214,13 +223,39 @@ class ServingServer:
             def log_message(self, *a):  # silence per-request stderr spam
                 pass
 
-            def _json(self, code: int, payload: dict) -> None:
+            def _json(self, code: int, payload: dict,
+                      headers: Optional[dict] = None) -> None:
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _admission_check(self, n_new: int, oai: bool):
+                """Bounded-queue backpressure (must hold outer._lock):
+                if admitting ``n_new`` more requests would push the
+                engine queue past ``max_queue``, send 429 +
+                ``Retry-After`` and return False. Without this a
+                misbehaving client grows the queue (and host memory)
+                without limit."""
+                eng = outer.engine
+                if eng.n_queued + n_new <= outer._max_queue:
+                    return True
+                outer._rejected += 1
+                retry = {"Retry-After": str(outer._retry_after)}
+                msg = (f"queue full ({eng.n_queued} waiting, limit "
+                       f"{outer._max_queue}); retry later")
+                if oai:
+                    body = {"error": {"message": msg,
+                                      "type": "overloaded_error",
+                                      "param": None, "code": None}}
+                else:
+                    body = {"error": msg}
+                self._json(429, body, headers=retry)
+                return False
 
             def do_GET(self):
                 if self.path == "/metrics":
@@ -269,6 +304,9 @@ class ServingServer:
                         ("embeddings_served_total", "counter",
                          "Input sequences embedded via /v1/embeddings.",
                          outer._embeddings_served),
+                        ("requests_rejected_total", "counter",
+                         "Requests rejected with 429 (queue full).",
+                         outer._rejected),
                     ]
                 out = []
                 for name, kind, help_, val in rows:
@@ -402,6 +440,8 @@ class ServingServer:
                             return self._json(500, {
                                 "error": "device worker failed: "
                                          f"{outer._step_error!r}"})
+                        if not self._admission_check(1, oai=False):
+                            return
                         rid = outer.engine.submit(prompt, max_new, **kw)
                         outer._lat_pending[rid] = [time.monotonic(), None]
                 except ValueError as e:  # bad length / budget / sampling
@@ -494,6 +534,9 @@ class ServingServer:
                         # best_of (>= n) candidates = that many engine
                         # requests submitted together; they decode as one
                         # batch on the slot pool (not sequentially)
+                        if not self._admission_check(
+                                p.get("best_of", p["n"]), oai=True):
+                            return
                         rids = []
                         base_seed = p["kw"].get("seed")
                         for ci in range(p.get("best_of", p["n"])):
@@ -650,6 +693,15 @@ class ServingServer:
                                 500, "device worker failed: "
                                      f"{outer._step_error!r}",
                                 "server_error")
+                        if weng.n_queued + 1 > outer._max_queue:
+                            outer._rejected += 1
+                            return self._json(
+                                429, {"error": {
+                                    "message": "queue full; retry later",
+                                    "type": "overloaded_error",
+                                    "param": None, "code": None}},
+                                headers={"Retry-After":
+                                         str(outer._retry_after)})
                         rid = weng.submit(mel, max_new_tokens=max(
                             1, weng.win - 1))
                 except (KeyError, ValueError, TypeError) as e:

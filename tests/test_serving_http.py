@@ -501,3 +501,60 @@ def test_http_signal_triggers_drain():
         _signal.signal(_signal.SIGUSR2, prev)
         if srv._running:
             srv.stop()
+
+
+def test_http_admission_backpressure_429():
+    """Bounded queue: a burst of 4x capacity is either served or cleanly
+    rejected with 429 + Retry-After — the queue never grows past
+    max_queue and the rejection counter lands in /metrics (VERDICT r3
+    #8: previously the queue was unbounded)."""
+    model, params, eng = _engine(max_batch=2)
+    srv = ServingServer(eng, max_queue=2, retry_after=3)
+    srv.start()
+    try:
+        results = []
+        lock = threading.Lock()
+
+        def client(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/generate",
+                data=json.dumps({"prompt": [1 + i % 5, 2, 3],
+                                 "max_new_tokens": 24}).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    body = json.loads(r.read())
+                    with lock:
+                        results.append((200, None, body))
+            except urllib.error.HTTPError as e:
+                with lock:
+                    results.append((e.code, e.headers.get("Retry-After"),
+                                    json.loads(e.read())))
+
+        # 4x capacity: 2 slots + 2 queue = 4 absorbable at once; 16 sent
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        codes = [c for c, _, _ in results]
+        assert len(results) == 16
+        assert set(codes) <= {200, 429}
+        n_ok = codes.count(200)
+        assert n_ok >= 1  # capacity was served
+        assert 429 in codes  # the burst overflowed the bound
+        for code, retry, body in results:
+            if code == 429:
+                assert retry == "3"
+                assert "queue full" in str(body)
+            else:
+                assert len(body["tokens"]) == 24
+        # rejections are observable; the server stays healthy after
+        m = _metrics(srv.port)
+        assert m["mop_requests_rejected_total"] == float(
+            codes.count(429))
+        ok = _post(srv.port, {"prompt": [1, 2], "max_new_tokens": 4})
+        assert len(ok["tokens"]) == 4
+    finally:
+        srv.stop()
