@@ -150,7 +150,12 @@ def standardize_scores_causal(scores: Array, eps: float = 1e-5) -> Array:
     mu = jnp.sum(jnp.where(live, scores, 0.0), -1, keepdims=True) / cnt
     var = jnp.sum(jnp.where(live, jnp.square(scores - mu), 0.0), -1,
                   keepdims=True) / jnp.maximum(cnt - 1.0, 1.0)
-    return (scores - mu) / (jnp.sqrt(var) + eps)
+    # Row 0's prefix is a single element, so var == 0 EXACTLY and
+    # d(sqrt)/d(var) is infinite — a plain sqrt NaNs every training
+    # gradient. Safe form: the output there is 0 anyway (s == mu), so
+    # route the sqrt through a clamped argument; forward is unchanged.
+    sigma = jnp.sqrt(jnp.where(var > 0.0, var, 1.0))
+    return jnp.where(var > 0.0, (scores - mu) / (sigma + eps), 0.0)
 
 
 def attend(

@@ -240,7 +240,8 @@ class DecodeEngine:
                  adapters: Optional[Dict[str, dict]] = None,
                  adapter_scale=1.0,
                  chunk_prefill: Optional[int] = None,
-                 logprobs_topk: int = 0):
+                 logprobs_topk: int = 0,
+                 max_beams: int = 0):
         """``cache_sharding``: optional ``jax.sharding.NamedSharding`` for
         the K/K2/V slot pools — e.g. heads over the mesh 'model' axis,
         ``NamedSharding(mesh, P(None, None, 'model', None, None))`` — for
@@ -294,6 +295,19 @@ class DecodeEngine:
         Composes with the prefix cache (only the uncached tail is
         chunked).
 
+        ``max_beams``: if > 0, requests may ask for per-request BEAM
+        SEARCH (``submit(..., num_beams=k)``, 2 <= k <= max_beams). A
+        beam request occupies k adjacent rows of the SAME fixed-shape
+        step (beams are just rows with shared prefixes); after each step
+        the host selects the top k of the k x k candidate expansions
+        (exact — each parent's k best bound the global top k) and one
+        extra device dispatch permutes the group's cache rows by parent
+        beam. Beam requests co-batch with greedy/sampled requests and
+        their tokens equal ``models.beam.generate_beam`` single-stream
+        token-for-token (tests/test_serving_beam.py). The step returns
+        a (B, max_beams) top-logprob block every iteration — keep
+        max_beams modest.
+
         ``logprobs_topk``: if > 0, every emitted token's log-probability
         plus the ``logprobs_topk`` most likely alternatives are recorded
         (``logprobs`` / ``top_logprobs``, aligned 1:1 with ``results``).
@@ -311,6 +325,15 @@ class DecodeEngine:
             raise ValueError(
                 f"logprobs_topk must be in [0, 32], got {logprobs_topk}")
         self.logprobs_topk = int(logprobs_topk)
+        if not 0 <= int(max_beams) <= max_batch:
+            raise ValueError(
+                f"max_beams must be in [0, max_batch={max_batch}], got "
+                f"{max_beams}")
+        self.max_beams = int(max_beams)
+        # live beam groups: rid -> {slots, k, scores, alive, hyp_len,
+        # bufs, lenpen, budget, eos} (host-side hypothesis sets)
+        self._beam_groups: Dict[int, dict] = {}
+        self._beam_finalized: List[tuple] = []
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
@@ -402,9 +425,40 @@ class DecodeEngine:
                                   rep, pres, freq, ocounts, pseen, lbias,
                                   seeds=seeds, ntoks=ntoks)
             ocounts = ocounts.at[jnp.arange(ocounts.shape[0]), nxt].add(1)
-            return (nxt, new_cache, ocounts) + self._lp_of(logits, nxt)
+            return (nxt, new_cache, ocounts) + self._lp_of(logits, nxt) \
+                + self._beam_tops(logits)
 
         self._step_fn = jax.jit(_step, donate_argnums=(14,))
+
+        def _beam_apply(c, perm, newtoks):
+            """Post-step beam bookkeeping on device: permute the pool
+            rows by parent beam (identity outside beam groups; per-row
+            lengths are equal within a group, so ``len`` needs no
+            gather) and install the host-selected next tokens."""
+            c = dict(c)
+            for key in self._pool_keys:
+                c[key] = jnp.take(c[key], perm, axis=1)
+            return c, newtoks
+
+        self._beam_apply_fn = jax.jit(_beam_apply, donate_argnums=(0,))
+
+        def _adm_beam(params, c, tokens, prompt, slots, k_beams):
+            """Beam admission: ONE prefill pasted into all k slots plus
+            the top-k first tokens/scores (the fan-out step of
+            ``models.beam.generate_beam``)."""
+            logits, pc = prefill(self.model, params, prompt)
+            c = dict(c)
+            for key in self._pool_keys:
+                c[key] = c[key].at[:, slots].set(
+                    pc[key][:, 0][:, None].astype(c[key].dtype))
+            c["len"] = c["len"].at[slots].set(prompt.shape[1])
+            logp = jax.nn.log_softmax(logits[0].astype(jnp.float32), -1)
+            scores, toks = jax.lax.top_k(logp, k_beams)
+            tokens = tokens.at[slots].set(toks.astype(jnp.int32))
+            return c, tokens, scores, toks.astype(jnp.int32)
+
+        self._adm_beam_fn = jax.jit(_adm_beam, donate_argnums=(1, 2),
+                                    static_argnums=(5,))
         self.prefill_buckets = (
             sorted(prefill_buckets) if prefill_buckets else None)
         if self.prefill_buckets and self.prefill_buckets[-1] > self.block_size:
@@ -633,6 +687,18 @@ class DecodeEngine:
         tv, ti = jax.lax.top_k(lsm, self.logprobs_topk)
         return (lp, tv, ti)
 
+    def _beam_tops(self, logits):
+        """Beam extras ``(top_vals, top_ids)`` — each row's top
+        ``max_beams`` fp32 log-probs — or ``()`` when beam support is off.
+        Exactness: the global top-k over a group's k x V expansions only
+        ever draws each parent's own k best, so this block is all the
+        host selection needs."""
+        if not self.max_beams:
+            return ()
+        lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tv, ti = jax.lax.top_k(lsm, self.max_beams)
+        return (tv, ti)
+
     def _lp_entry(self, lp_h, tv_h, ti_h, idx):
         """Host-side (float, [(tok, lp), ...]) for row ``idx`` of the
         device-fetched extras."""
@@ -711,10 +777,24 @@ class DecodeEngine:
                frequency_penalty: Optional[float] = None,
                logit_bias: Optional[dict] = None,
                stop=None, adapter: Optional[str] = None,
-               constraint=None, seed: Optional[int] = None) -> int:
+               constraint=None, seed: Optional[int] = None,
+               num_beams: Optional[int] = None,
+               length_penalty: float = 1.0) -> int:
         """Queue a request. ``prompt``: 1-D int sequence, 1 <= len <
         block_size. Generation stops at ``max_new_tokens``, EOS, a ``stop``
         match, or the context window, whichever first.
+
+        ``num_beams`` (requires an engine built with ``max_beams >= k``):
+        beam-search THIS request over k beams; the result is the best
+        beam ranked by cumulative log-prob / length^``length_penalty``,
+        token-equal to ``models.beam.generate_beam`` single-stream. The
+        request occupies k slots until it completes, emits nothing until
+        then (no per-step streaming — earlier tokens can be rewritten by
+        beam reordering), and is deterministic, so it rejects sampling
+        overrides, penalties, logit_bias, stop sequences, adapters,
+        constraints, and seeds. Admission waits until k slots are free
+        (head-of-line: a big beam request blocks later arrivals until
+        slots drain).
 
         ``constraint``: optional :class:`~mop_tpu.serving.TokenDFA` — the
         output must follow the automaton's token edges, EOS legal exactly
@@ -843,10 +923,42 @@ class DecodeEngine:
         if seed is not None and not 0 <= int(seed) < 2 ** 31:
             raise ValueError(f"seed must be in [0, 2**31), got {seed}")
         seed_q = -1 if seed is None else int(seed)
+        nb = None
+        if num_beams is not None and int(num_beams) != 1:
+            nb = int(num_beams)
+            if not 2 <= nb <= self.max_beams:
+                raise ValueError(
+                    f"num_beams {nb} needs an engine built with "
+                    f"max_beams >= {nb} (max_beams={self.max_beams})")
+            if nb > self.model.vocab_size:
+                raise ValueError(
+                    f"num_beams {nb} exceeds vocab_size "
+                    f"{self.model.vocab_size}")
+            if prompt.size + max_new_tokens > self.block_size:
+                raise ValueError(
+                    "beam search needs t0 + max_new_tokens <= block_size "
+                    f"({prompt.size} + {max_new_tokens} > "
+                    f"{self.block_size}): beams cannot retire early row "
+                    "by row")
+            # only EXPLICIT per-request overrides are rejected — engine
+            # sampling defaults are simply ignored (beam rows are greedy)
+            if temperature not in (None, 0, 0.0) or top_k is not None \
+                    or top_p not in (None, 1.0) or min_p not in (None, 0.0) \
+                    or repetition_penalty not in (None, 1.0) \
+                    or presence_penalty not in (None, 0.0) \
+                    or frequency_penalty not in (None, 0.0) \
+                    or logit_bias or stops or adapter is not None \
+                    or constraint is not None or seed is not None:
+                raise ValueError(
+                    "beam search is deterministic: sampling overrides, "
+                    "penalties, logit_bias, stop sequences, adapters, "
+                    "constraints, and seeds are not supported with "
+                    "num_beams")
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append((rid, prompt, max_new_tokens, sp, bias_row,
-                            stops, aid, constraint, seed_q))
+                            stops, aid, constraint, seed_q, nb,
+                            float(length_penalty)))
         self._results[rid] = []
         self._done[rid] = False
         if self.logprobs_topk:
@@ -963,7 +1075,7 @@ class DecodeEngine:
                   if r >= 0 and s not in self._chunk_state]
         if active:
             self._rng, sub = jax.random.split(self._rng)
-            nxt, self._cache, self._ocounts, *lpx = self._step_fn(
+            nxt, self._cache, self._ocounts, *extras = self._step_fn(
                 self._step_params(), self._cache, self._tokens,
                 self._cache["len"], sub,
                 jnp.asarray(self._slot_seed.astype(np.int32)),
@@ -973,6 +1085,8 @@ class DecodeEngine:
                 jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
                 jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
                 self._ocounts, self._pseen, self._lbias)
+            lp_n = 3 if self.logprobs_topk else 0
+            lpx, btx = extras[:lp_n], extras[lp_n:]
             # inactive rows advanced too (fixed-shape step); reset their
             # lengths so their garbage rows stay out of any future prefix.
             # A chunk-pending row's length is pinned back to its fed count:
@@ -990,15 +1104,32 @@ class DecodeEngine:
             # ONE host fetch per step whatever is tracked: a second
             # device_get is a second dispatch round-trip, which at
             # serving scale costs as much as the decode step itself
-            toks, lens, *lph = jax.device_get(
-                (nxt, self._cache["len"], *lpx))
+            toks, lens, *rest = jax.device_get(
+                (nxt, self._cache["len"], *lpx, *btx))
+            lph, bth = rest[:lp_n], rest[lp_n:]
+            beam_slots = {s for g in self._beam_groups.values()
+                          for s in g["slots"]}
             if self.logprobs_topk:
                 for s in active:
+                    if s in beam_slots:
+                        continue
                     emit(s, self._slot_rid[s], int(toks[s]), int(lens[s]),
                          self._lp_entry(lph[0], lph[1], lph[2], s))
             else:
                 for s in active:
+                    if s in beam_slots:
+                        continue
                     emit(s, self._slot_rid[s], int(toks[s]), int(lens[s]))
+            if self._beam_groups:
+                perm, newtoks, changed = self._beam_step_update(
+                    bth[0], bth[1], toks)
+                if changed:
+                    self._cache, self._tokens = self._beam_apply_fn(
+                        self._cache, jnp.asarray(perm),
+                        jnp.asarray(newtoks))
+        for rid, toks_f in self._beam_finalized:
+            emitted.setdefault(rid, []).extend(toks_f)
+        self._beam_finalized.clear()
         return emitted
 
     def run(self) -> Dict[int, List[int]]:
@@ -1043,6 +1174,12 @@ class DecodeEngine:
                 del self._queue[i]
                 self._done[rid] = True
                 return True
+        if rid in self._beam_groups:  # active beam group: free all slots
+            g = self._beam_groups.pop(rid)
+            for s in g["slots"]:
+                self._slot_rid[s] = -1
+            self._done[rid] = True
+            return True
         slot = self._slot_rid.index(rid)  # not done, not queued -> active
         self._slot_rid[slot] = -1
         self._chunk_state.pop(slot, None)  # may be mid-chunked-prefill
@@ -1058,12 +1195,16 @@ class DecodeEngine:
         reserved the slot and the prompt is still feeding
         (_chunk_advance emits the real tok0 after the last chunk); lp0 is
         tok0's logprob entry or None when tracking is off."""
+        if not self._queue:
+            return None
+        if self._queue[0][9] is not None:  # beam request at the head
+            return self._admit_beam()
         try:
             slot = self._slot_rid.index(-1)
         except ValueError:
             return None
-        rid, prompt, max_new, sp, bias_row, stops, aid, con, seed = \
-            self._queue.popleft()
+        (rid, prompt, max_new, sp, bias_row, stops, aid, con, seed,
+         _nb, _lpen) = self._queue.popleft()
         t0 = int(prompt.size)
         c = self._cache
         self._slot_seed[slot] = seed
@@ -1159,6 +1300,130 @@ class DecodeEngine:
         self._prefix_store(prompt, store, aid)
         self._on_admit(slot, prompt)
         return slot, rid, tok0, t0, lp0
+
+    # ---------------- beam groups ----------------
+
+    def _admit_beam(self):
+        """Admit the beam request at the queue head into k free slots
+        (ONE prefill fanned out; the fan-out step of generate_beam).
+        Returns a (slot, rid, None, t0, None) marker — beam requests
+        emit nothing until they finalize — or None if fewer than k
+        slots are free (head-of-line wait)."""
+        free = [s for s, r in enumerate(self._slot_rid) if r < 0]
+        nb = self._queue[0][9]
+        if len(free) < nb:
+            return None
+        (rid, prompt, max_new, sp, _bias, _stops, _aid, _con, _seed,
+         nb, lpen) = self._queue.popleft()
+        slots = free[:nb]
+        t0 = int(prompt.size)
+        self._cache, self._tokens, scores, toks = self._adm_beam_fn(
+            self.params, self._cache, self._tokens, prompt[None, :],
+            jnp.asarray(slots, jnp.int32), nb)
+        scores_h, toks_h = jax.device_get((scores, toks))
+        eos = int(sp[3])  # -1 = none
+        alive = np.ones((nb,), bool) if eos < 0 else (toks_h != eos)
+        zrow = jnp.zeros((self._vocab,), jnp.float32)
+        for s in slots:
+            self._slot_rid[s] = rid
+            self._slot_temp[s] = 0.0
+            self._slot_topk[s] = 0
+            self._slot_topp[s] = 1.0
+            self._slot_eos[s] = -1  # the host hypothesis set owns EOS
+            self._slot_minp[s] = 0.0
+            self._slot_rep[s] = 1.0
+            self._slot_pres[s] = 0.0
+            self._slot_freq[s] = 0.0
+            self._slot_seed[s] = -1
+            self._slot_stops[s] = []
+            self._slot_constraint[s] = None
+            self._slot_cstate[s] = None
+            self._slot_bias[s] = None
+            self._budget[s] = max_new
+            self._lbias = self._lbias.at[s].set(zrow)
+        self._beam_groups[rid] = {
+            "slots": slots, "k": nb, "lenpen": float(lpen),
+            "scores": np.asarray(scores_h, np.float32),
+            "alive": alive,
+            "hyp_len": np.ones((nb,), np.int32),
+            "bufs": [[int(t)] for t in toks_h],
+            "eos": None if eos < 0 else eos,
+            "pad": 0 if eos < 0 else eos,
+            "budget": max_new - 1,
+        }
+        if max_new <= 1 or not alive.any():
+            self._finalize_beam(rid)
+        return slots[0], rid, None, t0, None
+
+    def _finalize_beam(self, rid: int) -> None:
+        """Rank the group's hypotheses (score / length^lenpen, the
+        generate_beam formulation), record the best beam's tokens as
+        the request result, free the slots."""
+        g = self._beam_groups.pop(rid)
+        norm = np.maximum(g["hyp_len"].astype(np.float32),
+                          np.float32(1.0)) ** np.float32(g["lenpen"])
+        final = g["scores"] / norm
+        best = int(np.argsort(-final, kind="stable")[0])
+        toks = g["bufs"][best][: int(g["hyp_len"][best])]
+        self._results[rid] = [int(t) for t in toks]
+        self.tokens_generated += len(toks)
+        self._done[rid] = True
+        for s in g["slots"]:
+            self._slot_rid[s] = -1
+        self._beam_finalized.append((rid, self._results[rid]))
+
+    def _beam_step_update(self, btv, bti, toks_host) -> tuple:
+        """Host beam selection after a device step: for each live group
+        pick the top k of its k x k candidate block (EXACT — each
+        parent's top k bound the global top k; ties break on the
+        parent-major flat index, matching lax.top_k in generate_beam's
+        ``_beam_select``). Returns (perm, newtoks, changed) for the
+        device-side cache permutation."""
+        perm = np.arange(self.max_batch)
+        newtoks = None
+        changed = False
+        for rid in list(self._beam_groups):
+            g = self._beam_groups[rid]
+            slots, k = g["slots"], g["k"]
+            V = self._vocab
+            cand = []  # (-score, flat_index, parent, token)
+            for j, s in enumerate(slots):
+                if g["alive"][j]:
+                    for r in range(k):
+                        tok = int(bti[s][r])
+                        cand.append((-(g["scores"][j]
+                                       + np.float32(btv[s][r])),
+                                     j * V + tok, j, tok))
+                else:
+                    cand.append((-g["scores"][j], j * V + g["pad"], j,
+                                 g["pad"]))
+            cand.sort()
+            top = cand[:k]
+            new_scores = np.asarray([-c[0] for c in top], np.float32)
+            parents = [c[2] for c in top]
+            toks = [c[3] for c in top]
+            new_alive = np.asarray(
+                [g["alive"][p] and (g["eos"] is None or t != g["eos"])
+                 for p, t in zip(parents, toks)], bool)
+            p_alive = np.asarray([g["alive"][p] for p in parents], bool)
+            g["bufs"] = [g["bufs"][p]
+                         + [t if pa else g["pad"]]
+                         for p, t, pa in zip(parents, toks, p_alive)]
+            g["hyp_len"] = np.asarray(
+                [g["hyp_len"][p] + (1 if pa else 0)
+                 for p, pa in zip(parents, p_alive)], np.int32)
+            g["scores"] = new_scores
+            g["alive"] = new_alive
+            g["budget"] -= 1
+            if newtoks is None:
+                newtoks = np.asarray(toks_host, np.int32).copy()
+            for i, (p, t) in enumerate(zip(parents, toks)):
+                perm[slots[i]] = slots[p]
+                newtoks[slots[i]] = t if p_alive[i] else g["pad"]
+            changed = True
+            if g["budget"] <= 0 or not new_alive.any():
+                self._finalize_beam(rid)
+        return perm, newtoks, changed
 
     def _chunk_advance(self, slot: int):
         """Feed the next C-token chunk of ``slot``'s pending prompt

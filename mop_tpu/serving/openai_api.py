@@ -248,6 +248,26 @@ def _common(req: dict, tokenizer, allow_best_of: bool = False) -> tuple:
     max_new = req.get("max_tokens")
     max_new = 16 if max_new is None else int(max_new)  # 0 stays invalid
     stream = bool(req.get("stream", False))
+    # extension fields (not in the upstream API): per-request beam search
+    # mapped onto the engine's beam groups. Deterministic and
+    # whole-result: no stream, no n/best_of fan-out, no sampling knobs
+    # (the engine's own submit validation covers those), no logprobs
+    # (beams track none).
+    if req.get("num_beams") is not None:
+        nb = int(req["num_beams"])
+        if not 1 <= nb <= 16:
+            raise ValueError(f"num_beams must be in [1, 16], got {nb}")
+        if stream:
+            raise ValueError("num_beams with stream is not supported")
+        if n != 1 or best_of != 1:
+            raise ValueError("num_beams cannot combine with n/best_of")
+        if req.get("logprobs"):
+            raise ValueError("num_beams with logprobs is not supported")
+        kw["num_beams"] = nb
+        if req.get("length_penalty") is not None:
+            kw["length_penalty"] = float(req["length_penalty"])
+    elif req.get("length_penalty") is not None:
+        raise ValueError("length_penalty requires num_beams")
     so = req.get("stream_options")
     include_usage = False
     if so is not None:

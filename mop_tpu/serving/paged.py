@@ -324,7 +324,7 @@ class PagedDecodeEngine(DecodeEngine):
              self._slot_bias[victim], self._slot_stops[victim],
              int(self._slot_adapter[victim]),
              self._slot_constraint[victim],
-             int(self._slot_seed[victim])))
+             int(self._slot_seed[victim]), None, 1.0))
         self._slot_rid[victim] = -1
         self._slot_constraint[victim] = None
         self._slot_cstate[victim] = None
@@ -375,8 +375,8 @@ class PagedDecodeEngine(DecodeEngine):
         if not self._queue:
             return None
         self._reclaim_retired()
-        rid, prompt, max_new, sp, bias_row, stops, aid, con, seed = \
-            self._queue[0]
+        (rid, prompt, max_new, sp, bias_row, stops, aid, con, seed,
+         _nb, _lpen) = self._queue[0]
         t0 = int(prompt.size)
         # pages covering positions 0..t0 (t0 = where tok0's K lands next)
         n_need = t0 // self.page_size + 1
