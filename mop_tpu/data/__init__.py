@@ -1,7 +1,8 @@
 """Data loading: CIFAR pickles + synthetic fallback, batch iterators,
 text tokenizers, WAV + log-mel audio frontend."""
 
-from .audio import load_wav, log_mel, mel_filterbank, resample, wav_bytes
+from .audio import (load_wav, log_mel, mel_filterbank, resample,
+                    segment_frames, wav_bytes)
 from .tokenizer import ByteBPETokenizer, CharTokenizer
 from .cifar import (
     BatchIterator,
@@ -26,4 +27,5 @@ __all__ = [
     "resample",
     "mel_filterbank",
     "log_mel",
+    "segment_frames",
 ]

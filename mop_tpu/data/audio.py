@@ -152,3 +152,25 @@ def log_mel(audio: np.ndarray, rate: int = 16000, n_mels: int = 80,
     if n_frames is not None and out.shape[0] < n_frames:
         out = np.pad(out, ((0, n_frames - out.shape[0]), (0, 0)))
     return out
+
+
+def segment_frames(mel: np.ndarray, t_enc: int) -> list:
+    """Split a (T, n_mels) log-mel spectrogram into sequential
+    ``t_enc``-frame windows, zero-padding the last — the standard Whisper
+    long-audio recipe (reference ``whisper_mop.py:23`` fixes
+    ``n_audio_ctx=1500`` ≈ 30 s; anything longer transcribes as
+    consecutive windows). The mel is computed ONCE over the whole clip
+    (so the Whisper dynamic-range normalization sees the global max)
+    and only the FRAMES are windowed. Returns a non-empty list of
+    (t_enc, n_mels) arrays."""
+    mel = np.asarray(mel, np.float32)
+    if mel.ndim != 2:
+        raise ValueError(f"mel must be (T, n_mels); got {mel.shape}")
+    t = mel.shape[0]
+    segs = []
+    for lo in range(0, max(t, 1), t_enc):
+        seg = mel[lo:lo + t_enc]
+        if seg.shape[0] < t_enc:
+            seg = np.pad(seg, ((0, t_enc - seg.shape[0]), (0, 0)))
+        segs.append(seg)
+    return segs

@@ -112,7 +112,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from . import openai_api as _oai
-from ..data.audio import load_wav, log_mel, resample
+from ..data.audio import load_wav, log_mel, resample, segment_frames
 from .constrain import choices, token_set
 from .embeddings import EmbeddingModel, embeddings_body, \
     parse_embedding_input
@@ -680,9 +680,15 @@ class ServingServer:
                             "could not parse the audio file (a PCM WAV "
                             f"is required): {e}")
                     audio = resample(audio, sr, outer._audio_rate)
-                    mel = log_mel(audio, outer._audio_rate,
-                                  n_mels=weng.model.cfg.n_mels,
-                                  n_frames=weng.t_enc)
+                    # Long-audio recipe: mel over the WHOLE clip (global
+                    # dynamic-range normalization), then sequential
+                    # n_audio_ctx-frame windows — each window is one
+                    # engine request and they all batch together in the
+                    # same slot pool. <= one window degenerates to the
+                    # fixed-window path (zero-padded), unchanged.
+                    mel_full = log_mel(audio, outer._audio_rate,
+                                       n_mels=weng.model.cfg.n_mels)
+                    segments = segment_frames(mel_full, weng.t_enc)
                     with outer._lock:
                         if outer._draining:
                             return self._oai_error(
@@ -693,7 +699,8 @@ class ServingServer:
                                 500, "device worker failed: "
                                      f"{outer._step_error!r}",
                                 "server_error")
-                        if weng.n_queued + 1 > outer._max_queue:
+                        if weng.n_queued + len(segments) > \
+                                outer._max_queue:
                             outer._rejected += 1
                             return self._json(
                                 429, {"error": {
@@ -702,17 +709,21 @@ class ServingServer:
                                     "param": None, "code": None}},
                                 headers={"Retry-After":
                                          str(outer._retry_after)})
-                        rid = weng.submit(mel, max_new_tokens=max(
-                            1, weng.win - 1))
+                        rids = [weng.submit(seg, max_new_tokens=max(
+                            1, weng.win - 1)) for seg in segments]
                 except (KeyError, ValueError, TypeError) as e:
                     return self._oai_error(400, str(e))
-                try:
-                    toks = outer._wait_whisper(rid)
-                except RuntimeError as e:  # device worker died
-                    return self._oai_error(500, str(e), "server_error")
-                if weng.eos_id is not None and toks and \
-                        toks[-1] == weng.eos_id:
-                    toks = toks[:-1]
+                toks = []
+                for rid in rids:
+                    try:
+                        seg_toks = outer._wait_whisper(rid)
+                    except RuntimeError as e:  # device worker died
+                        return self._oai_error(500, str(e),
+                                               "server_error")
+                    if weng.eos_id is not None and seg_toks and \
+                            seg_toks[-1] == weng.eos_id:
+                        seg_toks = seg_toks[:-1]
+                    toks.extend(seg_toks)
                 text = outer._whisper_tokenizer.decode(toks)
                 if plan["response_format"] == "text":
                     body = text.encode()

@@ -135,23 +135,63 @@ def test_v1_audio_transcriptions(audio_server):
         assert json.loads(r.read())["text"]
 
     # engine result equality: drive the whisper engine directly with
-    # the endpoint's own feature path and compare
-    from mop_tpu.data import load_wav, log_mel, resample as _rs
-    audio, sr = load_wav(wav)
-    mel = log_mel(_rs(audio, sr, 16000), 16000,
-                  n_mels=weng.model.cfg.n_mels, n_frames=weng.t_enc)
-    with srv._lock:  # the server's worker thread steps this engine
-        rid = weng.submit(mel, max_new_tokens=weng.win - 1)
+    # the endpoint's own feature path (whole-clip mel -> sequential
+    # n_audio_ctx windows) and compare
+    assert _segmented_engine_text(tok, weng, srv, wav) == out["text"]
+
+
+def _segmented_engine_text(tok, weng, srv, wav):
+    """The endpoint's feature path replayed against the engine
+    directly: whole-clip log-mel, t_enc-frame windows, one request per
+    window, concatenated per-segment texts."""
     import time as _t
-    for _ in range(2000):
-        with srv._lock:
-            if weng.is_done(rid):
-                break
-        _t.sleep(0.005)
-    toks = list(weng.results[rid])
-    if weng.eos_id is not None and toks and toks[-1] == weng.eos_id:
-        toks = toks[:-1]
-    assert tok.decode(toks) == out["text"]
+
+    from mop_tpu.data import load_wav, log_mel, resample as _rs
+    from mop_tpu.data import segment_frames
+
+    audio, sr = load_wav(wav)
+    mel_full = log_mel(_rs(audio, sr, 16000), 16000,
+                       n_mels=weng.model.cfg.n_mels)
+    segs = segment_frames(mel_full, weng.t_enc)
+    with srv._lock:  # the server's worker thread steps this engine
+        rids = [weng.submit(seg, max_new_tokens=weng.win - 1)
+                for seg in segs]
+    toks = []
+    for rid in rids:
+        for _ in range(4000):
+            with srv._lock:
+                if weng.is_done(rid):
+                    break
+            _t.sleep(0.005)
+        seg_toks = list(weng.results[rid])
+        if weng.eos_id is not None and seg_toks and \
+                seg_toks[-1] == weng.eos_id:
+            seg_toks = seg_toks[:-1]
+        toks.extend(seg_toks)
+    return tok.decode(toks)
+
+
+def test_v1_audio_long_clip_segments(audio_server):
+    """>1-window audio (the 16-frame test window ~ the reference's 1500-
+    frame 30 s contract, reference whisper_mop.py:23): the endpoint
+    transcribes the WHOLE clip as consecutive windows — equal to the
+    per-segment single-stream replay, and longer audio yields more
+    segments, not silent truncation."""
+    tok, weng, srv = audio_server
+    # ~5x the window: 16 frames * 160 hop = 2560 samples per window
+    wav_long = wav_bytes(_tone(secs=0.8), 16000)
+    body, ctype = _multipart({}, wav_long)
+    with _post_raw(srv.port, "/v1/audio/transcriptions", body,
+                   ctype) as r:
+        long_text = json.loads(r.read())["text"]
+    assert long_text == _segmented_engine_text(tok, weng, srv, wav_long)
+    # a short clip's text is a prefix-length response, not equal work
+    from mop_tpu.data import load_wav, log_mel, segment_frames
+
+    audio, _sr = load_wav(wav_long)
+    n_seg = len(segment_frames(
+        log_mel(audio, 16000, n_mels=weng.model.cfg.n_mels), weng.t_enc))
+    assert n_seg >= 4
 
 
 def test_v1_audio_rejections(audio_server, oai_port=None):
