@@ -201,7 +201,24 @@ def measure_torch_baseline() -> float:
         return 0.0
 
 
+def run_realdata_hook():
+    """Egress-gated real-CIFAR smoke (tools/realdata_smoke.py): probes
+    for network each bench round and either runs the reference README's
+    A/B smoke on real data or records the honest negative artifact.
+    Never touches stdout (the one-JSON-line contract)."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools",
+                                          "realdata_smoke.py")],
+            stdout=sys.stderr, stderr=sys.stderr, timeout=3600)
+    except Exception as e:  # noqa: BLE001 — the hook must never kill bench
+        log(f"realdata hook failed: {e}")
+
+
 def main():
+    run_realdata_hook()
     value, n_chips, mfu = measure_ours()
     baseline = measure_torch_baseline()
     vs = value / baseline if baseline > 0 else None
