@@ -153,14 +153,16 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_q,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_forward(q: Array, k: Array, v: Array, causal: bool) -> Array:
+def _flash_forward(q: Array, k: Array, v: Array, causal: bool,
+                   block_q: Optional[int] = None,
+                   block_k: Optional[int] = None) -> Array:
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     bh, n_orig, dk = q.shape
     kv_len = k.shape[1]
-    block_q = _choose_blocks(n_orig)
-    block_k = _choose_blocks(kv_len)
+    block_q = block_q or _choose_blocks(n_orig)
+    block_k = block_k or _choose_blocks(kv_len)
     q, _ = _pad_to(q, 1, block_q)
     k, _ = _pad_to(k, 1, block_k)
     v, _ = _pad_to(v, 1, block_k)
