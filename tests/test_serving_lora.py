@@ -171,3 +171,31 @@ def test_spec_engine_rejects_adapter():
                            gamma=2)
     with pytest.raises(ValueError, match="greedy-only"):
         eng.submit([1, 2], 4, adapter="x")
+
+
+def test_lora_serving_gpt_mop_causal():
+    """Multi-LoRA over the namesake model: adapters (which also adapt the
+    MoP views projection — a 2-D kernel) batch in one step and equal the
+    merged-params single-stream sampler; base and adapter requests
+    co-batch."""
+    from mop_tpu.models import create_gpt_mop_causal
+
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=32, use_quartet=False)
+    model = create_gpt_mop_causal(VOCAB, cfg)
+    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 8), jnp.int32))
+    ad_x = _adapter(params, 7)
+    assert any("views" in p for p in ad_x), sorted(ad_x)[:3]
+    eng = DecodeEngine(model, params, max_batch=3,
+                       adapters={"x": ad_x})
+    r_base = eng.submit([1, 2, 3], max_new_tokens=10)
+    r_x = eng.submit([1, 2, 3], max_new_tokens=10, adapter="x")
+    out = eng.run()
+    assert out[r_base] == _merged_ref(model, params, None, [1, 2, 3], 10)
+    assert out[r_x] == _merged_ref(model, params, ad_x, [1, 2, 3], 10)
+    # the adapter genuinely perturbs the model (greedy tokens may still
+    # coincide on a degenerate random init — compare distributions)
+    lg_b, _ = model.apply(params, jnp.asarray([[1, 2, 3]], jnp.int32))
+    lg_x, _ = model.apply(lora_merge(params, ad_x),
+                          jnp.asarray([[1, 2, 3]], jnp.int32))
+    assert not np.allclose(np.asarray(lg_b), np.asarray(lg_x))
