@@ -544,15 +544,17 @@ def _mop_gate_full(bp, x, t_live=None, causal: bool = False):
     activations. Returns ``(gate (B, T), v (B, T, V))`` computed exactly as
     the flax forward: views linear -> k-tap conv (left-padded when
     ``causal``, centered same-pad otherwise) -> 1x1 fuse -> 1 + a+*g+ -
-    a-*g-. ``t_live``: optional live length (padded prefill) — view rows at
-    positions >= t_live are zeroed before the conv so pad columns cannot
-    leak through the taps (the tap at the last live position's right edge
-    then reads zero, matching both the unpadded prefill and the decode
-    frontier)."""
+    a-*g-. ``t_live``: optional live length (padded prefill; scalar or a
+    per-row (B,) vector) — view rows at positions >= t_live are zeroed
+    before the conv so pad columns cannot leak through the taps (the tap
+    at the last live position's right edge then reads zero, matching both
+    the unpadded prefill and the decode frontier)."""
     v = _lin(x, bp["views"]["proj"])  # (B, T, V)
     t = v.shape[1]
     if t_live is not None:
-        v = jnp.where((jnp.arange(t) < t_live)[None, :, None], v, 0.0)
+        lv = jnp.atleast_1d(jnp.asarray(t_live))
+        v = jnp.where((jnp.arange(t)[None, :] < lv[:, None])[..., None],
+                      v, 0.0)
     kern = bp["kernels"]["conv"]["kernel"]  # (ks, V, K)
     ks = kern.shape[0]
     pad = (ks - 1, 0) if causal else (ks // 2, ks - 1 - ks // 2)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.generate import _lin, _ln
+from ..models.generate import _lin, _ln, _mop_gate_full
 from ..models.layers import gelu_tanh
 
 
@@ -76,6 +76,7 @@ class EmbeddingModel:
         if (b, t) in self._fns:
             return self._fns[(b, t)]
         cfg, pool, norm = self.model.config, self.pool, self.normalize
+        mop_causal = bool(getattr(self.model, "causal_gate", False))
 
         def run(p, idx, lens):
             # Length-masked forward (prefill_padded semantics, per-row
@@ -96,13 +97,21 @@ class EmbeddingModel:
             nf = jnp.maximum(lens, 1).astype(
                 jnp.float32)[:, None, None, None]
 
-            def std(s, e):
-                m = live[:, None, None, :]
-                mu = jnp.sum(jnp.where(m, s, 0.0), -1,
-                             keepdims=True) / nf
-                var = jnp.sum(jnp.where(m, jnp.square(s - mu), 0.0), -1,
-                              keepdims=True) / jnp.maximum(nf - 1.0, 1.0)
-                return (s - mu) / (jnp.sqrt(var) + e)
+            if getattr(cfg, "causal_std", False):
+                from ..ops.attention import standardize_scores_causal
+
+                def std(s, e):
+                    # causal variant: row i's prefix is entirely live
+                    return standardize_scores_causal(s, e)
+            else:
+                def std(s, e):
+                    m = live[:, None, None, :]
+                    mu = jnp.sum(jnp.where(m, s, 0.0), -1,
+                                 keepdims=True) / nf
+                    var = jnp.sum(jnp.where(m, jnp.square(s - mu), 0.0),
+                                  -1, keepdims=True) / jnp.maximum(
+                        nf - 1.0, 1.0)
+                    return (s - mu) / (jnp.sqrt(var) + e)
 
             for i in range(cfg.n_layer):
                 bp = p[f"blocks_{i}"]
@@ -128,6 +137,11 @@ class EmbeddingModel:
                 y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
                 y = y.transpose(0, 2, 1, 3).reshape(bb, tt, cfg.n_embd)
                 x = x + _lin(y, ap["o_proj"])
+                if "views" in bp:  # GPT_MoP: gate between attn and MLP,
+                    # per-row length-masked view rows (pads never tap in)
+                    gate, _ = _mop_gate_full(bp, x, t_live=lens,
+                                             causal=mop_causal)
+                    x = x * gate[..., None]
                 hm = _ln(x, bp["ln2"])
                 x = x + _lin(gelu_tanh(_lin(hm, bp["mlp"]["fc"])),
                              bp["mlp"]["proj"])

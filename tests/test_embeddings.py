@@ -191,3 +191,52 @@ def test_large_batch_chunks_match_solo(setup):
     assert out.shape == (11, 32)
     ref = EmbeddingModel(model, params).embed(seqs)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_gpt_mop_embeddings_match_flax_forward():
+    """EmbeddingModel must apply the MoP gate (round-4: a GPT_MoP engine
+    previously embedded through a gate-free forward). Oracle: the flax
+    model's own ln_f output, captured via intermediates, mean-pooled."""
+    from mop_tpu.models import create_gpt_mop_causal
+
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=64, use_quartet=False)
+    model = create_gpt_mop_causal(VOCAB, cfg)
+    params = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 8), jnp.int32))
+    seqs = [[5, 17, 3, 41, 2, 9, 8, 7]]  # length 8 = its own bucket
+    emb = EmbeddingModel(model, params)
+    got = emb.embed(seqs)
+    _, mods = model.apply(params, jnp.asarray(seqs, jnp.int32),
+                          capture_intermediates=True)
+    h = mods["intermediates"]["ln_f"]["__call__"][0]  # (1, 8, 32)
+    ref = np.asarray(h.mean(axis=1))
+    ref = ref / np.maximum(np.linalg.norm(ref, axis=-1, keepdims=True),
+                           1e-12)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    # gate genuinely participates: zeroing the fuse alphas changes it
+    import jax.tree_util as jtu
+    p0 = jax.tree_util.tree_map(lambda x: x, params)
+    flat = jtu.tree_flatten_with_path(p0)[0]
+    zeroed = [np.zeros_like(leaf) if "alpha" in str(path) else leaf
+              for path, leaf in flat]
+    p0 = jtu.tree_unflatten(jtu.tree_structure(p0), zeroed)
+    got0 = EmbeddingModel(model, p0).embed(seqs)
+    assert not np.allclose(got, got0)
+
+
+def test_gpt_mop_embeddings_pad_invariance():
+    """Padding exactness holds for the MoP families too (pad rows are
+    zeroed out of the gate conv taps)."""
+    from mop_tpu.models import create_gpt_mop, create_gpt_mop_causal
+
+    cfg = TransformerConfig(n_layer=2, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=64, use_quartet=False)
+    for maker in (create_gpt_mop_causal, create_gpt_mop):
+        model = maker(VOCAB, cfg)
+        params = model.init(jax.random.PRNGKey(5),
+                            jnp.zeros((1, 8), jnp.int32))
+        emb = EmbeddingModel(model, params)
+        seq = [5, 17, 3, 41, 2]
+        solo = emb.embed([seq])[0]
+        batched = emb.embed([list(range(1, 30)), seq, [7, 7]])[1]
+        np.testing.assert_allclose(solo, batched, atol=2e-5)

@@ -87,5 +87,54 @@ def main():
     print(f"wrote {md}", file=sys.stderr)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--tune" not in sys.argv:
     main()
+
+
+def tune():
+    """Sweep (block_q, block_k) per shape; prints the winners. The tuned
+    defaults in ``fused._choose_block_pair`` cite this."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import mop_tpu.ops.fused as F
+
+    for label, b, h, n, dk, causal in SHAPES:
+        rng = jax.random.PRNGKey(0)
+        q = jax.random.normal(rng, (b * h, n, dk), jnp.bfloat16)
+        k = jax.random.normal(jax.random.fold_in(rng, 1), (b * h, n, dk),
+                              jnp.bfloat16)
+        v = jax.random.normal(jax.random.fold_in(rng, 2), (b * h, n, dk),
+                              jnp.bfloat16)
+        xla = jax.jit(lambda q, k, v: F.flash_attention(
+            q.reshape(b, h, n, dk), k.reshape(b, h, n, dk),
+            v.reshape(b, h, n, dk), causal=causal, force=False))
+        t_x = time_fn(xla, q, k, v)
+        best = (None, 1e30)
+        print(f"{label}: XLA {t_x:.3f} ms", file=sys.stderr)
+        for bq in (128, 256, 512):
+            for bk in (128, 256, 512):
+                if bq > 2 * n or bk > 2 * n:
+                    continue
+                fn = jax.jit(functools.partial(
+                    F._flash_forward, causal=causal, block_q=bq,
+                    block_k=bk))
+                try:
+                    t = time_fn(fn, q, k, v)
+                except Exception as e:  # noqa: BLE001
+                    print(f"  bq={bq} bk={bk}: FAIL {str(e)[:60]}",
+                          file=sys.stderr)
+                    continue
+                print(f"  bq={bq} bk={bk}: {t:.3f} ms ({t_x/t:.2f}x vs "
+                      "XLA)", file=sys.stderr)
+                if t < best[1]:
+                    best = ((bq, bk), t)
+        print(f"{label}: best {best[0]} {best[1]:.3f} ms "
+              f"({t_x/best[1]:.2f}x vs XLA)", file=sys.stderr)
+
+
+if __name__ == "__main__" and "--tune" in sys.argv:
+    tune()
+    sys.exit(0)
