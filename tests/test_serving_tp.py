@@ -75,3 +75,20 @@ def test_tp_speculative_engine_matches_plain(mesh):
     out = _run(SpecDecodeEngine(target, st, draft, dparams, max_batch=3,
                                 gamma=3, cache_sharding=kv_sh), JOBS)
     assert out == ref
+
+
+def test_tp_sharded_gpt_mop_matches_plain_engine(mesh):
+    """TP-served GPT_MoP (the views projection matches the row-parallel
+    'proj' rule; gate convs replicate) == single-device engine."""
+    from mop_tpu.models import create_gpt_mop_causal
+
+    cfg = TransformerConfig(n_layer=2, n_head=4, n_embd=64, dropout=0.0,
+                            block_size=64, use_quartet=False)
+    model = create_gpt_mop_causal(VOCAB, cfg)
+    params = model.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, 8), jnp.int32))
+    ref = _run(DecodeEngine(model, params, max_batch=3), JOBS)
+    sharded = tp_shard_params(params, mesh)
+    with mesh:
+        got = _run(DecodeEngine(model, sharded, max_batch=3), JOBS)
+    assert got == ref
