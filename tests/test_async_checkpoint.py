@@ -6,7 +6,11 @@ this is the production path: saves stream in the background while training
 continues, with step retention and sharding-aware restore.
 """
 
+
 from __future__ import annotations
+
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
 
 import numpy as np
 import optax

@@ -1,5 +1,8 @@
 """Beam-search decode: oracle equality, score bookkeeping, EOS handling."""
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

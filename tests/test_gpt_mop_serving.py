@@ -16,6 +16,9 @@ KV caching impossible for it. This suite pins the two serving stories:
    divergence vs the full-window sampler in benchmarks/decode.md.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

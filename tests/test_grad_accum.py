@@ -5,6 +5,9 @@ so accum_steps=K must reproduce the plain step exactly up to fp32
 reassociation (mean of equal-sized microbatch means == full-batch mean).
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import numpy as np
 import optax
 import pytest

@@ -7,6 +7,9 @@ the plain cached sampler token-for-token across window doublings, greedy
 and sampled, fp32 and bf16 KV.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import numpy as np
 import pytest
 

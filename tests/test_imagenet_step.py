@@ -1,5 +1,8 @@
 """ImageNet-style train step: full regularization suite in one jit (CPU mesh)."""
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -6,6 +6,9 @@ be BIT-EQUAL, and decode logits may differ only by the bf16 rounding of the
 cached rows. Throughput/agreement at serving scale: benchmarks/decode.md.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

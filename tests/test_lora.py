@@ -1,6 +1,9 @@
 """LoRA adapter fine-tuning: zero-effect init, adapter-only training,
 merged-tree serving."""
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

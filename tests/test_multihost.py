@@ -15,7 +15,11 @@ reference ``experiments/cifar100_ab5_param_budgets.py:43-48``); this is the
 scaling seam a real pod run uses, minus the hardware.
 """
 
+
 from __future__ import annotations
+
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
 
 import importlib.util
 import json

@@ -8,7 +8,11 @@ on 2 processes x 4 virtual devices produces a byte-identical CSV to the
 single-process 8-device run (only process 0 writes artifacts).
 """
 
+
 from __future__ import annotations
+
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
 
 import os
 import subprocess

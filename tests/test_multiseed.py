@@ -2,6 +2,9 @@
 independent single-seed run with the same rng/batches, and the seed-sharded
 8-device layout must match the replicated one."""
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,8 @@
 """Op-level tests: fused flash attention (interpret mode), routed MoE, log-mel."""
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

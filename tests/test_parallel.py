@@ -1,6 +1,9 @@
 """Sharding correctness: the 8-device data-parallel step must match the
 single-device computation (XLA inserts the gradient all-reduce)."""
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

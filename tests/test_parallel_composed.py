@@ -9,6 +9,9 @@ single-device step, and physical-placement asserts for both the stage and
 tensor shardings.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

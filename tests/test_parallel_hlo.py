@@ -11,6 +11,9 @@ shardings). Byte volumes come from each collective op's result shapes
 (``mop_tpu.utils.hlo_inspect``).
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,6 +7,9 @@ must match the single-device step within reduction-order tolerance. Runs on
 the 8-virtual-CPU-device mesh from conftest.py.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,6 +9,9 @@ dropout keys — so training WITH dropout pipelines correctly. Equality
 oracle: ``reference_1f1b_composition`` (same folding, no pipeline).
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

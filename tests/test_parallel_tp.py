@@ -6,6 +6,9 @@ the replicated data-parallel step — up to reduction order. These tests run on
 the 8-virtual-CPU-device mesh from conftest.py.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

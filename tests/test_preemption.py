@@ -8,6 +8,9 @@ checkpointing, and a relaunch resumes to final parameters identical to
 an uninterrupted run's.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import os
 import signal
 import subprocess

@@ -6,6 +6,9 @@ bucket instead of one per distinct prompt length — and the serving engines
 must emit identical tokens with bucketing on.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

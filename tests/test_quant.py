@@ -2,6 +2,9 @@
 (beyond-reference capability: the reference has no inference story at all,
 ``mop/models/gpt_mop.py:181-207`` stops at teacher-forced logits)."""
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

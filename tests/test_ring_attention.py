@@ -5,6 +5,9 @@ ppermute with flash-style online-softmax accumulation. Values and gradients
 must match dense softmax attention computed on one device.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

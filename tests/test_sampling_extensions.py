@@ -6,6 +6,9 @@ over prompt+output tokens, presence/frequency over output tokens only,
 min-p relative to the per-step max probability.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -6,6 +6,9 @@ single-stream ``generate_cached`` sampler would emit for each request
 alone — per-row independence of the batched math.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,6 +9,9 @@ ordinary greedy/sampled requests. The reference has no decode loop at all
 (SURVEY §0).
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,6 +16,9 @@ SURVEY §0; its GPT stops at teacher-forced logits,
 ``mop/models/gpt_mop.py:181-207``).
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -5,6 +5,9 @@ driven directly, including when several clients hit the server at once
 (their requests share the slot pool via continuous batching).
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import json
 import threading
 import time

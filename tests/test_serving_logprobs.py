@@ -11,6 +11,9 @@ SURVEY §0); the OpenAI-side mapping is tested in
 tests/test_serving_openai.py.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,6 +18,9 @@ serving at all, SURVEY §0); the multi-adapter batching follows the S-LoRA
 custom CUDA gather kernels.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

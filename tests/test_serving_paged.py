@@ -6,6 +6,9 @@ holding cache HBM proportional to resident tokens and surviving pool
 exhaustion by preempting + exactly re-prefilling the youngest request.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

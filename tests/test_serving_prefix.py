@@ -8,6 +8,9 @@ bit-identical whatever follows. The reference has no serving or caching
 story at all (SURVEY §0).
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -8,6 +8,9 @@ preemption (penalty counts survive re-admission because they are rebuilt
 from the request's emitted-token history).
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

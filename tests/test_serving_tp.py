@@ -7,6 +7,9 @@ axis — no engine changes, collectives inserted by XLA. The contract: a
 TP-served stream emits exactly the tokens the single-device engine emits.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

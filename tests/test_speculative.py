@@ -6,6 +6,9 @@ decoding emits the SAME tokens as the target-only cached sampler no matter
 how bad the draft model is — the draft affects speed only.
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

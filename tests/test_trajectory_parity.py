@@ -10,6 +10,9 @@ model math + optimizer match the reference end-to-end (retires the
 difference diverges within a few steps).
 """
 
+# Slow lane: excluded from the default `pytest` run (see CONTRIBUTING.md / tests/TIMINGS.md)
+pytestmark = __import__("pytest").mark.slow
+
 import os
 
 import numpy as np
