@@ -61,12 +61,13 @@ def _on_tpu() -> bool:
 
 def _supported(n: int, dk: int) -> bool:
     # Measured on v5e, min-of-3 bf16 (benchmarks/flash_dispatch.md,
-    # tools/bench_flash.py): XLA matches or beats this kernel at every
-    # model shape (GPT 512: 0.98x; Whisper 1504: 0.70x; 1024: 0.93x;
-    # 2048: 0.95x) and flash wins clearly only at N >= 4096 (1.75x).
-    # Auto-dispatch engages there; pass force=True below that when the
-    # N^2 score map's HBM footprint is the binding constraint.
-    return n >= 4096 and dk <= 256
+    # tools/bench_flash.py --tune): with the TUNED block pairs below,
+    # flash beats XLA at every shape with N >= 1024 (1024: 1.19x,
+    # Whisper 1504 non-causal: 1.33x, 2048: 1.37x, 4096: 3.10x) and
+    # only reaches parity at 512 (1.01x) — auto-dispatch engages at
+    # N >= 1024; pass force=True below that when the N^2 score map's
+    # HBM footprint is the binding constraint.
+    return n >= 1024 and dk <= 256
 
 
 def _choose_blocks(n: int):
@@ -76,6 +77,20 @@ def _choose_blocks(n: int):
         if n >= b:
             return b
     return 8
+
+
+def _choose_block_pair(n_q: int, n_kv: int, causal: bool):
+    """Tuned (block_q, block_k) per shape class (tools/bench_flash.py
+    --tune on v5e, min-of-3 bf16): long sequences want WIDE K/V strips —
+    fewer inner-loop trips with 512-wide MXU dots beat the 128-tile
+    default by 1.3-1.8x (e.g. Whisper 1504 non-causal: 6.16 ms at
+    128/128 vs 3.20 ms at 512/512; 4096 causal: 5.92 -> 3.31 ms at
+    256/512). Small sequences keep the per-axis power-of-two choice."""
+    if n_kv >= 4096:
+        return 256, 512
+    if n_kv >= 1024:
+        return (256, 512) if causal else (512, 512)
+    return _choose_blocks(n_q), _choose_blocks(n_kv)
 
 
 def _pad_to(x, axis: int, mult: int):
@@ -161,8 +176,11 @@ def _flash_forward(q: Array, k: Array, v: Array, causal: bool,
 
     bh, n_orig, dk = q.shape
     kv_len = k.shape[1]
-    block_q = block_q or _choose_blocks(n_orig)
-    block_k = block_k or _choose_blocks(kv_len)
+    if block_q is None and block_k is None:
+        block_q, block_k = _choose_block_pair(n_orig, kv_len, causal)
+    else:
+        block_q = block_q or _choose_blocks(n_orig)
+        block_k = block_k or _choose_blocks(kv_len)
     q, _ = _pad_to(q, 1, block_q)
     k, _ = _pad_to(k, 1, block_k)
     v, _ = _pad_to(v, 1, block_k)

@@ -102,32 +102,55 @@ def main():
     rows = []
 
     with mesh:
-        params = replicate(params, mesh)
-        opt = replicate(opt, mesh)
         xb, yb = shard_batch((x_u8, y), mesh)
 
-        def measure(name, step, *a):
-            ms = timed(step, *a) * 1e3
-            fl, by = cost(step.lower(*a))
+        def record(name, ms, fl, by):
             t_c = fl / PEAK_FLOPS * 1e3
             t_b = by / PEAK_BW * 1e3
             rows.append((name, ms, fl, by, t_c, t_b))
             log(f"{name}: {ms:.2f} ms | {fl/1e12:.2f} TF, "
                 f"{by/1e9:.2f} GB | floors: compute {t_c:.2f} ms, "
                 f"bw {t_b:.2f} ms")
+
+        def measure_trainstep(name, step):
+            # the step donates params/opt: thread them and rebuild fresh
+            # replicas per measurement
+            p = replicate(params, mesh)
+            o = replicate(opt, mesh)
+            fl, by = cost(step.lower(p, o, xb, yb, rng))
+            for i in range(2):
+                p, o, m = step(p, o, xb, yb, jax.random.fold_in(rng, i))
+            float(m["loss"])
+            best = float("inf")
+            for w in range(3):
+                t0 = time.perf_counter()
+                for i in range(3):
+                    p, o, m = step(p, o, xb, yb,
+                                   jax.random.fold_in(rng, 100 + w * 8 + i))
+                float(m["loss"])
+                best = min(best, (time.perf_counter() - t0) / 3)
+            record(name, best * 1e3, fl, by)
+            return best * 1e3
+
+        def measure(name, step, *a):
+            ms = timed(step, *a) * 1e3
+            fl, by = cost(step.lower(*a))
+            record(name, ms, fl, by)
             return ms
 
         full = make_imagenet_train_step(
             model, tx, mesh, mean, std, n_classes=1000, use_randaug=True)
-        ms_full = measure("full step (augment+fwd/bwd+adamw)", full,
-                          params, opt, xb, yb, rng)
+        ms_full = measure_trainstep("full step (augment+fwd/bwd+adamw)",
+                                    full)
 
         plain = make_imagenet_train_step(
             model, tx, mesh, mean, std, n_classes=1000, use_randaug=False,
             random_erasing=0.0, mixup_alpha=0.0, cutmix_alpha=0.0,
             mix_prob=0.0)
-        ms_plain = measure("step w/o augmentation", plain, params, opt,
-                           xb, yb, rng)
+        ms_plain = measure_trainstep("step w/o augmentation", plain)
+
+        params = replicate(params, mesh)
+        opt = replicate(opt, mesh)
 
         # fwd+bwd only (no optimizer): value_and_grad of the same loss
         def fwdbwd(p, x_u8_, y_, rng_):
