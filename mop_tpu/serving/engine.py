@@ -430,6 +430,40 @@ class DecodeEngine:
 
         self._step_fn = jax.jit(_step, donate_argnums=(14,))
 
+        def _mstep(params, cache, tokens, rng, seeds, ntoks, temp,
+                   topk, topp, minp, rep, pres, freq, ocounts, pseen,
+                   lbias, k_steps):
+            """k fixed-shape decode steps in ONE dispatch (multi-step
+            scheduling): the per-dispatch host/tunnel latency that
+            dominates serving tok/s amortizes over k tokens. The rng
+            split, picker, penalty-count update, and seeded-stream
+            position all advance per inner step exactly as k single
+            ``step`` calls would (equality pinned in
+            tests/test_serving_multistep.py)."""
+            b = tokens.shape[0]
+
+            def body(carry, _):
+                cache, tokens, rng, ocounts, ntoks = carry
+                logits, cache = decode_step_rows(
+                    self.model, params, cache, tokens, cache["len"])
+                rng, sub = jax.random.split(rng)
+                nxt = self._pick_rows(logits, sub, temp, topk, topp,
+                                      minp, rep, pres, freq, ocounts,
+                                      pseen, lbias, seeds=seeds,
+                                      ntoks=ntoks)
+                ocounts = ocounts.at[jnp.arange(b), nxt].add(1)
+                out = (nxt,) + self._lp_of(logits, nxt)
+                return (cache, nxt, rng, ocounts, ntoks + 1), out
+
+            carry, outs = jax.lax.scan(
+                body, (cache, tokens, rng, ocounts, ntoks), None,
+                length=k_steps)
+            cache, tokens, rng, ocounts, _ = carry
+            return (cache, tokens, rng, ocounts) + tuple(outs)
+
+        self._mstep_fn = jax.jit(_mstep, static_argnums=(16,),
+                                 donate_argnums=(1,))
+
         def _beam_apply(c, perm, newtoks):
             """Post-step beam bookkeeping on device: permute the pool
             rows by parent beam (identity outside beam groups; per-row
@@ -1042,12 +1076,28 @@ class DecodeEngine:
                 jnp.asarray(self._bias_mask_row(slot)))
         return True
 
-    def step(self) -> Dict[int, List[int]]:
+    def step(self, n_tokens: int = 1) -> Dict[int, List[int]]:
         """One engine iteration: admit whatever fits (each admission emits
         the prefill's first sampled token; a request whose budget is 1 or
         whose first token is EOS completes without ever decoding), then
         advance all live rows one token. Returns this iteration's
-        ``{rid: [tokens]}`` (a request admitted this call emits up to 2)."""
+        ``{rid: [tokens]}`` (a request admitted this call emits up to 2).
+
+        ``n_tokens > 1``: MULTI-STEP decoding — up to n_tokens fixed-shape
+        decode steps run as ONE device dispatch (a ``lax.scan``), so the
+        per-dispatch host/tunnel latency that dominates serving tok/s
+        amortizes over the burst (vLLM's multi-step scheduling, XLA
+        style). Emitted tokens are IDENTICAL to n_tokens single steps
+        (the rng stream, per-row samplers, penalty counts, and seeded
+        positions all advance per inner step; pinned in
+        tests/test_serving_multistep.py); a row that hits EOS / a stop
+        match mid-burst retires there and its later burst tokens are
+        discarded (bounded wasted compute, never wrong output). The
+        burst caps at every active row's remaining budget and window
+        headroom, and falls back to single steps whenever a beam group,
+        a chunked prefill, or a CONSTRAINED request is live (a DFA mask
+        must update between tokens). Admission still happens once per
+        ``step`` call — new arrivals wait at most one burst."""
         self.engine_steps += 1
         emitted: Dict[int, List[int]] = {}
         emit = lambda *a: self._emit_token(emitted, *a)
@@ -1073,6 +1123,14 @@ class DecodeEngine:
 
         active = [s for s, r in enumerate(self._slot_rid)
                   if r >= 0 and s not in self._chunk_state]
+        if active and n_tokens > 1:
+            k = self._multi_k(n_tokens, active)
+            if k > 1:
+                self._step_multi(active, k, emit)
+                for rid, toks_f in self._beam_finalized:
+                    emitted.setdefault(rid, []).extend(toks_f)
+                self._beam_finalized.clear()
+                return emitted
         if active:
             self._rng, sub = jax.random.split(self._rng)
             nxt, self._cache, self._ocounts, *extras = self._step_fn(
@@ -1132,11 +1190,67 @@ class DecodeEngine:
         self._beam_finalized.clear()
         return emitted
 
-    def run(self) -> Dict[int, List[int]]:
+    def _multi_k(self, n_tokens: int, active) -> int:
+        """Largest safe burst: capped by every active row's remaining
+        budget and window headroom; 1 whenever per-token host control is
+        required (beam groups, chunked prefills, constrained slots)."""
+        if self._beam_groups or self._chunk_state:
+            return 1
+        if any(self._slot_constraint[s] is not None for s in active):
+            return 1
+        lens_h = np.asarray(jax.device_get(self._cache["len"]))
+        k = min(int(n_tokens),
+                int(min(self._budget[s] for s in active)),
+                int(min(self.block_size - lens_h[s] for s in active)))
+        return max(k, 1)
+
+    def _step_multi(self, active, k: int, emit) -> None:
+        """k decode steps in one dispatch + host emission of the burst
+        (see ``step``'s n_tokens docstring)."""
+        lens0 = np.asarray(jax.device_get(self._cache["len"]))
+        out = self._mstep_fn(
+            self._step_params(), self._cache, self._tokens, self._rng,
+            jnp.asarray(self._slot_seed.astype(np.int32)),
+            jnp.asarray(self._slot_ntok.astype(np.int32)),
+            jnp.asarray(self._slot_temp),
+            jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
+            jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
+            jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
+            self._ocounts, self._pseen, self._lbias, k)
+        self._cache, self._tokens, self._rng, self._ocounts = out[:4]
+        toks_k = out[4]
+        lpx = out[5:]
+        # inactive rows advanced k times too; zero their garbage lengths
+        mask = np.zeros((self.max_batch,), bool)
+        mask[active] = True
+        self._cache["len"] = jnp.where(
+            jnp.asarray(mask), self._cache["len"],
+            jnp.zeros((self.max_batch,), jnp.int32))
+        toks_h, *lph = jax.device_get((toks_k, *lpx))  # one fetch
+        live = set(active)
+        for j in range(k):
+            for s in list(live):
+                rid = self._slot_rid[s]
+                lp = (self._lp_entry(lph[0][j], lph[1][j], lph[2][j], s)
+                      if self.logprobs_topk else None)
+                args = (s, rid, int(toks_h[j, s]),
+                        int(lens0[s]) + j + 1)
+                ok = emit(*args, lp) if self.logprobs_topk \
+                    else emit(*args)
+                if not ok:
+                    live.discard(s)  # retired: later burst tokens are
+                    # the post-EOS garbage of multi-step scheduling
+
+    def run(self, n_tokens: int = 1) -> Dict[int, List[int]]:
         """Step until every queued/live request completes; returns all
-        results (also available per-request in ``results``)."""
+        results (also available per-request in ``results``).
+        ``n_tokens``: burst size per step (multi-step decoding; plain
+        DecodeEngine only — subclasses override ``step`` without it)."""
         while self._queue or self.n_active:
-            self.step()
+            if n_tokens == 1:
+                self.step()
+            else:
+                self.step(n_tokens=n_tokens)
         return {rid: list(toks) for rid, toks in self._results.items()}
 
     @property

@@ -172,7 +172,8 @@ class ServingServer:
                  whisper_tokenizer=None, audio_rate: int = 16000,
                  embed_model: Optional[EmbeddingModel] = None,
                  max_embed_inputs: int = 256,
-                 max_queue: int = 64, retry_after: int = 1):
+                 max_queue: int = 64, retry_after: int = 1,
+                 steps_per_dispatch: int = 1):
         self.engine = engine
         # /v1/embeddings backend: an explicit EmbeddingModel, or (lazily,
         # on first request) the serving engine's own model + params.
@@ -190,6 +191,16 @@ class ServingServer:
         self._max_queue = int(max_queue)
         self._retry_after = int(retry_after)
         self._rejected = 0
+        # multi-step decoding: the worker advances the TEXT engine this
+        # many tokens per device dispatch (DecodeEngine.step(n_tokens=k)
+        # — token-identical, amortizes dispatch latency; tokens stream in
+        # bursts of up to k, so keep it small when TTFT/stream smoothness
+        # matters). Requires a plain DecodeEngine (> 1 with Spec/Paged
+        # engines raises at the first step).
+        if steps_per_dispatch < 1:
+            raise ValueError(
+                f"steps_per_dispatch must be >= 1, got {steps_per_dispatch}")
+        self._spd = int(steps_per_dispatch)
         self._tokenizer = tokenizer
         self._model_name = model_name
         self._chat_template = chat_template
@@ -1021,7 +1032,10 @@ class ServingServer:
                 if busy:
                     done_before = sum(self.engine._done.values())
                     try:
-                        self.engine.step()
+                        if self._spd > 1:
+                            self.engine.step(n_tokens=self._spd)
+                        else:
+                            self.engine.step()
                     except Exception as e:  # noqa: BLE001 — must not hang
                         self._step_error = e
                         continue
