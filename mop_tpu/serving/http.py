@@ -1045,7 +1045,10 @@ class ServingServer:
                 if wbusy:
                     done_before = sum(weng._done.values())
                     try:
-                        weng.step()
+                        if self._spd > 1:
+                            weng.step(n_tokens=self._spd)
+                        else:
+                            weng.step()
                     except Exception as e:  # noqa: BLE001 — must not hang
                         self._step_error = e
                         continue

@@ -158,6 +158,25 @@ class WhisperServingEngine:
 
         self._step_fn = jax.jit(_step, donate_argnums=(3, 4))
 
+        def _mstep(params_, ck, cv, ks, vs, tokens, lens, k_steps):
+            """k greedy decode steps in ONE dispatch (multi-step
+            scheduling — the same amortization as DecodeEngine's
+            ``step(n_tokens=k)``; greedy-only engine, so the scan is
+            trivially token-identical to k single steps)."""
+            def body(carry, _):
+                ks, vs, tokens, lens = carry
+                logits, ks, vs = whisper_decode_step_rows(
+                    self.model, params_, ck, cv, ks, vs, tokens, lens)
+                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                return (ks, vs, nxt, lens + 1), nxt
+
+            (ks, vs, tokens, _), toks = jax.lax.scan(
+                body, (ks, vs, tokens, lens), None, length=k_steps)
+            return tokens, ks, vs, toks
+
+        self._mstep_fn = jax.jit(_mstep, static_argnums=(7,),
+                                 donate_argnums=(3, 4))
+
         def _admit(enc_params_, params_, ck, cv, mel, slot):
             # one encoder pass; freeze this request's cross K/V into `slot`
             enc_out, _ = self.model.apply(enc_params_, mel,
@@ -215,8 +234,12 @@ class WhisperServingEngine:
     def is_done(self, rid: int) -> bool:
         return self._done[rid]
 
-    def step(self) -> Dict[int, List[int]]:
-        """Admit whatever fits, then advance all live rows one token."""
+    def step(self, n_tokens: int = 1) -> Dict[int, List[int]]:
+        """Admit whatever fits, then advance all live rows one token —
+        or up to ``n_tokens`` tokens in ONE device dispatch (multi-step
+        scheduling, token-identical for this greedy engine; a row hitting
+        EOS mid-burst retires there and its later burst tokens are
+        discarded)."""
         self.engine_steps += 1
         emitted: Dict[int, List[int]] = {}
 
@@ -237,27 +260,43 @@ class WhisperServingEngine:
 
         active = [s for s, r in enumerate(self._slot_rid) if r >= 0]
         if active:
-            nxt, self._ks, self._vs = self._step_fn(
-                self.params, self._ck, self._cv, self._ks, self._vs,
-                self._tokens, jnp.asarray(self._lens))
-            self._tokens = nxt
-            toks = jax.device_get(nxt)
+            k = max(1, min(int(n_tokens),
+                           int(min(self._budget[s] for s in active)),
+                           int(min(self.win - self._lens[s]
+                                   for s in active))))
+            lens0 = self._lens.copy()
+            if k > 1:
+                self._tokens, self._ks, self._vs, toks_k = \
+                    self._mstep_fn(self.params, self._ck, self._cv,
+                                   self._ks, self._vs, self._tokens,
+                                   jnp.asarray(self._lens), k)
+                toks = jax.device_get(toks_k)  # (k, B)
+            else:
+                nxt, self._ks, self._vs = self._step_fn(
+                    self.params, self._ck, self._cv, self._ks, self._vs,
+                    self._tokens, jnp.asarray(self._lens))
+                self._tokens = nxt
+                toks = jax.device_get(nxt)[None]  # (1, B)
+            active_set = set(active)
             for s in range(self.max_batch):
-                self._lens[s] = self._lens[s] + 1 if s in set(active) else 0
-            for s in active:
-                rid = self._slot_rid[s]
-                tok = int(toks[s])
-                self.tokens_generated += 1
-                self._results[rid].append(tok)
-                emitted.setdefault(rid, []).append(tok)
-                self._budget[s] -= 1
-                if (tok == self._slot_eos[s] or self._budget[s] <= 0
-                        or self._lens[s] >= self.win):
-                    self._slot_rid[s] = -1
-                    self._done[rid] = True
+                self._lens[s] = lens0[s] + k if s in active_set else 0
+            live = set(active)
+            for j in range(k):
+                for s in list(live):
+                    rid = self._slot_rid[s]
+                    tok = int(toks[j, s])
+                    self.tokens_generated += 1
+                    self._results[rid].append(tok)
+                    emitted.setdefault(rid, []).append(tok)
+                    self._budget[s] -= 1
+                    if (tok == self._slot_eos[s] or self._budget[s] <= 0
+                            or lens0[s] + j + 1 >= self.win):
+                        self._slot_rid[s] = -1
+                        self._done[rid] = True
+                        live.discard(s)
         return emitted
 
-    def run(self) -> Dict[int, List[int]]:
+    def run(self, n_tokens: int = 1) -> Dict[int, List[int]]:
         while self._queue or self.n_active:
-            self.step()
+            self.step(n_tokens=n_tokens)
         return {rid: list(t) for rid, t in self._results.items()}

@@ -123,3 +123,32 @@ def test_multistep_midflight_admission():
                     jobs=[(dict(prompt=[5, 17, 3], max_new_tokens=24), {}),
                           (dict(prompt=[2, 2, 4], max_new_tokens=10), {})])
     assert out[r0] == ref[0] and out[r1] == ref[1]
+
+
+def test_whisper_multistep_equals_single():
+    """WhisperServingEngine bursts are token-identical too (greedy
+    engine; EOS mid-burst trims)."""
+    from mop_tpu.models import WhisperConfig, create_whisper_mop
+    from mop_tpu.serving import WhisperServingEngine
+
+    wc = WhisperConfig(n_mels=8, n_audio_ctx=16, vocab_size=24,
+                       n_text_ctx=24, n_embd=32, n_head=2,
+                       n_layer_enc=1, n_layer_dec=1, dropout=0.0)
+    model = create_whisper_mop(wc)
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, 8)),
+                        jnp.zeros((1, 4), jnp.int32))
+    rs = np.random.RandomState(0)
+    mels = [rs.randn(1, 16, 8).astype(np.float32) for _ in range(3)]
+
+    def serve(n_tokens, eos=None):
+        eng = WhisperServingEngine(model, params, max_batch=2,
+                                   bos_token=1, eos_id=eos)
+        rids = [eng.submit(m, max_new_tokens=17) for m in mels]
+        out = eng.run(n_tokens=n_tokens)
+        return [out[r] for r in rids]
+
+    assert serve(8) == serve(1)
+    # EOS mid-burst: trim to the single-step truth
+    first = serve(1)[0]
+    eos_tok = first[4]
+    assert serve(8, eos=int(eos_tok)) == serve(1, eos=int(eos_tok))
