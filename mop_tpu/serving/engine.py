@@ -958,8 +958,25 @@ class DecodeEngine:
             raise ValueError(f"seed must be in [0, 2**31), got {seed}")
         seed_q = -1 if seed is None else int(seed)
         nb = None
+        if num_beams is not None and int(num_beams) == 1:
+            # k=1 beam search IS greedy decoding — honor it exactly
+            # (a sampling-temperature engine default must not leak in;
+            # length_penalty is a no-op with a single candidate)
+            if temperature not in (None, 0, 0.0) or top_k is not None \
+                    or top_p not in (None, 1.0) or seed is not None:
+                raise ValueError(
+                    "num_beams=1 is deterministic greedy; sampling "
+                    "overrides/seed cannot combine with it")
+            temp = 0.0
+            sp = (np.float32(0.0),) + sp[1:]
         if num_beams is not None and int(num_beams) != 1:
             nb = int(num_beams)
+            if self.logprobs_topk:
+                raise ValueError(
+                    "num_beams on a logprobs-tracking engine is not "
+                    "supported: beams record no per-token logprobs, "
+                    "which would break the results/logprobs 1:1 "
+                    "invariant")
             if not 2 <= nb <= self.max_beams:
                 raise ValueError(
                     f"num_beams {nb} needs an engine built with "
@@ -1124,9 +1141,9 @@ class DecodeEngine:
         active = [s for s, r in enumerate(self._slot_rid)
                   if r >= 0 and s not in self._chunk_state]
         if active and n_tokens > 1:
-            k = self._multi_k(n_tokens, active)
+            k, lens_h = self._multi_k(n_tokens, active)
             if k > 1:
-                self._step_multi(active, k, emit)
+                self._step_multi(active, k, emit, lens_h)
                 for rid, toks_f in self._beam_finalized:
                     emitted.setdefault(rid, []).extend(toks_f)
                 self._beam_finalized.clear()
@@ -1181,10 +1198,14 @@ class DecodeEngine:
             if self._beam_groups:
                 perm, newtoks, changed = self._beam_step_update(
                     bth[0], bth[1], toks)
-                if changed:
+                if changed and (perm != np.arange(self.max_batch)).any():
                     self._cache, self._tokens = self._beam_apply_fn(
                         self._cache, jnp.asarray(perm),
                         jnp.asarray(newtoks))
+                elif changed:
+                    # identity permutation (every beam extended itself):
+                    # skip the whole-pool gather, just install tokens
+                    self._tokens = jnp.asarray(newtoks)
         for rid, toks_f in self._beam_finalized:
             emitted.setdefault(rid, []).extend(toks_f)
         self._beam_finalized.clear()
@@ -1192,22 +1213,25 @@ class DecodeEngine:
 
     def _multi_k(self, n_tokens: int, active) -> int:
         """Largest safe burst: capped by every active row's remaining
-        budget and window headroom; 1 whenever per-token host control is
-        required (beam groups, chunked prefills, constrained slots)."""
+        budget and window headroom; (1, None) whenever per-token host
+        control is required (beam groups, chunked prefills, constrained
+        slots). Returns ``(k, lens_host)`` — the one ``len`` fetch is
+        shared with :meth:`_step_multi` (each device_get is a dispatch
+        round-trip)."""
         if self._beam_groups or self._chunk_state:
-            return 1
+            return 1, None
         if any(self._slot_constraint[s] is not None for s in active):
-            return 1
+            return 1, None
         lens_h = np.asarray(jax.device_get(self._cache["len"]))
         k = min(int(n_tokens),
                 int(min(self._budget[s] for s in active)),
                 int(min(self.block_size - lens_h[s] for s in active)))
-        return max(k, 1)
+        return max(k, 1), lens_h
 
-    def _step_multi(self, active, k: int, emit) -> None:
+    def _step_multi(self, active, k: int, emit, lens0) -> None:
         """k decode steps in one dispatch + host emission of the burst
-        (see ``step``'s n_tokens docstring)."""
-        lens0 = np.asarray(jax.device_get(self._cache["len"]))
+        (see ``step``'s n_tokens docstring). ``lens0``: the host copy of
+        ``cache['len']`` _multi_k already fetched."""
         out = self._mstep_fn(
             self._step_params(), self._cache, self._tokens, self._rng,
             jnp.asarray(self._slot_seed.astype(np.int32)),

@@ -245,14 +245,15 @@ class ServingServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def _admission_check(self, n_new: int, oai: bool):
+            def _admission_check(self, n_new: int, oai: bool,
+                                 engine=None):
                 """Bounded-queue backpressure (must hold outer._lock):
                 if admitting ``n_new`` more requests would push the
-                engine queue past ``max_queue``, send 429 +
-                ``Retry-After`` and return False. Without this a
-                misbehaving client grows the queue (and host memory)
-                without limit."""
-                eng = outer.engine
+                given engine's queue (default: the text engine) past
+                ``max_queue``, send 429 + ``Retry-After`` and return
+                False. Without this a misbehaving client grows the
+                queue (and host memory) without limit."""
+                eng = outer.engine if engine is None else engine
                 if eng.n_queued + n_new <= outer._max_queue:
                     return True
                 outer._rejected += 1
@@ -710,16 +711,18 @@ class ServingServer:
                                 500, "device worker failed: "
                                      f"{outer._step_error!r}",
                                 "server_error")
-                        if weng.n_queued + len(segments) > \
-                                outer._max_queue:
-                            outer._rejected += 1
-                            return self._json(
-                                429, {"error": {
-                                    "message": "queue full; retry later",
-                                    "type": "overloaded_error",
-                                    "param": None, "code": None}},
-                                headers={"Retry-After":
-                                         str(outer._retry_after)})
+                        if len(segments) > outer._max_queue:
+                            # NOT retryable overload: this clip can never
+                            # fit the queue bound — reject permanently
+                            # (429 here would have clients retry forever)
+                            return self._oai_error(
+                                400,
+                                f"audio too long: {len(segments)} "
+                                f"{weng.t_enc}-frame windows exceeds the "
+                                f"server's max_queue={outer._max_queue}")
+                        if not self._admission_check(
+                                len(segments), oai=True, engine=weng):
+                            return
                         rids = [weng.submit(seg, max_new_tokens=max(
                             1, weng.win - 1)) for seg in segments]
                 except (KeyError, ValueError, TypeError) as e:

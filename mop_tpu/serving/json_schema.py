@@ -198,10 +198,14 @@ def tool_call_auto_regex(tools) -> str:
 
     The free-text branch is everything that does NOT start with ``{"``
     (empty, a lone ``{``, any first char other than ``{``, or ``{`` +
-    any char other than ``"``). The one documented tradeoff: free text
-    beginning with the literal two characters ``{"`` is interpreted as
-    starting a tool call and must complete one."""
-    free = '(\\{?|[^{].*|\\{[^"].*)'
+    any char other than ``"``) — including newlines: the regex engine's
+    ``.`` excludes ``\\n`` (like re without DOTALL), so the continuation
+    is spelled ``(.|\\n)*`` or a multi-line answer would be silently
+    banned after its first character. The one documented tradeoff: free
+    text beginning with the literal two characters ``{"`` is interpreted
+    as starting a tool call and must complete one."""
+    any_star = "(.|\\n)*"
+    free = "(\\{?|[^{]" + any_star + '|\\{[^"]' + any_star + ")"
     return "(" + tool_call_regex(tools) + "|" + free + ")"
 
 

@@ -29,8 +29,14 @@ _COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
 # `%name = TYPE op(...)` where TYPE is `f32[4,8]{...}` or a tuple
 # `(f32[4]{0}, bf16[2,2]{...})`; -start/-done async variants normalize to
 # the base op (counting only -start so pairs aren't double-counted).
+# TPU layouts carry tiling annotations with PARENS — e.g.
+# `f32[512,512]{1,0:T(8,128)}` — so the non-tuple alternative must be
+# `\S+` (the type token never contains spaces) and the tuple alternative
+# must admit one paren-nesting level, or on-hardware HLO would silently
+# count zero collectives (the exact regression this module exists to
+# catch).
 _OP_RE = re.compile(
-    r"=\s+(\([^)]*\)|[\w\[\],{}:#*]+)\s+"
+    r"=\s+(\((?:[^()]|\([^)]*\))*\)|\S+)\s+"
     r"((?:all-reduce|all-gather|reduce-scatter|collective-permute|"
     r"all-to-all)(?:-start)?)\(")
 

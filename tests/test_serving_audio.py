@@ -226,3 +226,36 @@ def test_v1_audio_without_whisper_engine():
             e.value.read())["error"]["message"]
     finally:
         srv.stop()
+
+
+def test_v1_audio_too_long_is_400_not_429():
+    """A clip whose window count exceeds max_queue can NEVER be admitted
+    — it must fail permanently (400 'audio too long'), not as a
+    retryable 429 that loops forever (code-review r4)."""
+    tok = CharTokenizer("ab c")
+    wc = WhisperConfig(n_mels=8, n_audio_ctx=16, vocab_size=tok.vocab_size,
+                       n_text_ctx=16, n_embd=32, n_head=2,
+                       n_layer_enc=1, n_layer_dec=1, dropout=0.0)
+    wmodel = create_whisper_mop(wc)
+    wparams = wmodel.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, 8)),
+                          jnp.zeros((1, 4), jnp.int32))
+    weng = WhisperServingEngine(wmodel, wparams, max_batch=2, bos_token=1)
+    cfg = TransformerConfig(n_layer=1, n_head=2, n_embd=32, dropout=0.0,
+                            block_size=32)
+    gmodel = create_gpt_quartet(tok.vocab_size, cfg)
+    gparams = gmodel.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 4), jnp.int32))
+    srv = ServingServer(DecodeEngine(gmodel, gparams, max_batch=2),
+                        tokenizer=tok, whisper_engine=weng, max_queue=2)
+    srv.start()
+    try:
+        # 16-frame windows x 160 hop = 2560 samples each; ~4 windows
+        wav = wav_bytes(_tone(secs=0.64), 16000)
+        body, ctype = _multipart({}, wav)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_raw(srv.port, "/v1/audio/transcriptions", body, ctype)
+        assert e.value.code == 400
+        assert "audio too long" in json.loads(
+            e.value.read())["error"]["message"]
+    finally:
+        srv.stop()

@@ -184,3 +184,25 @@ def test_openai_num_beams_extension(setup):
         assert e.value.code == 400
     finally:
         srv.stop()
+
+
+def test_beam_logprobs_engine_rejected_and_k1_is_greedy(setup):
+    """code-review r4: beams on a logprobs-tracking engine would break
+    the results/logprobs 1:1 invariant -> rejected; num_beams=1 forces
+    greedy even on a sampling-default engine."""
+    model, params = setup
+    lp_eng = DecodeEngine(model, params, max_batch=4, max_beams=2,
+                          logprobs_topk=2)
+    with pytest.raises(ValueError, match="logprobs"):
+        lp_eng.submit([1, 2], max_new_tokens=4, num_beams=2)
+    # num_beams=1 on a temperature-0.9 engine: deterministic greedy
+    samp = DecodeEngine(model, params, max_batch=2, max_beams=2,
+                        temperature=0.9, rng=jax.random.PRNGKey(5))
+    r = samp.submit([5, 6, 7], max_new_tokens=8, num_beams=1)
+    got = samp.run()[r]
+    solo = generate_cached(model, params,
+                           jnp.asarray([[5, 6, 7]], jnp.int32), 8)
+    assert got == [int(t) for t in np.asarray(solo[0, 3:])]
+    with pytest.raises(ValueError):
+        samp.submit([1, 2], max_new_tokens=4, num_beams=1,
+                    temperature=0.7)

@@ -755,7 +755,7 @@ def test_tool_call_auto_dfa_semantics():
     call for one of the tools."""
     from mop_tpu.serving.json_schema import tool_call_auto_to_dfa
 
-    vocab = sorted(set('{}":,abdnoprgumentsx123 '))
+    vocab = sorted(set('{}":,abdnoprgumentsx123 \n'))
     dfa = tool_call_auto_to_dfa(
         [("add", {"type": "object",
                   "properties": {"x": {"enum": [1, 2]}}}),
@@ -770,10 +770,13 @@ def test_tool_call_auto_dfa_semantics():
                 return None
         return s
 
-    # free text: accepting (EOS legal) at every non-trigger point
-    for t in ("", "abba", "{", "{x", "ab{\"x"):
+    # free text: accepting (EOS legal) at every non-trigger point —
+    # INCLUDING multi-line answers (the regex engine's '.' excludes
+    # newline; the union uses (.|\n)* so line breaks stay legal)
+    for t in ("", "abba", "{", "{x", "ab{\"x", "ab\nba", "\n\nab",
+              "{x\nx"):
         s = walk(t)
-        assert s is not None and dfa.accepts(s), t
+        assert s is not None and dfa.accepts(s), repr(t)
     # committed to the trigger: NOT accepting, and the only allowed
     # next char after '{"' is 'n' (both tool names start with n... no —
     # 'a' for add too). The allowed set must be exactly the tool-name
