@@ -39,6 +39,14 @@ class _Config:
             "MOP_TPU_FUSED_EDGEWISE_TRAIN", True)
         # Routed (sorted, capacity-bounded) MoE instead of compute-all-experts.
         self.routed_moe = _env_flag("MOP_TPU_ROUTED_MOE", True)
+        # Whisper decode dispatch: below this text-context length the
+        # full-window re-decode beats the sequential KV-cached loop (the
+        # per-step dispatch + narrow matmuls cost more than recomputing a
+        # short window — cached measured 0.8x at ctx 128 on v5e,
+        # benchmarks/decode.md). whisper_transcribe_auto() uses this
+        # crossover; cached engages at max_tokens >= the threshold.
+        self.whisper_cached_min_ctx = int(os.environ.get(
+            "MOP_TPU_WHISPER_CACHED_MIN_CTX", "192"))
         # Explicit pallas-interpret override for the fused kernels'
         # custom-VJP backward passes (traced AFTER any
         # force_tpu_interpret_mode context has exited). None = auto-detect
@@ -139,3 +147,7 @@ def use_fused_quartet() -> bool:
 
 def use_fused_edgewise_train() -> bool:
     return config.fused_edgewise_train
+
+
+def whisper_cached_min_ctx() -> int:
+    return config.whisper_cached_min_ctx

@@ -29,7 +29,8 @@ from .components import (
 )
 from .beam import generate_beam, whisper_transcribe_beam
 from .generate import (decode_chunk, generate, generate_cached,
-                       whisper_transcribe, whisper_transcribe_cached)
+                       whisper_transcribe, whisper_transcribe_auto,
+                       whisper_transcribe_cached)
 from .speculative import speculative_generate
 from .gpt_comparison import (
     ComparisonConfig,
@@ -110,6 +111,7 @@ __all__ = [
     "generate_cached",
     "speculative_generate",
     "whisper_transcribe",
+    "whisper_transcribe_auto",
     "whisper_transcribe_beam",
     "whisper_transcribe_cached",
     # Whisper family

@@ -464,10 +464,6 @@ def decode_chunk(model, params, cache, tokens):
     h = cfg.n_head
     c = cfg.n_embd
     dk = c // h
-    if "k_s" in cache:
-        raise NotImplementedError(
-            "decode_chunk does not support the int8 KV layout; use fp32 or "
-            "bfloat16 caches for chunked/speculative decode")
     pos0 = cache["len"]
     positions = pos0 + jnp.arange(g)
     x = p["wte"]["embedding"][tokens]
@@ -500,14 +496,37 @@ def decode_chunk(model, params, cache, tokens):
         k2_new = split(_lin(hx, ap["k2_proj"])) if cfg.use_quartet else k_new
         wr = lambda buf, rows: jax.lax.dynamic_update_slice(
             buf, rows[None].astype(buf.dtype), (i, 0, 0, pos0, 0))
-        new_cache["k"] = wr(new_cache["k"], k_new)
-        new_cache["k2"] = wr(new_cache["k2"], k2_new)
-        new_cache["v"] = wr(new_cache["v"], v_new)
-        qk = jnp.einsum("bhqd,bhkd->bhqk", q, new_cache["k"][i]) * scale
+        if "k_s" in cache:
+            # int8 KV: quantize the G new rows per-row and consume the
+            # int8 window without a dequantized copy — K scales multiply
+            # the score columns after the dot, V scales fold into the
+            # attention weights (same contract as _attn_step's scales)
+            wr_s = lambda buf, srows: jax.lax.dynamic_update_slice(
+                buf, srows[None], (i, 0, 0, pos0))
+            for key, rows in (("k", k_new), ("k2", k2_new), ("v", v_new)):
+                q8, s8 = _q8_rows(rows)
+                new_cache[key] = wr(new_cache[key], q8)
+                new_cache[key + "_s"] = wr_s(new_cache[key + "_s"], s8)
+            col = lambda s: s[:, :, None, :]  # (B,H,T) -> over queries
+            k_sc, k2_sc, v_sc = (col(new_cache["k_s"][i]),
+                                 col(new_cache["k2_s"][i]),
+                                 col(new_cache["v_s"][i]))
+        else:
+            new_cache["k"] = wr(new_cache["k"], k_new)
+            new_cache["k2"] = wr(new_cache["k2"], k2_new)
+            new_cache["v"] = wr(new_cache["v"], v_new)
+            k_sc = k2_sc = v_sc = None
+        qk = jnp.einsum("bhqd,bhkd->bhqk", q,
+                        new_cache["k"][i].astype(q.dtype)) * scale
+        if k_sc is not None:
+            qk = qk * k_sc
         if cfg.use_quartet:
             q2 = split(_lin(hx, ap["q2_proj"]))
             q2k2 = jnp.einsum(
-                "bhqd,bhkd->bhqk", q2, new_cache["k2"][i]) * scale
+                "bhqd,bhkd->bhqk", q2,
+                new_cache["k2"][i].astype(q2.dtype)) * scale
+            if k2_sc is not None:
+                q2k2 = q2k2 * k2_sc
             m = jax.nn.sigmoid(ap["mixture"][0])
             s1 = std(qk, cfg.score_norm_eps)
             s2 = std(q2k2, cfg.score_norm_eps)
@@ -516,7 +535,10 @@ def decode_chunk(model, params, cache, tokens):
             scores = std(qk, 1e-5)  # non-quartet hardcodes 1e-5
         scores = jnp.where(cols4, scores, -jnp.inf)
         att = jax.nn.softmax(scores, axis=-1)
-        y = jnp.einsum("bhqk,bhkd->bhqd", att, new_cache["v"][i])
+        if v_sc is not None:
+            att = att * v_sc
+        y = jnp.einsum("bhqk,bhkd->bhqd", att,
+                       new_cache["v"][i].astype(att.dtype))
         y = y.transpose(0, 2, 1, 3).reshape(b, g, c)
         x = x + _lin(y, ap["o_proj"])
         if "views" in bp:  # MoP gate, per chunk position (taps <= pos —
@@ -1013,15 +1035,25 @@ def _generate_grow_window(model, params, prompt, max_new_tokens, cache,
 # T T_enc d) re-run.
 
 
-def _mha(q, ks, vs, n_valid=None):
-    """q: (B,H,1,dh) against ks/vs (B,H,T,dh); optional valid-prefix mask."""
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, ks) / jnp.sqrt(q.shape[-1]).astype(
+def _mha(q, ks, vs, n_valid=None, scales=None):
+    """q: (B,H,1,dh) against ks/vs (B,H,T,dh); optional valid-prefix mask.
+
+    ``scales``: optional (k_s, v_s) per-row fp32 scales of shape (B,H,T)
+    for int8 caches — K scales multiply the score columns after the dot,
+    V scales fold into the attention weights (same contract as
+    :func:`_attn_step`)."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q,
+                   ks.astype(q.dtype)) / jnp.sqrt(q.shape[-1]).astype(
         jnp.float32)
+    if scales is not None:
+        s = s * scales[0][:, :, None, :]
     if n_valid is not None:
         cols = jnp.arange(ks.shape[2]) < n_valid
         s = jnp.where(cols[None, None, None, :], s, -jnp.inf)
     a = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", a, vs)
+    if scales is not None:
+        a = a * scales[1][:, :, None, :]
+    return jnp.einsum("bhqk,bhkd->bhqd", a, vs.astype(a.dtype))
 
 
 def whisper_decode_prep(model, params, mel: Array, kv_dtype=jnp.float32):
@@ -1059,11 +1091,17 @@ def whisper_decode_prep(model, params, mel: Array, kv_dtype=jnp.float32):
 
 
 def whisper_decode_token(p, cfg, tok: Array, pos, ks, vs, cross_k,
-                         cross_v):
+                         cross_v, scales=None):
     """One exact cached Whisper decoder step for (B,) tokens at position
     ``pos``: writes this token's self-attention K/V rows at ``pos`` and
     returns ``(logits (B, vocab), new_ks, new_vs)``. The reusable core of
-    the greedy scan and the beam search."""
+    the greedy scan and the beam search.
+
+    ``scales``: optional int8-KV scale dict with keys ``k_s``/``v_s``
+    ((L,B,H,win) self-attention per-row scales — this token's rows are
+    quantized and written here) and ``cross_k_s``/``cross_v_s``
+    ((L,B,H,T_enc), frozen). When given, ks/vs/cross hold int8 rows and
+    the return gains a 4th element: the updated scale dict."""
     b = tok.shape[0]
     h = cfg.n_head
     d = cfg.n_embd
@@ -1078,6 +1116,7 @@ def whisper_decode_token(p, cfg, tok: Array, pos, ks, vs, cross_k,
     if cfg.use_abs_pos_emb:
         x = x + p["text_pos"]["embedding"][pos][None, None, :]
     new_ks, new_vs = ks, vs
+    new_sc = dict(scales) if scales is not None else None
     for li in range(L):
         bp = p[f"decoder_{li}"]
         hx = _ln(x, bp["ln1"])
@@ -1085,18 +1124,30 @@ def whisper_decode_token(p, cfg, tok: Array, pos, ks, vs, cross_k,
         q = split1(lin(hx, sp["q_proj"]))
         k_new = split1(lin(hx, sp["k_proj"]))
         v_new = split1(lin(hx, sp["v_proj"]))
+        if scales is not None:  # int8: per-row quantize the new rows
+            k_new, k_s = _q8_rows(k_new)  # (B,H,1,dh) int8, (B,H,1)
+            v_new, v_s = _q8_rows(v_new)
+            wr_s = lambda buf, s: jax.lax.dynamic_update_slice(
+                buf, s[None], (li, 0, 0, pos))
+            new_sc["k_s"] = wr_s(new_sc["k_s"], k_s)
+            new_sc["v_s"] = wr_s(new_sc["v_s"], v_s)
         # Single-row cache write (O(d) traffic, not a full-window where).
         new_ks = jax.lax.dynamic_update_slice(
             new_ks, k_new[None].astype(new_ks.dtype), (li, 0, 0, pos, 0))
         new_vs = jax.lax.dynamic_update_slice(
             new_vs, v_new[None].astype(new_vs.dtype), (li, 0, 0, pos, 0))
-        y = _mha(q, new_ks[li], new_vs[li], n_valid=pos + 1)
+        self_sc = None if scales is None else (new_sc["k_s"][li],
+                                               new_sc["v_s"][li])
+        y = _mha(q, new_ks[li], new_vs[li], n_valid=pos + 1,
+                 scales=self_sc)
         y = y.transpose(0, 2, 1, 3).reshape(b, 1, d)
         x = x + lin(y, sp["o_proj"])
         cx = _ln(x, bp["ln2"])
         cp = bp["cross_attn"]
         qc = split1(lin(cx, cp["q_proj"]))
-        yc = _mha(qc, cross_k[li], cross_v[li])
+        cross_sc = None if scales is None else (scales["cross_k_s"][li],
+                                                scales["cross_v_s"][li])
+        yc = _mha(qc, cross_k[li], cross_v[li], scales=cross_sc)
         yc = yc.transpose(0, 2, 1, 3).reshape(b, 1, d)
         x = x + lin(yc, cp["o_proj"])
         mx = _ln(x, bp["ln3"])
@@ -1104,6 +1155,8 @@ def whisper_decode_token(p, cfg, tok: Array, pos, ks, vs, cross_k,
         x = x + lin(gelu_tanh(lin(mx, mp["fc"])), mp["proj"])
     x = _ln(x, p["dec_ln_f"])
     logits = (x @ p["wte"]["embedding"].T)[:, 0, :]
+    if scales is not None:
+        return logits, new_ks, new_vs, new_sc
     return logits, new_ks, new_vs
 
 
@@ -1120,10 +1173,15 @@ def whisper_transcribe_cached(
     Produces the same tokens as ``whisper_transcribe`` (equality pinned in
     tests/test_generate.py) at O(T) per-token cost. Returns (B, max_tokens).
     ``kv_dtype=jnp.bfloat16`` halves self- and cross-attention KV storage
-    and read traffic (compute stays fp32).
+    and read traffic (compute stays fp32). ``kv_dtype=jnp.int8`` quantizes
+    every cached row (self AND cross) symmetrically with a per-row fp32
+    scale — 4x less KV HBM, scales applied after the dots exactly as in
+    :func:`_attn_step` (quality rung measured in
+    benchmarks/quality_ladder.md).
     """
-    p, cfg, cross_k, cross_v = whisper_decode_prep(model, params, mel,
-                                                   kv_dtype)
+    int8 = kv_dtype == jnp.int8
+    p, cfg, cross_k, cross_v = whisper_decode_prep(
+        model, params, mel, jnp.float32 if int8 else kv_dtype)
     b = mel.shape[0]
     h = cfg.n_head
     dh = cfg.n_embd // h
@@ -1131,6 +1189,24 @@ def whisper_transcribe_cached(
     win = max_tokens + 1
     k0 = jnp.zeros((L, b, h, win, dh), kv_dtype)
     v0 = jnp.zeros((L, b, h, win, dh), kv_dtype)
+    if int8:
+        cross_k, ck_s = _q8_rows(cross_k)  # (L,B,H,T,dh) int8, (L,B,H,T)
+        cross_v, cv_s = _q8_rows(cross_v)
+        sc0 = {"k_s": jnp.ones((L, b, h, win), jnp.float32),
+               "v_s": jnp.ones((L, b, h, win), jnp.float32),
+               "cross_k_s": ck_s, "cross_v_s": cv_s}
+
+        def step(carry, i):
+            tok, ks, vs, sc = carry
+            logits, ks, vs, sc = whisper_decode_token(
+                p, cfg, tok, i, ks, vs, cross_k, cross_v, scales=sc)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (nxt, ks, vs, sc), nxt
+
+        tok0 = jnp.full((b,), bos_token, jnp.int32)
+        _, outs = jax.lax.scan(step, (tok0, k0, v0, sc0),
+                               jnp.arange(max_tokens))
+        return outs.T
 
     def step(carry, i):
         tok, ks, vs = carry
@@ -1142,3 +1218,33 @@ def whisper_transcribe_cached(
     tok0 = jnp.full((b,), bos_token, jnp.int32)
     _, outs = jax.lax.scan(step, (tok0, k0, v0), jnp.arange(max_tokens))
     return outs.T
+
+
+def whisper_transcribe_auto(
+    model,
+    params,
+    mel: Array,
+    bos_token: int,
+    max_tokens: int,
+    kv_dtype=jnp.float32,
+) -> Array:
+    """Shape-aware Whisper decode dispatch (greedy; same outputs either
+    way — the cached path is exact for Whisper, tests/test_generate.py).
+
+    At short text contexts the sequential cached loop LOSES to re-running
+    the full decoder window each step: its per-step latency is dominated
+    by dispatch overhead and narrow (B, 1, C) matmuls while the full
+    window is one well-tiled batched matmul — measured 0.8x at ctx 128 on
+    v5e (benchmarks/decode.md). The crossover is
+    ``config.whisper_cached_min_ctx`` (env
+    MOP_TPU_WHISPER_CACHED_MIN_CTX), the same measured-dispatch policy as
+    the flash/multihop kernels (mop_tpu/config.py).
+
+    ``kv_dtype`` only affects the cached branch (the full-window decoder
+    has no KV cache to store)."""
+    from ..config import whisper_cached_min_ctx
+
+    if max_tokens < whisper_cached_min_ctx():
+        return whisper_transcribe(model, params, mel, bos_token, max_tokens)
+    return whisper_transcribe_cached(model, params, mel, bos_token,
+                                     max_tokens, kv_dtype=kv_dtype)

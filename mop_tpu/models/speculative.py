@@ -84,6 +84,7 @@ def speculative_generate(
     temperature: float = 0.0,
     top_k: Optional[int] = None,
     return_stats: bool = False,
+    kv_dtype=jnp.float32,
 ):
     """Speculative decode. prompt: (1, T0) -> (1, T0 + max_new_tokens).
 
@@ -109,6 +110,22 @@ def speculative_generate(
     With ``return_stats=True`` also returns a dict with ``rounds``,
     ``drafted`` and ``accepted`` counts (acceptance rate =
     ``accepted / drafted``).
+
+    ``kv_dtype``: storage dtype of BOTH models' KV caches —
+    ``jnp.bfloat16`` halves and ``jnp.int8`` quarters the cache HBM
+    exactly as in :func:`generate_cached` (the verify pass consumes the
+    int8 layout via ``decode_chunk``'s scale-folded dots). Greedy
+    speculative output remains token-identical to ``generate_cached``
+    AT THE SAME ``kv_dtype`` (the quantization perturbs the target's
+    logits identically on both paths; pinned in
+    tests/test_speculative_matrix.py).
+
+    GPT_MoP targets/drafts: supported with the same contract as
+    ``generate_cached`` — EXACT for ``create_gpt_mop_causal`` models
+    (gate taps <= pos, so the verify chunk's rollback never exposes
+    stale view rows), frontier-approximate for the reference-exact
+    non-causal gate (see generate.py's module comment and
+    benchmarks/mop_decode.md).
     """
     b, t0 = prompt.shape
     if b != 1:
@@ -133,8 +150,10 @@ def speculative_generate(
         return jax.nn.softmax(scaled, axis=-1)
 
     prompt = prompt.astype(jnp.int32)
-    logits0, tcache = prefill(target_model, target_params, prompt)
-    _, dcache = prefill(draft_model, draft_params, prompt)
+    logits0, tcache = prefill(target_model, target_params, prompt,
+                              kv_dtype=kv_dtype)
+    _, dcache = prefill(draft_model, draft_params, prompt,
+                        kv_dtype=kv_dtype)
     if greedy:
         first = jnp.argmax(logits0, -1).astype(jnp.int32)  # (1,)
     else:

@@ -270,14 +270,42 @@ def make_imagenet_train_step(
     mix_prob: float = 0.5,
     grad_clip: Optional[float] = 1.0,
     compute_dtype=jnp.bfloat16,
+    remat: str = "none",
 ):
     """ImageNet-style train step with the reference's full regularization suite
     (``imagenet_ab_param_budgets.py``): crop/flip, RandAugment-lite,
     RandomErasing, Mixup/CutMix arbitration by ``mix_prob`` (:676-694), label
     smoothing (:652-654), grad clip (:700-703) — all on-device in one jit.
+
+    ``remat``: "none" | "full" | "dots" | "dots_nb" — jax.checkpoint around
+    the NETWORK forward only (the augmentation pipeline is never
+    recomputed): "full" saves only the network inputs and re-runs the
+    forward during backward; "dots" saves matmul outputs
+    (checkpoint_dots); "dots_nb" saves only matmul outputs with no batch
+    dims (dots_with_no_batch_dims_saveable — weight-stationary saves).
+    Trades recompute FLOPs for activation HBM traffic; measured per shape
+    in benchmarks/remat.md (5M: loses) and benchmarks/vitb_mfu.md (ViT-B,
+    the bandwidth-bound shape the lever exists for).
     """
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+
+    def net_loss(p, x, tgt, k_drop):
+        logits = model.apply(p, x, train=True, rngs={"dropout": k_drop})
+        return optax.softmax_cross_entropy(
+            logits.astype(jnp.float32), tgt).mean()
+
+    if remat == "full":
+        net_loss = jax.checkpoint(net_loss)
+    elif remat == "dots":
+        net_loss = jax.checkpoint(
+            net_loss, policy=jax.checkpoint_policies.checkpoint_dots)
+    elif remat == "dots_nb":
+        net_loss = jax.checkpoint(
+            net_loss,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif remat != "none":
+        raise ValueError(f"unknown remat mode {remat!r}")
 
     def loss_fn(params, x_u8, y, rng):
         k_crop, k_flip, k_ra, k_er, k_mix, k_arb, k_drop = jax.random.split(rng, 7)
@@ -307,9 +335,7 @@ def make_imagenet_train_step(
             p = cast_floats(params, compute_dtype)
         else:
             p = params
-        logits = model.apply(p, x, train=True, rngs={"dropout": k_drop})
-        loss = optax.softmax_cross_entropy(logits.astype(jnp.float32), tgt).mean()
-        return loss
+        return net_loss(p, x, tgt, k_drop)
 
     def step(params, opt_state, x_u8, y, rng):
         loss, grads = jax.value_and_grad(loss_fn)(params, x_u8, y, rng)

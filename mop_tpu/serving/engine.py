@@ -418,13 +418,23 @@ class DecodeEngine:
         self.engine_steps = 0
 
         def _step(params, cache, tokens, lens, rng, seeds, ntoks, temp,
-                  topk, topp, minp, rep, pres, freq, ocounts, pseen, lbias):
+                  topk, topp, minp, rep, pres, freq, ocounts, pseen, lbias,
+                  adv):
+            """``adv``: (B,) bool — rows that actually advance this step.
+            Held rows (chunk-pending prompts, rows that already took a
+            multi-step burst this engine iteration) keep their token,
+            length, and penalty counts: the step's garbage K/V column at
+            a held row's ``lens`` is overwritten by that row's next real
+            feed and masked out of every softmax by the held length."""
             logits, new_cache = decode_step_rows(
                 self.model, params, cache, tokens, lens)
             nxt = self._pick_rows(logits, rng, temp, topk, topp, minp,
                                   rep, pres, freq, ocounts, pseen, lbias,
                                   seeds=seeds, ntoks=ntoks)
-            ocounts = ocounts.at[jnp.arange(ocounts.shape[0]), nxt].add(1)
+            nxt = jnp.where(adv, nxt, tokens)
+            new_cache["len"] = jnp.where(adv, new_cache["len"], lens)
+            ocounts = ocounts.at[jnp.arange(ocounts.shape[0]), nxt].add(
+                adv.astype(jnp.int32))
             return (nxt, new_cache, ocounts) + self._lp_of(logits, nxt) \
                 + self._beam_tops(logits)
 
@@ -432,26 +442,39 @@ class DecodeEngine:
 
         def _mstep(params, cache, tokens, rng, seeds, ntoks, temp,
                    topk, topp, minp, rep, pres, freq, ocounts, pseen,
-                   lbias, k_steps):
+                   lbias, k_steps, elig):
             """k fixed-shape decode steps in ONE dispatch (multi-step
             scheduling): the per-dispatch host/tunnel latency that
             dominates serving tok/s amortizes over k tokens. The rng
             split, picker, penalty-count update, and seeded-stream
             position all advance per inner step exactly as k single
             ``step`` calls would (equality pinned in
-            tests/test_serving_multistep.py)."""
+            tests/test_serving_multistep.py).
+
+            ``elig``: (B,) bool — rows taking the burst. Ineligible rows
+            (inactive slots, chunk-pending prompts, CONSTRAINED requests
+            whose DFA mask must update between tokens) are held in place:
+            token/length/penalty counts pinned via ``where``, their
+            repeated garbage K/V write at the held ``len`` overwritten by
+            their next real feed. They advance via a follow-up single
+            step (see ``step``) so co-batching with a constrained request
+            no longer collapses the whole pool to k=1."""
             b = tokens.shape[0]
 
             def body(carry, _):
                 cache, tokens, rng, ocounts, ntoks = carry
+                lens0 = cache["len"]
                 logits, cache = decode_step_rows(
-                    self.model, params, cache, tokens, cache["len"])
+                    self.model, params, cache, tokens, lens0)
+                cache["len"] = jnp.where(elig, cache["len"], lens0)
                 rng, sub = jax.random.split(rng)
                 nxt = self._pick_rows(logits, sub, temp, topk, topp,
                                       minp, rep, pres, freq, ocounts,
                                       pseen, lbias, seeds=seeds,
                                       ntoks=ntoks)
-                ocounts = ocounts.at[jnp.arange(b), nxt].add(1)
+                nxt = jnp.where(elig, nxt, tokens)
+                ocounts = ocounts.at[jnp.arange(b), nxt].add(
+                    elig.astype(jnp.int32))
                 out = (nxt,) + self._lp_of(logits, nxt)
                 return (cache, nxt, rng, ocounts, ntoks + 1), out
 
@@ -1108,13 +1131,18 @@ class DecodeEngine:
         (the rng stream, per-row samplers, penalty counts, and seeded
         positions all advance per inner step; pinned in
         tests/test_serving_multistep.py); a row that hits EOS / a stop
-        match mid-burst retires there and its later burst tokens are
-        discarded (bounded wasted compute, never wrong output). The
-        burst caps at every active row's remaining budget and window
-        headroom, and falls back to single steps whenever a beam group,
-        a chunked prefill, or a CONSTRAINED request is live (a DFA mask
-        must update between tokens). Admission still happens once per
-        ``step`` call — new arrivals wait at most one burst."""
+        match / its budget / the window mid-burst retires there and its
+        later burst tokens are discarded (bounded wasted compute, never
+        wrong output) — so one short-budget row does NOT collapse the
+        burst for its co-tenants (k caps at the largest eligible
+        headroom). CONSTRAINED requests and chunk-pending slots sit the
+        burst out PER-SLOT (a DFA mask must update between tokens):
+        they are held in place by the burst's elig mask and advance one
+        token via a follow-up single step in the same call, while
+        unconstrained co-tenants keep the full k. Only a live beam
+        group forces k=1 globally (its step permutes the entire pool).
+        Admission still happens once per ``step`` call — new arrivals
+        wait at most one burst."""
         self.engine_steps += 1
         emitted: Dict[int, List[int]] = {}
         emit = lambda *a: self._emit_token(emitted, *a)
@@ -1141,14 +1169,24 @@ class DecodeEngine:
         active = [s for s, r in enumerate(self._slot_rid)
                   if r >= 0 and s not in self._chunk_state]
         if active and n_tokens > 1:
-            k, lens_h = self._multi_k(n_tokens, active)
+            k, lens_h, elig = self._multi_k(n_tokens, active)
             if k > 1:
-                self._step_multi(active, k, emit, lens_h)
-                for rid, toks_f in self._beam_finalized:
-                    emitted.setdefault(rid, []).extend(toks_f)
-                self._beam_finalized.clear()
-                return emitted
+                self._step_multi(elig, k, emit, lens_h)
+                elig_set = set(elig)
+                # ineligible (constrained) co-tenants advance ONE token
+                # via the single-step path below — per-slot degradation:
+                # they sit out the burst, the burst rows sit out (held by
+                # the adv mask) their step
+                active = [s for s in active if s not in elig_set
+                          and self._slot_rid[s] >= 0]
         if active:
+            # rows NOT in `active` (inactive slots, chunk-pending, rows
+            # that just took the burst above) are held in place by the
+            # adv mask inside the jitted step — token/len/penalty counts
+            # pinned, their garbage K/V column overwritten by the next
+            # real feed (see _step's docstring)
+            adv = np.zeros((self.max_batch,), bool)
+            adv[active] = True
             self._rng, sub = jax.random.split(self._rng)
             nxt, self._cache, self._ocounts, *extras = self._step_fn(
                 self._step_params(), self._cache, self._tokens,
@@ -1159,22 +1197,9 @@ class DecodeEngine:
                 jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
                 jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
                 jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
-                self._ocounts, self._pseen, self._lbias)
+                self._ocounts, self._pseen, self._lbias, jnp.asarray(adv))
             lp_n = 3 if self.logprobs_topk else 0
             lpx, btx = extras[:lp_n], extras[lp_n:]
-            # inactive rows advanced too (fixed-shape step); reset their
-            # lengths so their garbage rows stay out of any future prefix.
-            # A chunk-pending row's length is pinned back to its fed count:
-            # the step's garbage K/V column at position `fed` is
-            # overwritten by the next chunk feed, and columns past `fed`
-            # are masked out of every softmax by the length
-            mask = np.zeros((self.max_batch,), bool)
-            mask[active] = True
-            keep = np.zeros((self.max_batch,), np.int32)
-            for s, st in self._chunk_state.items():
-                keep[s] = st["fed"]
-            self._cache["len"] = jnp.where(
-                jnp.asarray(mask), self._cache["len"], jnp.asarray(keep))
             self._tokens = nxt
             # ONE host fetch per step whatever is tracked: a second
             # device_get is a second dispatch round-trip, which at
@@ -1195,6 +1220,8 @@ class DecodeEngine:
                     if s in beam_slots:
                         continue
                     emit(s, self._slot_rid[s], int(toks[s]), int(lens[s]))
+            self._zero_dead_lens(
+                [s for s in active if self._slot_rid[s] < 0])
             if self._beam_groups:
                 perm, newtoks, changed = self._beam_step_update(
                     bth[0], bth[1], toks)
@@ -1211,27 +1238,49 @@ class DecodeEngine:
         self._beam_finalized.clear()
         return emitted
 
-    def _multi_k(self, n_tokens: int, active) -> int:
-        """Largest safe burst: capped by every active row's remaining
-        budget and window headroom; (1, None) whenever per-token host
-        control is required (beam groups, chunked prefills, constrained
-        slots). Returns ``(k, lens_host)`` — the one ``len`` fetch is
-        shared with :meth:`_step_multi` (each device_get is a dispatch
-        round-trip)."""
-        if self._beam_groups or self._chunk_state:
-            return 1, None
-        if any(self._slot_constraint[s] is not None for s in active):
-            return 1, None
-        lens_h = np.asarray(jax.device_get(self._cache["len"]))
-        k = min(int(n_tokens),
-                int(min(self._budget[s] for s in active)),
-                int(min(self.block_size - lens_h[s] for s in active)))
-        return max(k, 1), lens_h
+    def _multi_k(self, n_tokens: int, active):
+        """Burst size + eligible slots for multi-step decoding.
 
-    def _step_multi(self, active, k: int, emit, lens0) -> None:
+        Eligibility is PER-SLOT: constrained requests (DFA mask updates
+        between tokens) sit out the burst and advance one token via the
+        follow-up single step, while unconstrained co-tenants keep their
+        full k — one constrained request no longer degrades the whole
+        pool. Chunk-pending slots are excluded from ``active`` upstream
+        and held by the burst's elig mask. Beam groups still force k=1
+        globally (a beam step permutes the entire slot pool).
+
+        k caps at the LARGEST eligible row's headroom (min of remaining
+        budget and window room) — NOT the smallest: a row one token from
+        retirement retires mid-burst and its later burst tokens are
+        discarded (bounded wasted compute), instead of collapsing every
+        co-tenant's burst to k=1.
+
+        Returns ``(k, lens_host, elig_slots)`` — the one ``len`` fetch
+        is shared with :meth:`_step_multi` (each device_get is a
+        dispatch round-trip)."""
+        if self._beam_groups:
+            return 1, None, None
+        elig = [s for s in active if self._slot_constraint[s] is None]
+        if not elig:
+            return 1, None, None
+        lens_h = np.asarray(jax.device_get(self._cache["len"]))
+        headroom = max(min(int(self._budget[s]),
+                           self.block_size - int(lens_h[s]))
+                       for s in elig)
+        k = min(int(n_tokens), max(headroom, 1))
+        return k, lens_h, elig
+
+    def _step_multi(self, elig, k: int, emit, lens0) -> None:
         """k decode steps in one dispatch + host emission of the burst
-        (see ``step``'s n_tokens docstring). ``lens0``: the host copy of
-        ``cache['len']`` _multi_k already fetched."""
+        (see ``step``'s n_tokens docstring). ``elig``: the slots taking
+        the burst (every other row is held in place by _mstep's elig
+        mask). ``lens0``: the host copy of ``cache['len']`` _multi_k
+        already fetched. A row that retires mid-burst keeps advancing
+        on-device; its post-retirement writes land either out of the
+        window (dropped/clamped scatter into its own retiring row) or at
+        positions its replacement's admission paste overwrites."""
+        emask = np.zeros((self.max_batch,), bool)
+        emask[elig] = True
         out = self._mstep_fn(
             self._step_params(), self._cache, self._tokens, self._rng,
             jnp.asarray(self._slot_seed.astype(np.int32)),
@@ -1240,18 +1289,13 @@ class DecodeEngine:
             jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
             jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
             jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
-            self._ocounts, self._pseen, self._lbias, k)
+            self._ocounts, self._pseen, self._lbias, k,
+            jnp.asarray(emask))
         self._cache, self._tokens, self._rng, self._ocounts = out[:4]
         toks_k = out[4]
         lpx = out[5:]
-        # inactive rows advanced k times too; zero their garbage lengths
-        mask = np.zeros((self.max_batch,), bool)
-        mask[active] = True
-        self._cache["len"] = jnp.where(
-            jnp.asarray(mask), self._cache["len"],
-            jnp.zeros((self.max_batch,), jnp.int32))
         toks_h, *lph = jax.device_get((toks_k, *lpx))  # one fetch
-        live = set(active)
+        live = set(elig)
         for j in range(k):
             for s in list(live):
                 rid = self._slot_rid[s]
@@ -1264,12 +1308,24 @@ class DecodeEngine:
                 if not ok:
                     live.discard(s)  # retired: later burst tokens are
                     # the post-EOS garbage of multi-step scheduling
+        self._zero_dead_lens([s for s in elig if self._slot_rid[s] < 0])
+
+    def _zero_dead_lens(self, dead) -> None:
+        """Zero retired slots' device lengths (the adv/elig masks hold
+        non-advancing rows rather than zeroing all inactive rows each
+        step, so retirement must reset explicitly — one scatter, only on
+        steps where something retired)."""
+        if dead and self._cache is not None:
+            self._cache["len"] = self._cache["len"].at[
+                jnp.asarray(np.asarray(dead, np.int32))].set(0)
 
     def run(self, n_tokens: int = 1) -> Dict[int, List[int]]:
         """Step until every queued/live request completes; returns all
         results (also available per-request in ``results``).
-        ``n_tokens``: burst size per step (multi-step decoding; plain
-        DecodeEngine only — subclasses override ``step`` without it)."""
+        ``n_tokens``: burst size per step (multi-step decoding —
+        supported by DecodeEngine and PagedDecodeEngine;
+        SpecDecodeEngine's step already advances up to gamma+1 tokens
+        per dispatch and takes no n_tokens)."""
         while self._queue or self.n_active:
             if n_tokens == 1:
                 self.step()
@@ -1316,11 +1372,13 @@ class DecodeEngine:
             g = self._beam_groups.pop(rid)
             for s in g["slots"]:
                 self._slot_rid[s] = -1
+            self._zero_dead_lens(list(g["slots"]))
             self._done[rid] = True
             return True
         slot = self._slot_rid.index(rid)  # not done, not queued -> active
         self._slot_rid[slot] = -1
         self._chunk_state.pop(slot, None)  # may be mid-chunked-prefill
+        self._zero_dead_lens([slot])
         self._done[rid] = True
         return True
 

@@ -192,14 +192,32 @@ class ServingServer:
         self._retry_after = int(retry_after)
         self._rejected = 0
         # multi-step decoding: the worker advances the TEXT engine this
-        # many tokens per device dispatch (DecodeEngine.step(n_tokens=k)
-        # — token-identical, amortizes dispatch latency; tokens stream in
+        # many tokens per device dispatch (step(n_tokens=k) —
+        # token-identical, amortizes dispatch latency; tokens stream in
         # bursts of up to k, so keep it small when TTFT/stream smoothness
-        # matters). Requires a plain DecodeEngine (> 1 with Spec/Paged
-        # engines raises at the first step).
+        # matters). Supported by engines whose step() takes n_tokens
+        # (DecodeEngine, PagedDecodeEngine); validated HERE so an
+        # unsupported pairing (e.g. SpecDecodeEngine, whose step already
+        # advances up to gamma+1 tokens per dispatch) fails loudly at
+        # construction instead of latching a TypeError into _step_error
+        # at the first request.
         if steps_per_dispatch < 1:
             raise ValueError(
                 f"steps_per_dispatch must be >= 1, got {steps_per_dispatch}")
+        if steps_per_dispatch > 1:
+            import inspect
+            try:
+                step_params = inspect.signature(
+                    type(engine).step).parameters
+            except (TypeError, ValueError):  # builtins/odd callables
+                step_params = {}
+            if "n_tokens" not in step_params:
+                raise ValueError(
+                    f"steps_per_dispatch={steps_per_dispatch} needs an "
+                    f"engine whose step() takes n_tokens; "
+                    f"{type(engine).__name__}.step does not (SpecDecode"
+                    f"Engine already advances multiple tokens per "
+                    f"dispatch — use steps_per_dispatch=1 with it)")
         self._spd = int(steps_per_dispatch)
         self._tokenizer = tokenizer
         self._model_name = model_name
@@ -213,7 +231,10 @@ class ServingServer:
         self._completed_audio = 0
         self._created = int(time.time())
         if token_strs is None and tokenizer is not None:
-            token_strs = tokenizer.token_strs
+            # duck-typed tokenizers without a token_strs table are fine:
+            # it only gates the grammar-constrained features (json_schema
+            # / tool calling), which raise their own clear 400 without it
+            token_strs = getattr(tokenizer, "token_strs", None)
         self._token_strs = None if token_strs is None else \
             [str(s) for s in token_strs]
         self._lock = threading.Lock()          # guards engine access
@@ -456,7 +477,11 @@ class ServingServer:
                             return
                         rid = outer.engine.submit(prompt, max_new, **kw)
                         outer._lat_pending[rid] = [time.monotonic(), None]
-                except ValueError as e:  # bad length / budget / sampling
+                except (ValueError, TypeError) as e:
+                    # bad length / budget / sampling, or an extension
+                    # kwarg this engine's submit doesn't take (e.g.
+                    # num_beams on a SpecDecodeEngine) — a clean 400,
+                    # not an aborted connection
                     return self._json(400, {"error": str(e)})
                 if stream:
                     return self._stream(rid, is_text)
@@ -562,7 +587,10 @@ class ServingServer:
                             outer._lat_pending[rid] = [time.monotonic(),
                                                        None]
                             rids.append(rid)
-                except ValueError as e:  # bad length / budget
+                except (ValueError, TypeError) as e:
+                    # bad length / budget, or an extension kwarg this
+                    # engine's submit doesn't take (e.g. num_beams on an
+                    # engine without beam support)
                     return self._oai_error(400, str(e))
                 created = int(time.time())
                 if p["stream"]:  # parse guarantees best_of == n here

@@ -196,16 +196,68 @@ class PagedDecodeEngine(DecodeEngine):
 
         def _step(params_, pool, table, tokens, lens, rng_, seeds, ntoks,
                   temp, topk, topp, minp, rep, pres, freq, ocounts, pseen,
-                  lbias):
+                  lbias, adv):
+            """``adv``: (B,) bool — rows advancing this step. Held rows
+            (inactive slots; constrained rows that just sat out a burst
+            whose follow-up single step this is; rows that took the
+            burst) keep token/penalty state via ``where`` — their
+            garbage K/V write at the held position is overwritten by
+            their next real step (lengths are host-managed here and
+            only advance for ``adv`` rows)."""
             logits, new = paged_decode_step_rows(
                 self.model, params_, pool, table, tokens, lens)
             nxt = self._pick_rows(logits, rng_, temp, topk, topp, minp,
                                   rep, pres, freq, ocounts, pseen, lbias,
                                   seeds=seeds, ntoks=ntoks)
-            ocounts = ocounts.at[jnp.arange(ocounts.shape[0]), nxt].add(1)
+            nxt = jnp.where(adv, nxt, tokens)
+            ocounts = ocounts.at[jnp.arange(ocounts.shape[0]), nxt].add(
+                adv.astype(jnp.int32))
             return (nxt, new, ocounts) + self._lp_of(logits, nxt)
 
         self._pstep_fn = jax.jit(_step, donate_argnums=(1, 15))
+
+        def _pmstep(params_, pool, table, tokens, lens, rng_, seeds,
+                    ntoks, temp, topk, topp, minp, rep, pres, freq,
+                    ocounts, pseen, lbias, elig, k_steps):
+            """k paged decode steps in ONE dispatch (multi-step
+            scheduling over the page pool): rng split, picker, penalty
+            counts, and seeded positions advance per inner step exactly
+            as k single steps would (equality pinned in
+            tests/test_serving_paged_multistep.py). ``elig`` rows
+            advance; held rows' token/length/counts are pinned via
+            ``where``. The engine pre-allocates every page an eligible
+            row's burst will write (``_paged_multi_k``), so in-window
+            writes always land in owned pages; a row that retires
+            mid-burst keeps advancing on-device — its post-window
+            writes hit either the scratch page (unallocated table
+            entries) or its own retiring row (clipped table gather),
+            never a co-tenant's pages."""
+            b = tokens.shape[0]
+
+            def body(carry, _):
+                pool, tokens, lens, rng_, ocounts, ntoks = carry
+                logits, pool = paged_decode_step_rows(
+                    self.model, params_, pool, table, tokens, lens)
+                rng_, sub = jax.random.split(rng_)
+                nxt = self._pick_rows(logits, sub, temp, topk, topp,
+                                      minp, rep, pres, freq, ocounts,
+                                      pseen, lbias, seeds=seeds,
+                                      ntoks=ntoks)
+                nxt = jnp.where(elig, nxt, tokens)
+                ocounts = ocounts.at[jnp.arange(b), nxt].add(
+                    elig.astype(jnp.int32))
+                lens = jnp.where(elig, lens + 1, lens)
+                out = (nxt,) + self._lp_of(logits, nxt)
+                return (pool, nxt, lens, rng_, ocounts, ntoks + 1), out
+
+            carry, outs = jax.lax.scan(
+                body, (pool, tokens, lens, rng_, ocounts, ntoks), None,
+                length=k_steps)
+            pool, tokens, _, rng_, ocounts, _ = carry
+            return (pool, tokens, rng_, ocounts) + tuple(outs)
+
+        self._pmstep_fn = jax.jit(_pmstep, static_argnums=(19,),
+                                  donate_argnums=(1, 15))
 
         npb = self.pages_per_slot
 
@@ -448,7 +500,18 @@ class PagedDecodeEngine(DecodeEngine):
 
     # ---------------- engine loop ----------------
 
-    def step(self) -> Dict[int, List[int]]:
+    def step(self, n_tokens: int = 1) -> Dict[int, List[int]]:
+        """One engine iteration (see ``DecodeEngine.step``). ``n_tokens
+        > 1``: MULTI-STEP decoding over the page pool — up to n_tokens
+        paged decode steps in ONE dispatch, with every page the burst
+        writes PRE-allocated host-side (``_paged_multi_k``; the free
+        pool bounds the safe k the way window headroom does in the
+        dense engine — preemption never happens inside a burst, and if
+        the pool cannot cover even k=2 the step falls back to single
+        steps, which may preempt). Token-identical to n_tokens single
+        steps (tests/test_serving_paged_multistep.py). Constrained
+        requests sit the burst out per-slot and advance one token via a
+        follow-up single step in the same call."""
         self.engine_steps += 1
         emitted: Dict[int, List[int]] = {}
         self._reclaim_retired()
@@ -465,7 +528,17 @@ class PagedDecodeEngine(DecodeEngine):
             self._ensure_growth_pages()
             # preemption may have retired slots; refresh
             active = [s for s, r in enumerate(self._slot_rid) if r >= 0]
+        if active and n_tokens > 1:
+            k, elig = self._paged_multi_k(n_tokens, active)
+            if k > 1:
+                self._paged_step_multi(elig, k, emitted)
+                elig_set = set(elig)
+                # constrained co-tenants advance one token below
+                active = [s for s in active if s not in elig_set
+                          and self._slot_rid[s] >= 0]
         if active:
+            adv = np.zeros((self.max_batch,), bool)
+            adv[active] = True
             self._rng, sub = jax.random.split(self._rng)
             lens_j = jnp.asarray(self._lens)
             nxt, self._pool, self._ocounts, *lpx = self._pstep_fn(
@@ -477,14 +550,17 @@ class PagedDecodeEngine(DecodeEngine):
                 jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
                 jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
                 jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
-                self._ocounts, self._pseen, self._lbias)
+                self._ocounts, self._pseen, self._lbias,
+                jnp.asarray(adv))
             self._tokens = nxt
             toks, *lph = jax.device_get((nxt, *lpx))
             lp_h, tv_h, ti_h = lph if self.logprobs_topk \
                 else (None, None, None)
-            active_set = set(active)
-            for s in range(self.max_batch):
-                self._lens[s] = self._lens[s] + 1 if s in active_set else 0
+            # lengths are host-managed: only advancing rows move (held
+            # rows — e.g. slots that took the burst above — keep theirs;
+            # every retire path zeroes via _free_slot_pages)
+            for s in active:
+                self._lens[s] += 1
             for s in active:
                 lp = (self._lp_entry(lp_h, tv_h, ti_h, s)
                       if self.logprobs_topk else None)
@@ -493,6 +569,90 @@ class PagedDecodeEngine(DecodeEngine):
                                         lp):
                     self._free_slot_pages(s)
         return emitted
+
+    def _paged_multi_k(self, n_tokens: int, active):
+        """Burst size + eligible slots for paged multi-step decoding.
+
+        Per-slot eligibility as in ``DecodeEngine._multi_k``:
+        constrained slots sit out (DFA mask updates between tokens); k
+        caps at the LARGEST eligible headroom so a row near retirement
+        retires mid-burst instead of collapsing co-tenants to k=1.
+
+        The paged-specific bound: every page an eligible row's burst
+        will write must be allocatable NOW (positions ``lens ..
+        min(lens+k, lens+budget, block)-1``) — k shrinks until the free
+        pool covers the pre-allocation, so no preemption can be needed
+        mid-burst. On success the pages are allocated here and ``(k,
+        elig)`` returned; ``(1, None)`` falls back to the single-step
+        path (which may preempt)."""
+        elig = [s for s in active if self._slot_constraint[s] is None]
+        if not elig:
+            return 1, None
+        bs = self.block_size
+        headroom = max(min(int(self._budget[s]), bs - int(self._lens[s]))
+                       for s in elig)
+        k = min(int(n_tokens), max(headroom, 1))
+        while k > 1 and self._burst_page_need(elig, k) > len(self._free):
+            k -= 1
+        if k <= 1:
+            return 1, None
+        for s in elig:
+            need = self._burst_last_pos(s, k) // self.page_size + 1
+            while int(self._n_alloc[s]) < need:
+                pg = self._alloc_page()  # guaranteed by the k loop above
+                self._table[s, int(self._n_alloc[s])] = pg
+                self._n_alloc[s] += 1
+        return k, elig
+
+    def _burst_last_pos(self, s: int, k: int) -> int:
+        """Highest in-window position slot ``s`` writes during a
+        k-burst (it retires at its budget/window edge; later in-scan
+        writes land on scratch or clip into its own retiring row)."""
+        return min(int(self._lens[s]) + k,
+                   int(self._lens[s]) + int(self._budget[s]),
+                   self.block_size) - 1
+
+    def _burst_page_need(self, elig, k: int) -> int:
+        """Free pages a k-burst would consume across ``elig`` slots."""
+        ps = self.page_size
+        return sum(max(0, self._burst_last_pos(s, k) // ps + 1
+                       - int(self._n_alloc[s]))
+                   for s in elig)
+
+    def _paged_step_multi(self, elig, k: int, emitted) -> None:
+        """k paged decode steps in one dispatch + host emission (see
+        ``step``; mirrors ``DecodeEngine._step_multi``)."""
+        emask = np.zeros((self.max_batch,), bool)
+        emask[elig] = True
+        lens0 = self._lens.copy()
+        out = self._pmstep_fn(
+            self._step_params(), self._pool, jnp.asarray(self._table),
+            self._tokens, jnp.asarray(self._lens), self._rng,
+            jnp.asarray(self._slot_seed.astype(np.int32)),
+            jnp.asarray(self._slot_ntok.astype(np.int32)),
+            jnp.asarray(self._slot_temp),
+            jnp.asarray(self._slot_topk), jnp.asarray(self._slot_topp),
+            jnp.asarray(self._slot_minp), jnp.asarray(self._slot_rep),
+            jnp.asarray(self._slot_pres), jnp.asarray(self._slot_freq),
+            self._ocounts, self._pseen, self._lbias, jnp.asarray(emask),
+            k)
+        self._pool, self._tokens, self._rng, self._ocounts = out[:4]
+        toks_k = out[4]
+        lpx = out[5:]
+        toks_h, *lph = jax.device_get((toks_k, *lpx))  # one fetch
+        live = set(elig)
+        for j in range(k):
+            for s in list(live):
+                rid = self._slot_rid[s]
+                lp = (self._lp_entry(lph[0][j], lph[1][j], lph[2][j], s)
+                      if self.logprobs_topk else None)
+                if not self._emit_token(emitted, s, rid,
+                                        int(toks_h[j, s]),
+                                        int(lens0[s]) + j + 1, lp):
+                    live.discard(s)  # retired mid-burst: later burst
+                    self._free_slot_pages(s)  # tokens are discarded
+        for s in live:
+            self._lens[s] = lens0[s] + k
 
     def cancel(self, rid: int) -> bool:
         ok = super().cancel(rid)

@@ -118,6 +118,58 @@ def test_whisper_cached_bf16_runs():
     assert out.shape == (2, 6) and out.dtype == jnp.int32
 
 
+def test_whisper_cached_int8_close_to_fp32():
+    """Round 5: int8 KV (per-row scales, self + cross attention) for the
+    Whisper cached decoder — a mild perturbation of the fp32 path, not
+    the garbage a raw int8 cast would produce (the quality rung is
+    measured in benchmarks/quality_ladder.md)."""
+    from mop_tpu.models import WhisperConfig, create_whisper_mop
+    from mop_tpu.models.generate import whisper_transcribe_cached
+
+    wc = WhisperConfig(n_mels=8, n_audio_ctx=16, vocab_size=40,
+                       n_text_ctx=16, n_embd=32, n_head=2, n_layer_enc=1,
+                       n_layer_dec=1, dropout=0.0)
+    wm = create_whisper_mop(wc)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (4, 16, 8))
+    wp = wm.init(jax.random.PRNGKey(3), mel, jnp.zeros((4, 4), jnp.int32))
+    ref = whisper_transcribe_cached(wm, wp, mel, bos_token=1, max_tokens=8)
+    got = whisper_transcribe_cached(wm, wp, mel, bos_token=1, max_tokens=8,
+                                    kv_dtype=jnp.int8)
+    assert got.shape == ref.shape and got.dtype == jnp.int32
+    agree = float(np.mean(np.asarray(got) == np.asarray(ref)))
+    assert agree >= 0.5, f"int8 whisper KV diverged wildly: {agree}"
+
+
+def test_whisper_transcribe_auto_dispatch():
+    """The shape-aware full-window-vs-cached dispatch returns identical
+    tokens on both sides of the crossover (the cached path is exact for
+    Whisper)."""
+    from mop_tpu import config as mcfg
+    from mop_tpu.models import WhisperConfig, create_whisper_mop
+    from mop_tpu.models.generate import whisper_transcribe, \
+        whisper_transcribe_auto, whisper_transcribe_cached
+
+    wc = WhisperConfig(n_mels=8, n_audio_ctx=16, vocab_size=40,
+                       n_text_ctx=32, n_embd=32, n_head=2, n_layer_enc=1,
+                       n_layer_dec=1, dropout=0.0)
+    wm = create_whisper_mop(wc)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 8))
+    wp = wm.init(jax.random.PRNGKey(3), mel, jnp.zeros((2, 4), jnp.int32))
+    old = mcfg.config.whisper_cached_min_ctx
+    try:
+        mcfg.config.whisper_cached_min_ctx = 10
+        below = whisper_transcribe_auto(wm, wp, mel, 1, 6)   # full window
+        above = whisper_transcribe_auto(wm, wp, mel, 1, 12)  # cached
+    finally:
+        mcfg.config.whisper_cached_min_ctx = old
+    np.testing.assert_array_equal(
+        np.asarray(below),
+        np.asarray(whisper_transcribe(wm, wp, mel, 1, 6)))
+    np.testing.assert_array_equal(
+        np.asarray(above),
+        np.asarray(whisper_transcribe_cached(wm, wp, mel, 1, 12)))
+
+
 def test_engines_bf16_kv():
     model, params = _setup()
     jobs = [([5, 17, 3], 6), ([1, 2, 3, 4, 5], 6)]

@@ -94,8 +94,10 @@ def test_multistep_logprobs_stay_aligned():
 
 
 def test_multistep_falls_back_for_constraints():
-    """A live constrained request forces single-stepping (the DFA mask
-    must update between tokens) — results stay correct."""
+    """A live constrained request sits the burst out PER-SLOT (round 5:
+    the DFA mask updates between its own single steps while co-tenants
+    keep bursting — dispatch counts pinned in
+    tests/test_serving_paged_multistep.py) — results stay correct."""
     from mop_tpu.serving.constrain import choices
 
     model, params = _mk()
