@@ -210,7 +210,7 @@ def main():
           f"jax {d_jax.mean():+.4f}+-{d_jax.std():.4f}")
 
     if args.hard:
-        md = os.path.join(os.path.dirname(out), "cross_framework.md")
+        md = os.path.splitext(out)[0] + ".md"
         sat = (arr > 0.995).mean()
         with open(md, "w") as f:
             f.write(

@@ -40,20 +40,37 @@ def main():
     prompts = [rs.randint(0, vocab, (16,)).tolist() for _ in range(8)]
     max_new = 384
 
-    rows = []
-    for k in (1, 4, 16, 64):
-        eng = DecodeEngine(model, params, max_batch=8)
+    def serve_pass(make_engine, k):
+        """One full serve; returns (tok/s, engine_steps). Engines are
+        rebuilt per pass but jit caches live per instance, so the first
+        step of each pass warms that instance's compiles outside the
+        timed region."""
+        eng = make_engine()
         for p in prompts:
             eng.submit(p, max_new_tokens=max_new)
-        # warm the compiles outside the timed window
         eng.step(n_tokens=k)
         t0 = time.perf_counter()
         eng.run(n_tokens=k)
         dt = time.perf_counter() - t0
-        toks = eng.tokens_generated
-        rows.append((k, toks / dt, eng.engine_steps))
-        print(f"n_tokens={k}: {toks / dt:,.0f} tok/s "
-              f"({eng.engine_steps} engine steps)", flush=True)
+        return eng.tokens_generated / dt, eng.engine_steps
+
+    def best_of(make_engine, k, passes=2):
+        # the axon tunnel's dispatch latency jitters up to 2x between
+        # runs — take the best of 2 full serves per point
+        best = (0.0, 0)
+        for _ in range(passes):
+            tps, steps = serve_pass(make_engine, k)
+            if tps > best[0]:
+                best = (tps, steps)
+        return best
+
+    rows = []
+    for k in (1, 4, 16, 64):
+        tps, steps = best_of(
+            lambda: DecodeEngine(model, params, max_batch=8), k)
+        rows.append((k, tps, steps))
+        print(f"n_tokens={k}: {tps:,.0f} tok/s "
+              f"({steps} engine steps)", flush=True)
 
     base = rows[0][1]
     md = [
@@ -87,18 +104,13 @@ def main():
     n_pages = 8 * (512 // page_size)  # full dense-equivalent capacity
     prows = []
     for k in (1, 4, 16, 64):
-        eng = PagedDecodeEngine(model, params, max_batch=8,
-                                n_pages=n_pages, page_size=page_size)
-        for p in prompts:
-            eng.submit(p, max_new_tokens=max_new)
-        eng.step(n_tokens=k)
-        t0 = time.perf_counter()
-        eng.run(n_tokens=k)
-        dt = time.perf_counter() - t0
-        toks = eng.tokens_generated
-        prows.append((k, toks / dt, eng.engine_steps))
-        print(f"paged n_tokens={k}: {toks / dt:,.0f} tok/s "
-              f"({eng.engine_steps} engine steps)", flush=True)
+        tps, steps = best_of(
+            lambda: PagedDecodeEngine(model, params, max_batch=8,
+                                      n_pages=n_pages,
+                                      page_size=page_size), k)
+        prows.append((k, tps, steps))
+        print(f"paged n_tokens={k}: {tps:,.0f} tok/s "
+              f"({steps} engine steps)", flush=True)
 
     pbase = prows[0][1]
     md += [

@@ -74,14 +74,17 @@ def make_engine(model, params, prompt_len):
 
 
 def capacity_probe(model, params, rng, prompt_len, new, n_req=8):
-    """Closed-loop service rate (requests/s) to center the sweep."""
+    """Closed-loop service rate (requests/s) to center the sweep.
+
+    Warm-up runs on the SAME engine instance: each engine's jitted step
+    closures are per-instance, so a fresh engine would recompile inside
+    the timed window."""
     eng = make_engine(model, params, prompt_len)
     jobs = [rng.integers(0, VOCAB, prompt_len).tolist()
             for _ in range(n_req)]
     for p in jobs[:2]:  # warm both the prefill bucket and the step
-        rid = eng.submit(p, 2)
+        eng.submit(p, 2)
     eng.run()
-    eng = make_engine(model, params, prompt_len)
     rids = [eng.submit(p, new) for p in jobs]
     t0 = time.perf_counter()
     eng.run()
@@ -99,10 +102,10 @@ def open_loop(model, params, rate, n_req, seed, prompt_len, new):
     prompts = [rng.integers(0, VOCAB, prompt_len).tolist()
                for _ in range(n_req)]
     eng = make_engine(model, params, prompt_len)
-    # warm compile paths outside the timed window
-    wid = eng.submit(prompts[0], 2)
+    # warm compile paths outside the timed window ON THIS ENGINE (jit
+    # closures are per-instance; a fresh engine would recompile in-loop)
+    eng.submit(prompts[0], 2)
     eng.run()
-    eng = make_engine(model, params, prompt_len)
 
     submit_t = {}
     first_t = {}

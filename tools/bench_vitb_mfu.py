@@ -179,14 +179,17 @@ def main():
     attn_rows = []
     ms_xla = bench_fwd(_jax.jit(xla_fwd), *qkv)
     attn_rows.append(("XLA dense softmax", ms_xla, 1.0))
-    for bq, bk, tag in ((128, 128, "default 128/128 (pad 256)"),
-                        (112, 128, "tuned 112/128 (pad q 224)"),
-                        (64, 128, "64/128 (pad q 256->…)"),):
-        f = _jax.jit(lambda q, k, v, bq=bq, bk=bk: _flash_forward(
-            q, k, v, causal=False, block_q=bq, block_k=bk))
-        ms = bench_fwd(f, *qkv)
-        attn_rows.append((f"flash {tag}", ms, ms_xla / ms))
-        log(f"attn N={n}: flash {tag}: {ms:.3f} ms vs XLA {ms_xla:.3f}")
+    try:
+        for bq, bk, tag in ((128, 128, "default 128/128 (pad 256)"),
+                            (112, 128, "tuned 112/128 (pad q 224)"),
+                            (64, 128, "64/128 (small q tiles)"),):
+            f = _jax.jit(lambda q, k, v, bq=bq, bk=bk: _flash_forward(
+                q, k, v, causal=False, block_q=bq, block_k=bk))
+            ms = bench_fwd(f, *qkv)
+            attn_rows.append((f"flash {tag}", ms, ms_xla / ms))
+            log(f"attn N={n}: flash {tag}: {ms:.3f} ms vs XLA {ms_xla:.3f}")
+    except ValueError as e:  # pallas unavailable (CPU smoke)
+        log(f"flash sweep skipped: {e}")
 
     out = os.path.join(REPO, "benchmarks", "vitb_mfu.md")
     with open(out, "w") as f:
