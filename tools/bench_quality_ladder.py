@@ -140,7 +140,7 @@ def main():
     # strong bump on the neighboring mel row) under heavy noise, and
     # training is short — the base model sits at a few-percent WER, so
     # the lossy rungs can separate.
-    W_NOISE, W_BUMP, W_NEIGHBOR = 0.9, 2.0, 1.5
+    W_NOISE, W_BUMP, W_NEIGHBOR = 0.7, 2.0, 1.2
 
     def w_batch(n, seed):
         rs = np.random.RandomState(seed)
@@ -172,7 +172,7 @@ def main():
         u, o = tx.update(g, o, p)
         return optax.apply_updates(p, u), o, loss
 
-    for s in range(180):
+    for s in range(240):
         mel, dec_in, tgt, _ = w_batch(32, s + 1)
         wparams, wopt, wl = wstep(wparams, wopt, mel, dec_in, tgt)
     print(f"Whisper trained: final loss {float(wl):.3f}", flush=True)
