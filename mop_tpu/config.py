@@ -40,13 +40,16 @@ class _Config:
         # Routed (sorted, capacity-bounded) MoE instead of compute-all-experts.
         self.routed_moe = _env_flag("MOP_TPU_ROUTED_MOE", True)
         # Whisper decode dispatch: below this text-context length the
-        # full-window re-decode beats the sequential KV-cached loop (the
-        # per-step dispatch + narrow matmuls cost more than recomputing a
-        # short window — cached measured 0.8x at ctx 128 on v5e,
-        # benchmarks/decode.md). whisper_transcribe_auto() uses this
-        # crossover; cached engages at max_tokens >= the threshold.
+        # full-window re-decode beats the sequential KV-cached loop.
+        # Measured round 5 (benchmarks/decode.md "dispatch" sections):
+        # at the real-Whisper 1500-frame audio shape full wins at ctx
+        # <= 64 (cached 0.85x) and cached wins from ctx 128 (1.28-1.32x)
+        # -> default crossover 96. At SMALL audio contexts (256 frames)
+        # cached wins everywhere measured (2.0-3.9x from ctx 32) — set
+        # MOP_TPU_WHISPER_CACHED_MIN_CTX=0 for such deployments.
+        # whisper_transcribe_auto() picks cached at max_tokens >= this.
         self.whisper_cached_min_ctx = int(os.environ.get(
-            "MOP_TPU_WHISPER_CACHED_MIN_CTX", "192"))
+            "MOP_TPU_WHISPER_CACHED_MIN_CTX", "96"))
         # Explicit pallas-interpret override for the fused kernels'
         # custom-VJP backward passes (traced AFTER any
         # force_tpu_interpret_mode context has exited). None = auto-detect

@@ -40,6 +40,14 @@ def bench(fn, *args, reps=3):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--audio_ctx", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--ctxs", type=int, nargs="+",
+                    default=[32, 64, 128, 256, 512])
+    args = ap.parse_args()
+
     from mop_tpu.config import whisper_cached_min_ctx
     from mop_tpu.models import WhisperConfig, create_whisper_mop
     from mop_tpu.models.generate import (whisper_transcribe,
@@ -48,12 +56,13 @@ def main():
     from mop_tpu.utils import jitted_init
 
     platform = jax.devices()[0].platform
-    ctxs = (32, 64, 128, 256, 512)
-    wcfg = WhisperConfig(n_mels=80, n_audio_ctx=256, vocab_size=512,
+    ctxs = tuple(args.ctxs)
+    wcfg = WhisperConfig(n_mels=80, n_audio_ctx=args.audio_ctx,
+                         vocab_size=512,
                          n_text_ctx=max(ctxs) + 8, n_embd=384, n_head=6,
                          n_layer_enc=4, n_layer_dec=4, dropout=0.0)
     model = create_whisper_mop(wcfg)
-    b = 8
+    b = args.batch
     mel = jnp.asarray(np.random.RandomState(0).randn(
         b, wcfg.n_audio_ctx, wcfg.n_mels).astype(np.float32))
     params = jitted_init(model, jax.random.PRNGKey(1), mel,
